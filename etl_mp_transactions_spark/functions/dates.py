@@ -1,0 +1,69 @@
+"""Date normalization expressions (SURVEY.md §2.6 C2/C3).
+
+Reference semantics (``/root/reference/etl/transformations/transactions.py:57-89``):
+a multi-format precedence chain — ``%Y-%m-%d`` then ``%d-%m-%Y`` for
+'-'-separated, ``%Y/%m/%d`` then ``%d/%m/%Y`` for '/'-separated — and
+**on failure the input string passes through unchanged**.
+
+Spark-first form: a single ``coalesce`` over strict ``try_to_date``
+parses. Because the Spark 4 CORRECTED parser is strict about separators
+and digit counts, the flat coalesce chain is exactly equivalent to the
+reference's dispatch-on-separator logic (verified against the oracle for
+every case in FIXTURES.md §3). Everything stays inside whole-stage
+codegen — no UDF, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# try-order IS the semantics: yyyy-MM-dd before dd-MM-yyyy, etc.
+_FORMATS = ["yyyy-MM-dd", "dd-MM-yyyy", "yyyy/MM/dd", "dd/MM/yyyy"]
+
+
+def normalize_date_multiformat(col: Column | str) -> Column:
+    """C2: normalize a mixed-format date string to '%Y-%m-%d'.
+
+    Unparseable inputs (including the reference's famous ``11/24/2024``
+    US-format case, where month=24 fails ``dd/MM/yyyy``) pass through
+    unchanged, matching ``transactions.py:79-81``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parsed = [
+        F.date_format(F.try_to_date(c, fmt), "yyyy-MM-dd") for fmt in _FORMATS
+    ]
+    return F.coalesce(*parsed, c)
+
+
+def strict_midnight_timestamp(col: Column | str) -> Column:
+    """C3: strict parse ('%Y-%m-%d' then '%d/%m/%Y') → "yyyy-MM-dd'T'00:00:00".
+
+    The reference *raises* on failure (``transactions.py:88-89``); engine
+    policy (SURVEY.md §2.6) is null-out instead of failing the job —
+    callers quarantine nulls.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    parsed = F.coalesce(
+        F.try_to_date(c, "yyyy-MM-dd"),
+        F.try_to_date(c, "dd/MM/yyyy"),
+    )
+    return F.date_format(parsed, "yyyy-MM-dd'T'00:00:00")
+
+
+def render_date_mixed_format(date_col: Column | str, variant_col: Column | str) -> Column:
+    """Fixture helper: render a date into one of 5 wire formats by variant id.
+
+    Variant 4 is the deliberately-hostile US ``MM/dd/yyyy`` form — for
+    days > 12 it survives normalization unchanged, which is the
+    pass-through path the reference exhibits.
+    """
+    d = F.col(date_col) if isinstance(date_col, str) else date_col
+    v = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    return (
+        F.when(v == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(v == 1, F.date_format(d, "dd-MM-yyyy"))
+        .when(v == 2, F.date_format(d, "yyyy/MM/dd"))
+        .when(v == 3, F.date_format(d, "dd/MM/yyyy"))
+        .otherwise(F.date_format(d, "MM/dd/yyyy"))
+    )
