@@ -1,0 +1,132 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(SURVEY.md §2.9): brute-force cosine top-k as the exact baseline, and
+a sign-bucket LSH variant as the scale path.
+
+All vector math is expression-level (``zip_with`` dot products over
+double-cast elements, sequential left-fold — deterministic and
+engine-portable); no Python in the hot path. For very high dims a
+vectorized pandas UDF with numpy BLAS becomes competitive; at dim 64
+codegen expressions win by avoiding the Arrow hop entirely.
+
+Scale shape: brute force is an O(n·m) crossJoin — correct baseline,
+quadratic cost. The LSH variant buckets vectors by the sign pattern of
+the leading components (a fixed, data-independent hyperplane family),
+so the join degenerates to per-bucket blocks: at 1000 executors each
+bucket joins locally after one shuffle on the bucket key. Recall is
+tunable via n_bits (fewer bits → bigger buckets → higher recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add double-cast vector + precomputed L2 norm (computed once,
+    reused across all pair comparisons)."""
+    d = _as_double(F.col(vec_col))
+    return df.withColumn("_vec", d).withColumn("_norm", norm(F.col("_vec")))
+
+
+def cosine_topk(
+    embeddings: DataFrame, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, neighbor_id, rank)."""
+    base = with_unit_prep(embeddings)
+    a = base.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("_vec").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor_id"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank")
+    )
+
+
+def sign_bucket(vec_col, n_bits: int = 8) -> Column:
+    """LSH bucket id: sign bits of the first n_bits components."""
+    bits = [
+        F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame, k: int = 3, n_bits: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Bucketed ANN: top-k within the sign-pattern bucket only."""
+    base = with_unit_prep(embeddings).withColumn(
+        "bucket", sign_bucket("embedding", n_bits)
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_id"),
+        "bucket",
+        F.col("_vec").alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("_vec").alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("bucket") == F.col("bucket_b"))).filter(
+        F.col("vec_id") != F.col("neighbor_id")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "bucket", "neighbor_id", "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.35, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold)."""
+    base = with_unit_prep(embeddings)
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("_vec").alias("va"), F.col("_norm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("_vec").alias("vb"), F.col("_norm").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,163 @@
+"""Anomaly/similarity join (SURVEY.md §2 J2, C11-C14).
+
+The reference detects "anomalies" by scoring all row pairs with a
+weighted blend — TF-IDF cosine for strings, relative diff for numerics,
+exact match otherwise, threshold ≥ 0.9 (``/root/reference/src/ai.py:
+10-60``) — an O(n·m) nested loop that re-fits a vectorizer per pair.
+
+Two engine modes:
+
+- ``anomaly_pairs``: the scalable form — blocked pair generation, all
+  similarity components as built-in expressions (set-Jaccard for text:
+  the documented semantic substitution for per-pair TF-IDF, SURVEY §7).
+  Pure codegen; the block join is the only shuffle.
+
+- ``tfidf_pair_scores``: exactness mode — replicates the reference's
+  per-pair 2-document TF-IDF cosine bit-for-bit (smooth-idf, l2 norm,
+  sklearn token pattern) as an Arrow-vectorized pandas UDF. Python
+  touches each *pair* once per batch — no per-pair refit overhead, but
+  still the slow path; use only where reference-exact scores matter.
+
+C12 zero-division policy: sim = 1.0 when both values are 0 (the
+reference crashes there; SURVEY §2.6 C12).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# reference weights (src/ai.py:11-17) re-keyed for the documents table
+TEXT_W, NUM_W, EXACT_W = 0.8, 0.1, 0.1
+THRESHOLD = 0.9
+
+
+def relative_similarity(a: Column, b: Column) -> Column:
+    """C12: 1 - |a-b| / max(|a|,|b|); 1.0 when both are zero."""
+    denom = F.greatest(F.abs(a), F.abs(b))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(1 - F.abs(a - b) / denom)
+
+
+def exact_similarity(a: Column, b: Column) -> Column:
+    """C13: 1.0 on equality else 0.0."""
+    return (a == b).cast("double")
+
+
+def anomaly_pairs(
+    docs: DataFrame,
+    threshold: float = THRESHOLD,
+    block_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """J2 scalable mode over `documents`: weighted blend of
+    0.8·jaccard(text) + 0.1·relative(n_chars) + 0.1·exact(lang)."""
+    t = docs.withColumn("tokens", F.array_distinct(F.split("text", r"\s+")))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"),
+        *block_cols,
+        F.col("tokens").alias("tok_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("tokens").alias("tok_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
+        F.col("doc_a") < F.col("doc_b")
+    ]
+    pairs = a.join(b, cond)
+    text_sim = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
+        F.array_union("tok_a", "tok_b")
+    )
+    sim = (
+        F.lit(TEXT_W) * text_sim
+        + F.lit(NUM_W) * relative_similarity(F.col("nc_a"), F.col("nc_b"))
+        + F.lit(EXACT_W) * exact_similarity(F.col("lang_a"), F.col("lang_b"))
+    )
+    return (
+        pairs.withColumn("similarity_score", sim)
+        .filter(F.col("similarity_score") >= threshold)
+        .select("doc_a", "doc_b", "similarity_score")
+    )
+
+
+# --- exactness mode: per-pair 2-document TF-IDF cosine (C11) ---
+
+_TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")  # sklearn TfidfVectorizer default
+
+
+def _pair_tfidf_cosine(s1: str, s2: str) -> float:
+    """Cosine of TF-IDF vectors fit on the 2-doc corpus [s1, s2],
+    replicating sklearn defaults: smooth idf = ln((1+n)/(1+df)) + 1
+    with n=2, raw term counts, l2 normalization (src/ai.py:21-25)."""
+    t1 = _TOKEN_RE.findall((s1 or "").lower())
+    t2 = _TOKEN_RE.findall((s2 or "").lower())
+    if not t1 or not t2:
+        return 0.0
+    vocab = set(t1) | set(t2)
+    c1 = {w: 0 for w in vocab}
+    c2 = {w: 0 for w in vocab}
+    for w in t1:
+        c1[w] += 1
+    for w in t2:
+        c2[w] += 1
+    dot = n1 = n2 = 0.0
+    for w in vocab:
+        df = (c1[w] > 0) + (c2[w] > 0)
+        idf = math.log(3.0 / (1.0 + df)) + 1.0
+        v1, v2 = c1[w] * idf, c2[w] * idf
+        dot += v1 * v2
+        n1 += v1 * v1
+        n2 += v2 * v2
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    return dot / math.sqrt(n1 * n2)
+
+
+def _make_pair_udf():
+    # created lazily with an explicit DataType: a module-level
+    # pandas_udf("double") would re-parse DDL at executor import time,
+    # where no SparkContext exists
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def pair_tfidf_cosine_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_pair_tfidf_cosine(a, b) for a, b in zip(s1, s2)], dtype="float64"
+        )
+
+    return pair_tfidf_cosine_udf
+
+
+def tfidf_pair_scores(
+    docs: DataFrame, block_cols: tuple[str, ...] = ("source",)
+) -> DataFrame:
+    """J2 exactness mode: blocked pairs scored with the reference's
+    per-pair TF-IDF cosine. Arrow batches cross the Python boundary
+    once per ~10k pairs (session conf), not once per pair."""
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), *block_cols, F.col("text").alias("text_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("text").alias("text_b"),
+    )
+    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
+        F.col("doc_a") < F.col("doc_b")
+    ]
+    pairs = a.join(b, cond)
+    udf = _make_pair_udf()
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        udf(F.col("text_a"), F.col("text_b")).alias("tfidf_cosine"),
+    )

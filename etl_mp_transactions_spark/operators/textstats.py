@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.9):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure expressions (split/regexp/aggregate) — language ID over 100 TB
+is a map-only scan; none of these shuffle. Ratios are int/int divisions
+(exact, engine-portable doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language — tiny fixed lists keep the heuristic
+# deterministic and SQL-expressible; order breaks score ties (first wins)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "des", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _tokens(text_col) -> Column:
+    return F.split(text_col, r"\s+")
+
+
+def _marker_count(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID: argmax of marker-token counts,
+    deterministic tie-break by language order, 'und' when no marker
+    hits. Adds predicted_lang + per-language scores."""
+    toks = _tokens(F.col(text_col))
+    df = docs.withColumn("_toks", toks)
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(f"score_{lang}", _marker_count(F.col("_toks"), markers))
+    best = F.greatest(*[F.col(f"score_{m}") for m in LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # first language reaching the max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return df.withColumn("predicted_lang", pred).drop("_toks")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + blended score:
+    n_tokens, mean token length, stopword ratio, punctuation ratio.
+    Score = 0.4·stopword_ratio + 0.3·min(n_tokens/100, 1)
+          + 0.3·(1 - punct_ratio), same expression in the oracle."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    text_len = F.length(text_col)
+    punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_n = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    df = (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            (text_len - (n_tokens - 1)) / n_tokens,  # chars minus separators
+        )
+        .withColumn("stopword_ratio", stop_n / n_tokens)
+        .withColumn("punct_ratio", punct / text_len)
+    )
+    score = (
+        F.lit(0.4) * F.col("stopword_ratio")
+        + F.lit(0.3) * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+    )
+    return df.withColumn("quality", score)
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count (letter runs, digit
+    runs, and single punctuation as separate tokens — the regex proxy
+    for a real tokenizer's pre-tokenization)."""
+    ws = F.size(_tokens(F.col(text_col)))
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+    return docs.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    non-alnum collapsed to single spaces, trimmed) — the cheap
+    canonical-form dedup key."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    )
+    return docs.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,118 @@
+"""Dedup-family registry queries: exact, MinHash+LSH, SimHash, n-gram
+Jaccard (SURVEY.md §2.9) — every one with a full DuckDB oracle, made
+possible by md5-derived portable hashing (operators/textdedup.py).
+"""
+
+from __future__ import annotations
+
+from etl_mp_transactions_spark.operators import textdedup
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+# shared oracle fragments
+_TOKS = "SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS tokens FROM documents"
+_HASH = "('0x' || substr(md5(tok || '#' || {seed}), 1, 8))::BIGINT"
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy, first-doc-wins. One shuffle
+    on a uniform hash key — the 100 TB-safe shape."""
+    return textdedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS ({_TOKS}),
+    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+    hashes AS (
+      SELECT doc_id, h, MIN({_HASH.format(seed="h")}) AS mh
+      FROM tok, unnest(generate_series(0, 15)) AS t(h)
+      GROUP BY doc_id, h
+    ),
+    sigs AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[1 + 8*b : 8 + 8*b], ',')) AS band_key
+      FROM sigs, unnest([0, 1]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.9
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + LSH (2 bands × 8 rows) near-dup pairs at
+    est-Jaccard ≥ 0.9. shingle→minhash→band→bucket-join, all in
+    codegen; the only shuffles are the signature groupBy and the band
+    self-join."""
+    return textdedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH toks AS ({_TOKS}),
+    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+    h AS (SELECT doc_id, {_HASH.format(seed="0")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j, SUM((h >> j) & 1) AS ones, COUNT(*) AS n
+      FROM h, unnest(generate_series(0, 31)) AS t(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (majority vote over token-hash
+    bits) — the constant-size signature for hamming-distance near-dup."""
+    return textdedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(text, '\\s+')) AS tokens
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.tokens, b.tokens))::DOUBLE
+             / len(list_distinct(list_concat(a.tokens, b.tokens))) AS jaccard
+    FROM toks a
+    JOIN toks b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+            / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact unigram-set Jaccard ≥ 0.9 over (lang, source)-blocked
+    pairs — the verification stage behind LSH candidates; blocking
+    bounds the O(n²) pair count at scale."""
+    return textdedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    )

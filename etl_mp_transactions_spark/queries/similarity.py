@@ -1,0 +1,130 @@
+"""Similarity-family registry queries: the J2 anomaly join (scalable +
+reference-exact modes) and embedding ANN search (SURVEY.md §2.3 J2,
+§2.6 C11-C14, §2.9).
+"""
+
+from __future__ import annotations
+
+from etl_mp_transactions_spark.operators import ann, anomaly
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+# J2 similarity blend in SQL — component order must match the Spark
+# expression exactly for bit-identical doubles.
+_J2_SIM = """0.8 * (len(list_intersect(a.tokens, b.tokens))::DOUBLE
+                 / len(list_distinct(list_concat(a.tokens, b.tokens))))
+ + 0.1 * (CASE WHEN greatest(abs(a.n_chars), abs(b.n_chars)) = 0 THEN 1.0
+               ELSE 1 - abs(a.n_chars - b.n_chars)::DOUBLE
+                        / greatest(abs(a.n_chars), abs(b.n_chars)) END)
+ + 0.1 * (CASE WHEN a.lang = b.lang THEN 1.0 ELSE 0.0 END)"""
+
+
+@query(
+    "j2_anomaly_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+             list_distinct(string_split_regex(text, '\\s+')) AS tokens
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_J2_SIM} AS similarity_score
+    FROM toks a
+    JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {_J2_SIM} >= 0.9
+    """,
+)
+def j2_anomaly_pairs(spark, sf_dir):
+    """J2 scalable mode: weighted similarity blend (0.8 text-Jaccard +
+    0.1 relative-numeric + 0.1 exact-match) ≥ 0.9 over source-blocked
+    pairs. The reference's O(n·m) loop with per-pair TF-IDF refits
+    (src/ai.py:42-60) becomes one blocked join in codegen."""
+    return anomaly.anomaly_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query("j2_tfidf_exact_pairs")  # no SQL oracle: per-pair TF-IDF is not SQL-expressible
+def j2_tfidf_exact_pairs(spark, sf_dir):
+    """J2 exactness mode: the reference's per-pair 2-document TF-IDF
+    cosine (sklearn semantics) as an Arrow pandas UDF, on source-
+    blocked pairs. Unit-tested against a literal reimplementation of
+    the reference formula (tests/test_anomaly.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = anomaly.tfidf_pair_scores(docs)
+    # keep the output bounded and deterministic: strong pairs only
+    from pyspark.sql import functions as F
+
+    return scored.filter(F.col("tfidf_cosine") >= 0.9).select(
+        "doc_a", "doc_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine")
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 per vector — the ANN baseline.
+    O(n²) by construction; the LSH variant below is the scale path."""
+    return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+@query(
+    "ann_lsh_bucketed",
+    """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             concat(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+             ) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]) DESC,
+                      b.vec_id
+           ) AS rank
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 3
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    """Sign-bucket LSH ANN: candidates restricted to the 8-bit sign-
+    pattern bucket, top-3 within bucket. The bucket key shuffle replaces
+    the crossJoin — the 100 TB shape."""
+    return ann.cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), k=3, n_bits=8)
+
+
+@query(
+    "embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (≥ 0.35 — chosen at ~p99.9 of
+    the corpus cosine distribution so the result is small but
+    non-empty). Cos values excluded from output: ranks and thresholds
+    are engine-portable, raw float sums are not guaranteed to be."""
+    pairs = ann.neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return pairs.select("vec_a", "vec_b")

@@ -1,0 +1,137 @@
+"""Text-analysis registry queries (SURVEY.md §2.9): language ID,
+quality scoring, token counting, fingerprinting — all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators import textstats
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+def _markers_sql(lang: str) -> str:
+    ws = ", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split_regex(text, '\\s+'),"
+        f" t -> list_contains([{ws}], t)))"
+    )
+
+
+_LANGS = list(textstats.LANG_MARKERS)
+_SCORES = ",\n           ".join(f"{_markers_sql(l)} AS score_{l}" for l in _LANGS)
+_BEST = "greatest(" + ", ".join(f"score_{l}" for l in _LANGS) + ")"
+_PRED = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(f"WHEN score_{l} = {_BEST} THEN '{l}'" for l in _LANGS)
+    + " END"
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang, {_PRED} AS predicted_lang,
+           score_en, score_es, score_de, score_fr, score_zh
+    FROM (SELECT doc_id, lang, {_SCORES} FROM documents)
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language ID via marker-stopword argmax — map-only scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.lang_id(docs)
+    return out.select(
+        "doc_id", "lang", "predicted_lang", *[f"score_{l}" for l in _LANGS]
+    )
+
+
+_STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             length(text) AS text_len,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> list_contains([{_STOPS}], t))) AS stop_n
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           (text_len - (n_tokens - 1))::DOUBLE / n_tokens AS mean_token_len,
+           stop_n::DOUBLE / n_tokens AS stopword_ratio,
+           punct::DOUBLE / text_len AS punct_ratio,
+           0.4 * (stop_n::DOUBLE / n_tokens)
+             + 0.3 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - punct::DOUBLE / text_len) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality features + blended score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio",
+        "quality",
+    )
+
+
+@query(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    return textstats.token_counts(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical-form md5 fingerprint per document."""
+    return textstats.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@query(
+    "text_top_terms",
+    """
+    SELECT tok, COUNT(*) AS n_docs
+    FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n_docs DESC, tok
+    LIMIT 20
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Document-frequency top terms (the corpus-level IDF build side —
+    generalization of C11's vectorizer fit, SURVEY §2.6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "tok")
+        .limit(20)
+    )

@@ -139,11 +139,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanosAsLong): convert to micros → wall-clock timestamp_ntz.
         from pyspark.sql import functions as F
 
+        # integer division — a double intermediate loses µs precision
+        # on nanos-since-epoch magnitudes
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(
-                (F.col("ts") / F.lit(1000)).cast("long")
-            ).cast("timestamp_ntz"),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     expected = {(f.name, f.dataType.simpleString()) for f in SCHEMAS[name].fields}
     actual = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
