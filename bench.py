@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract, see repo instructions).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized with a noop sink (full execution, no
+driver-side collect bottleneck). Timings are end-to-end per query,
+cold plans, shared warm JVM/session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_mp_transactions_spark import registry  # noqa: E402
+from etl_mp_transactions_spark.session import get_spark  # noqa: E402
+
+# headline set: one per operator family (SURVEY.md §2 coverage)
+HEADLINE = [
+    "flagship_silver",      # nested flatten + full silver transform
+    "q1_pricing_summary",   # scan + hash agg
+    "q3_join_agg_topk",     # 3-way join + agg + top-k
+    "f3_anti_join",         # broadcast anti join
+    "j1_two_phase_anti",    # staged anti joins
+    "a2_group_kv",          # two-level agg + collect_list
+    "w2_topk_per_group",    # window top-k
+    "window_session",       # session windows
+    "dedup_exact",          # content-hash dedup
+    "dedup_minhash_lsh",    # minhash + LSH band join
+    "dedup_ngram_jaccard",  # blocked exact jaccard
+    "ann_cosine_topk",      # brute-force vector top-k
+    "ann_lsh_bucketed",     # bucketed ANN
+    "j2_anomaly_pairs",     # similarity blend join
+    "text_quality",         # text feature scan
+    "multimodal_features",  # Arrow mapInPandas path
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

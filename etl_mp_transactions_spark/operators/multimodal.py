@@ -1,0 +1,120 @@
+"""Multimodal columns (SURVEY.md §2.9): images/audio/video as opaque
+``binary`` columns with typed metadata, processed via Arrow-batched
+``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+clearly-marked stub (`decode_image` raises NotImplementedError; the
+deterministic fake used by `extract_features` is byte-level). What IS
+real and tested: the schema contract, the binary column plumbing, the
+mapInPandas batch shape, and the partitioning story.
+
+Scale shape: media blobs are large — the asset table should store
+(uri, byte_range) pointers with small inline thumbnails rather than
+full blobs where possible; feature extraction is a map-only pass, so
+throughput scales linearly with executors and the Arrow batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch) bounds executor memory
+per batch. Never collect blobs to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_HIST_BUCKETS = 16
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic fake asset table from `documents`: content =
+    md5-derived bytes (stands in for encoded media), typed metadata
+    derived from doc stats. Real pipelines get this shape from the
+    ingest layer."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.unhex(F.concat(F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text"))))).alias(
+            "content"
+        ),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit(32).cast("int").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes) -> "object":
+    """STUB: real image decode requires a codec library not present in
+    this environment. The Spark-side contract (binary in, array/struct
+    out via mapInPandas) is exercised by extract_features below."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; not available in this container"
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary content:
+    byte histogram (16 buckets) + byte entropy — the deterministic
+    stand-in for embed/resize/frame-sample, with the exact mapInPandas
+    shape a real extractor uses."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            rows = []
+            for asset_id, media_type, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = bytes(content)
+                hist = [0] * N_HIST_BUCKETS
+                for byte in b:
+                    hist[byte * N_HIST_BUCKETS // 256] += 1
+                n = len(b)
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in hist if c
+                ) if n else 0.0
+                rows.append((asset_id, media_type, n, ent, hist))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "n_bytes", "byte_entropy", "histogram",
+                ],
+            )
+
+    return assets.mapInPandas(batches, FEATURE_SCHEMA)

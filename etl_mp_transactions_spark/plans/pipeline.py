@@ -1,0 +1,103 @@
+"""Declarative pipeline spec — the `theetl` analog (SURVEY.md §2.8).
+
+The reference wires pipelines from YAML by dotted-name importing stage
+functions with a ``list[dict] -> list[dict]`` contract
+(``/root/reference/theetl/etl.py:24-105,133-184``). The engine keeps
+the plugin idea but types stages at the DataFrame level:
+
+    extraction:        (spark, params) -> DataFrame
+    transformations:   DataFrame -> DataFrame   (applied via df.transform)
+    filters:           DataFrame -> DataFrame
+    loads:             DataFrame -> None
+
+Because stages compose *lazily* into one logical plan, Catalyst
+optimizes across stage boundaries — a filter declared in stage 4
+still pushes down into the stage-1 scan. That is the structural win
+over the reference's eager per-stage materialization: its YAML order
+is a physical execution order; ours is just plan syntax.
+
+Spec format (dict, e.g. parsed from YAML/JSON — no YAML dependency):
+
+    {"transactions": {
+        "extraction": "pkg.module.extract_fn",
+        "transformations": ["pkg.module.fn1", "pkg.module.fn2"],
+        "filters": ["pkg.module.filt"],
+        "loads": ["pkg.module.sink"]}}
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def resolve_stage(dotted: str) -> Callable:
+    """Dotted-name → callable (the reference's importlib plugin loader,
+    theetl/etl.py:64-86, with an actual error message)."""
+    module_name, _, attr = dotted.rpartition(".")
+    if not module_name:
+        raise ValueError(f"stage {dotted!r} is not a dotted path")
+    try:
+        module = importlib.import_module(module_name)
+    except ImportError as e:
+        raise ImportError(f"stage module {module_name!r} not importable: {e}") from e
+    try:
+        return getattr(module, attr)
+    except AttributeError as e:
+        raise AttributeError(f"stage {attr!r} not found in {module_name!r}") from e
+
+
+@dataclass
+class PipelineSpec:
+    extraction: str
+    transformations: list[str] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)
+    loads: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_config(cls, config: dict, name: str) -> "PipelineSpec":
+        if name not in config:
+            raise KeyError(f"pipeline {name!r} not in config; have {list(config)}")
+        c = config[name]
+        return cls(
+            extraction=c["extraction"],
+            transformations=list(c.get("transformations", [])),
+            filters=list(c.get("filters", [])),
+            loads=list(c.get("loads", [])),
+        )
+
+
+class Pipeline:
+    """Composed DataFrame pipeline: extraction → transforms → filters
+    as ONE lazy plan; loads fan out at the end (theetl/etl.py:171-184)."""
+
+    def __init__(self, spec: PipelineSpec):
+        self.spec = spec
+        self._extract = resolve_stage(spec.extraction)
+        self._transforms = [resolve_stage(s) for s in spec.transformations]
+        self._filters = [resolve_stage(s) for s in spec.filters]
+        self._loads = [resolve_stage(s) for s in spec.loads]
+
+    def dataframe(self, spark: SparkSession, params: dict | None = None) -> DataFrame:
+        """The logical plan up to (excluding) loads — lazily composed,
+        so Catalyst sees the whole pipeline at once."""
+        df = self._extract(spark, params or {})
+        for stage in [*self._transforms, *self._filters]:
+            df = df.transform(stage)
+        return df
+
+    def run(self, spark: SparkSession, params: dict | None = None) -> DataFrame:
+        """Execute: build the plan, fan out to every load."""
+        df = self.dataframe(spark, params)
+        if self._loads:
+            # one materialization shared across sinks
+            df.persist()
+            try:
+                for load in self._loads:
+                    load(df)
+            finally:
+                df.unpersist()
+        return df

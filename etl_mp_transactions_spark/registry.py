@@ -63,6 +63,7 @@ def _load_all() -> None:
         similarity,
         text,
         windows,
+        streaming_mm,
     )
 
     _LOADED = True

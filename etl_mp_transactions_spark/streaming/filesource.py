@@ -1,0 +1,136 @@
+"""Structured-Streaming re-expression of the reference's event path
+(SURVEY.md §2.7).
+
+Reference semantics → Spark:
+
+- R3 per-file micro-batch (one GCS notification = one pipeline run,
+  main.py:92-131): file source with ``maxFilesPerTrigger=1`` /
+  ``Trigger.AvailableNow`` — Spark discovers new files natively; no
+  Pub/Sub push loop, no HTTP handler.
+- R1 cross-batch exactly-once dedup (Redis ``processed_checksums`` set,
+  src/redis_tools.py:38-54): ``dropDuplicates`` over the key with the
+  checkpointed state store; replaying the same file contributes 0 new
+  rows across restarts (checkpoint = the state contract).
+- R2 per-key mutex (Redis SET NX EX): not needed — state-store updates
+  are transactional per micro-batch.
+- R5 sink batching: trigger cadence + ``foreachBatch``.
+
+At scale: state for dropDuplicates is partitioned by key across the
+cluster; unbounded key-history should switch to
+``dropDuplicatesWithinWatermark`` to bound state (both shown here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.sources.tables import SCHEMAS
+
+
+def stream_files_available_now(
+    spark: SparkSession,
+    src_dir: str,
+    schema=None,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory (the GCS-bucket analog)."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(src_dir)
+
+
+def stream_dedup_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    key: str = "event_id",
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Run one AvailableNow pass: read files → exactly-once dedup on
+    `key` → append to a parquet sink (a file sink, unlike the memory
+    sink, supports checkpoint recovery — and is the realistic K1
+    shape). Returns the accumulated output. Re-running with the same
+    checkpoint after re-adding an already-seen file appends 0 new rows
+    (the R1 replay contract — tested in tests/test_streaming.py)."""
+    stream = stream_files_available_now(spark, src_dir, schema=_events_schema())
+    if within_watermark:
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            [key]
+        )
+    else:
+        deduped = stream.dropDuplicates([key])
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def stream_windowed_counts_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_window_out",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over the event stream —
+    the streaming twin of the batch `window_tumbling` query (same
+    F.window expression; late rows beyond the watermark drop)."""
+    stream = stream_files_available_now(spark, src_dir, schema=_events_schema())
+    # watermarks require TIMESTAMP (with-timezone); session TZ is UTC so
+    # the ntz→ltz cast is instant-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
+def _events_schema():
+    """events schema with µs timestamps (streams are written by our own
+    staging copy, which normalizes the nanos column)."""
+    return SCHEMAS["events"]
+
+
+def stage_events_as_files(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 4
+) -> str:
+    """Copy the events table into `stage_dir` as n parquet files — the
+    'bucket' a file-source stream watches. Uses the typed loader so the
+    nanos column is normalized once at staging time."""
+    from etl_mp_transactions_spark.sources.tables import load_table
+
+    os.makedirs(stage_dir, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    return stage_dir

@@ -1,0 +1,36 @@
+"""Multimodal plumbing: binary columns, typed metadata, mapInPandas
+batch shape; the decode stub must be explicit, not silent."""
+
+import pytest
+
+from etl_mp_transactions_spark.operators import multimodal
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11), (2, "bye", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_asset_schema_contract(spark):
+    assets = multimodal.synthesize_assets(_docs(spark))
+    got = [(f.name, f.dataType.simpleString()) for f in assets.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in multimodal.ASSET_SCHEMA.fields]
+    assert got == want
+
+
+def test_features_deterministic_and_consistent(spark):
+    assets = multimodal.synthesize_assets(_docs(spark))
+    f1 = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    f2 = {r["asset_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert f1.keys() == f2.keys() == {1, 2}
+    for k in f1:
+        assert f1[k]["histogram"] == f2[k]["histogram"]
+        assert f1[k]["n_bytes"] == 32  # two md5 digests
+        assert sum(f1[k]["histogram"]) == 32
+        assert 0.0 <= f1[k]["byte_entropy"] <= 4.0  # log2(16) max
+
+
+def test_decode_stub_is_explicit():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00\x01")

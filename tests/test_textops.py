@@ -1,0 +1,82 @@
+"""Dedup + ANN + text-stats operator semantics on constructed inputs
+(the testdata corpus has no true duplicates; these do)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators import ann, textdedup, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    docs = _docs(spark, [(1, "same text", "en", "s", 9),
+                         (2, "same text", "en", "s", 9),
+                         (3, "other", "en", "s", 5)])
+    out = {r["canonical_doc_id"]: r["n_copies"]
+           for r in textdedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_est_one(spark):
+    docs = _docs(spark, [(1, "aa bb cc dd ee ff gg hh", "en", "s", 1),
+                         (2, "aa bb cc dd ee ff gg hh", "en", "s", 1),
+                         (3, "qq ww rr tt yy uu ii oo", "en", "s", 1)])
+    pairs = textdedup.minhash_lsh_pairs(docs, threshold=0.9).collect()
+    assert [(p["doc_a"], p["doc_b"], p["est_jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    docs = _docs(spark, [(1, "aa bb cc", "en", "s", 1),
+                         (2, "aa bb cc", "en", "s", 1),
+                         (3, "xx yy zz", "en", "s", 1)])
+    fp = {r["doc_id"]: r["simhash"] for r in
+          textdedup.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert 0 <= fp[1] < 2 ** 32
+
+
+def test_ngram_jaccard_blocked_pairs(spark):
+    docs = _docs(spark, [(1, "aa bb cc dd", "en", "s1", 1),
+                         (2, "aa bb cc ee", "en", "s1", 1),
+                         (3, "aa bb cc dd", "en", "OTHER", 1)])  # other block
+    pairs = textdedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_ann_topk_known_geometry(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = ann.cosine_topk(vecs, k=1).collect()
+    best = {r["vec_id"]: r["neighbor_id"] for r in out}
+    assert best[1] == 2 and best[2] == 1  # nearest by cosine
+    assert best[4] == 3   # -x: least-bad is orthogonal y, not x or near-x
+
+
+def test_lang_id_markers(spark):
+    docs = _docs(spark, [(1, "the cat of the house", "en", "s", 1),
+                         (2, "el perro de la casa", "es", "s", 1),
+                         (3, "qwerty zxcvb", "zh", "s", 1)])
+    out = {r["doc_id"]: r["predicted_lang"]
+           for r in textstats.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_quality_monotonic_in_stopwords(spark):
+    docs = _docs(spark, [(1, "the of and is a", "en", "s", 1),
+                         (2, "zz qq ww ee rr", "en", "s", 1)])
+    out = {r["doc_id"]: r["quality"] for r in textstats.quality_score(docs).collect()}
+    assert out[1] > out[2]
+
+
+def test_fingerprint_normalizes(spark):
+    docs = _docs(spark, [(1, "Hello,   World!", "en", "s", 1),
+                         (2, "hello world", "en", "s", 1)])
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
