@@ -48,6 +48,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
+    # absorb JVM/codegen warmup so the first headline query isn't
+    # charged for JIT compilation
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     qs = registry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

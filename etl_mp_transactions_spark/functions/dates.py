@@ -30,10 +30,22 @@ def normalize_date_multiformat(col: Column | str) -> Column:
     unchanged, matching ``transactions.py:79-81``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    parsed = [
-        F.date_format(F.try_to_date(c, fmt), "yyyy-MM-dd") for fmt in _FORMATS
-    ]
-    return F.coalesce(*parsed, c)
+    # regex pre-dispatch: pick the single format whose shape matches,
+    # then one try_to_date. Equivalent to the coalesce-over-all-formats
+    # chain (the strict parser rejects shape mismatches anyway) but
+    # avoids 3 exception-driven parse failures per row — parse
+    # exceptions dominate the cost of the multi-format chain.
+    parsed = (
+        F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+               F.date_format(F.try_to_date(c, "yyyy-MM-dd"), "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{2}-\d{2}-\d{4}$"),
+              F.date_format(F.try_to_date(c, "dd-MM-yyyy"), "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{4}/\d{2}/\d{2}$"),
+              F.date_format(F.try_to_date(c, "yyyy/MM/dd"), "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{2}/\d{2}/\d{4}$"),
+              F.date_format(F.try_to_date(c, "dd/MM/yyyy"), "yyyy-MM-dd"))
+    )
+    return F.coalesce(parsed, c)
 
 
 def strict_midnight_timestamp(col: Column | str) -> Column:
@@ -44,9 +56,9 @@ def strict_midnight_timestamp(col: Column | str) -> Column:
     callers quarantine nulls.
     """
     c = F.col(col) if isinstance(col, str) else col
-    parsed = F.coalesce(
-        F.try_to_date(c, "yyyy-MM-dd"),
-        F.try_to_date(c, "dd/MM/yyyy"),
+    parsed = (
+        F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.try_to_date(c, "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{2}/\d{2}/\d{4}$"), F.try_to_date(c, "dd/MM/yyyy"))
     )
     return F.date_format(parsed, "yyyy-MM-dd'T'00:00:00")
 

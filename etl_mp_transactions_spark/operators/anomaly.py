@@ -55,7 +55,15 @@ def anomaly_pairs(
 ) -> DataFrame:
     """J2 scalable mode over `documents`: weighted blend of
     0.8·jaccard(text) + 0.1·relative(n_chars) + 0.1·exact(lang)."""
-    t = docs.withColumn("tokens", F.array_distinct(F.split("text", r"\s+")))
+    from etl_mp_transactions_spark.operators.textdedup import hashed_token_sets
+
+    # int64 token hashes: pair-quadratic set intersection over longs,
+    # not strings (Jaccard value unchanged — see hashed_token_sets).
+    # The repartition on the block key is a materialization barrier as
+    # much as a co-location move: without it CollapseProject inlines
+    # the tokenize+hash expression into the join output and recomputes
+    # it PER PAIR (O(pairs·tokens) md5 calls) instead of per doc.
+    t = hashed_token_sets(docs).repartition(*[F.col(c) for c in block_cols])
     a = t.select(
         F.col("doc_id").alias("doc_a"),
         *block_cols,
@@ -74,19 +82,28 @@ def anomaly_pairs(
         F.col("doc_a") < F.col("doc_b")
     ]
     pairs = a.join(b, cond)
-    text_sim = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
-        F.array_union("tok_a", "tok_b")
+    # the whole blend is let-bound on the intersect size: the threshold
+    # filter gets pushed into the join condition by Catalyst, and
+    # without the binding every reference would re-run array_intersect
+    # per candidate pair (~3× the runtime, measured)
+    from etl_mp_transactions_spark.operators.textdedup import let1
+
+    sizes = F.size("tok_a") + F.size("tok_b")
+    # association order (t + r) + e matches the SQL oracle bit-for-bit
+    sim = let1(
+        F.size(F.array_intersect("tok_a", "tok_b")),
+        lambda i: (
+            F.lit(TEXT_W) * (i / (sizes - i))
+            + F.lit(NUM_W) * relative_similarity(F.col("nc_a"), F.col("nc_b"))
+        )
+        + F.lit(EXACT_W) * exact_similarity(F.col("lang_a"), F.col("lang_b")),
     )
-    sim = (
-        F.lit(TEXT_W) * text_sim
-        + F.lit(NUM_W) * relative_similarity(F.col("nc_a"), F.col("nc_b"))
-        + F.lit(EXACT_W) * exact_similarity(F.col("lang_a"), F.col("lang_b"))
-    )
-    return (
-        pairs.withColumn("similarity_score", sim)
-        .filter(F.col("similarity_score") >= threshold)
-        .select("doc_a", "doc_b", "similarity_score")
-    )
+    from etl_mp_transactions_spark.operators.textdedup import filter_above_join
+
+    return filter_above_join(
+        pairs.withColumn("similarity_score", sim),
+        F.col("similarity_score") >= threshold,
+    ).select("doc_a", "doc_b", "similarity_score")
 
 
 # --- exactness mode: per-pair 2-document TF-IDF cosine (C11) ---

@@ -94,27 +94,26 @@ def extract_features(assets: DataFrame) -> DataFrame:
     shape a real extractor uses."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
+        import numpy as np
 
         for pdf in it:
-            rows = []
-            for asset_id, media_type, content in zip(
-                pdf["asset_id"], pdf["media_type"], pdf["content"]
-            ):
-                b = bytes(content)
-                hist = [0] * N_HIST_BUCKETS
-                for byte in b:
-                    hist[byte * N_HIST_BUCKETS // 256] += 1
-                n = len(b)
-                ent = -sum(
-                    (c / n) * math.log2(c / n) for c in hist if c
-                ) if n else 0.0
-                rows.append((asset_id, media_type, n, ent, hist))
+            hists, ents, sizes = [], [], []
+            for content in pdf["content"]:
+                b = np.frombuffer(bytes(content), dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=N_HIST_BUCKETS)
+                n = b.size
+                p = hist[hist > 0] / n
+                ents.append(float(-(p * np.log2(p)).sum()) if n else 0.0)
+                hists.append(hist.astype("int64").tolist())
+                sizes.append(int(n))
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "media_type", "n_bytes", "byte_entropy", "histogram",
-                ],
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": sizes,
+                    "byte_entropy": ents,
+                    "histogram": hists,
+                }
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)

@@ -24,9 +24,54 @@ NUM_HASHES = 16
 NUM_BANDS = 2  # 2 bands × 8 rows: P(candidate) = 1-(1-J^8)^2
 
 
+def let1(bound, fn):
+    """Let-binding for one expensive sub-expression: evaluate `bound`
+    once, reference it many times inside `fn` via a lambda variable.
+
+    Spark has no WITH-expression at the API level, and when a filter on
+    a computed column is pushed into a join condition every reference
+    re-evaluates the sub-expression (no CSE on interpreted higher-order
+    functions). transform() over a 1-element array gives the binding:
+    the lambda argument is computed exactly once per row.
+    """
+    return F.element_at(F.transform(F.array(bound), fn), 1)
+
+
+def filter_above_join(df: DataFrame, cond) -> DataFrame:
+    """Apply a selective filter WITHOUT letting Catalyst push it into
+    an upstream join condition.
+
+    For pair-scoring joins the score filter is exactly the expensive
+    expression; pushed into a BroadcastHashJoin condition it is
+    re-evaluated per probe×bucket row (and interpreted, since
+    higher-order functions don't codegen) — measured ~3× slower than
+    scoring once above the join. Appending `+ 0*rand(42)` marks the
+    predicate nondeterministic, which pins the Filter above the join
+    while leaving its value bit-identical (0*rand ≡ 0.0).
+    """
+    return df.filter(cond | (F.lit(0.0) * F.rand(42) > F.lit(1.0)))
+
+
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct word tokens per doc (the shingle set for unigram J)."""
     return df.withColumn("tokens", F.array_distinct(F.split(F.col(text_col), r"\s+")))
+
+
+def hashed_token_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct tokens as int64 hashes (md5-derived, portable).
+
+    Set operations over long arrays are far cheaper than over string
+    arrays — pair-quadratic stages (Jaccard verification, similarity
+    blends) should intersect hashes, not strings. Jaccard over the
+    hashed sets equals Jaccard over the token sets absent 32-bit
+    collisions inside one pair's union (vanishingly unlikely at
+    realistic per-doc vocabulary sizes).
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), r"\s+"))
+    hashed = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return df.withColumn("tokens", hashed)
 
 
 def _hash_expr(tok, seed: int):
@@ -41,10 +86,38 @@ def _hash_expr(tok, seed: int):
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, h0..h{K-1}, band_0..band_{B-1}) — one explode + one groupBy."""
+    """(id, h0..h{K-1}, band_0..band_{B-1}) — one explode + one groupBy.
+
+    Hash family i is chunk (i mod 4) of md5(tok ‖ '#' ‖ i div 4): one
+    md5 digest yields four independent 32-bit values, so K hashes cost
+    K/4 digests per token — md5 is the dominant cost of the signature
+    stage. The digests are projected once before the groupBy so the
+    min-aggregates only slice strings.
+    """
     toks = tokenize(docs).select(id_col, F.explode("tokens").alias("tok"))
-    aggs = [F.min(_hash_expr(F.col("tok"), i)).alias(f"h{i}") for i in range(NUM_HASHES)]
+    n_digests = (NUM_HASHES + 3) // 4
+    toks = toks.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.col("tok"), F.lit(f"#{g}"))).alias(f"d{g}")
+            for g in range(n_digests)
+        ],
+    )
+    # min over the raw hex chunk: lexicographic order of fixed-width
+    # lowercase hex == numeric order, so conv() runs once per doc per
+    # hash after aggregation instead of once per token per hash
+    aggs = [
+        F.min(F.substring(F.col(f"d{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"hx{i}")
+        for i in range(NUM_HASHES)
+    ]
     sig = toks.groupBy(id_col).agg(*aggs)
+    sig = sig.select(
+        id_col,
+        *[
+            F.conv(F.col(f"hx{i}"), 16, 10).cast("long").alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
     rows = NUM_HASHES // NUM_BANDS
     for b in range(NUM_BANDS):
         cols = [F.col(f"h{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
@@ -62,9 +135,12 @@ def minhash_lsh_pairs(
     signature agreement verifies them.
     """
     sig = minhash_signatures(docs, id_col)
-    bands = sig.select(
+    sigs = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(NUM_HASHES)]).alias("sig"),
+    )
+    bands = sig.select(
+        F.col(id_col),
         F.explode(
             F.array(
                 *[
@@ -73,28 +149,33 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
+    ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
 
-    a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_key"
-    )
-    b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_key"
-    )
+    # candidate ids first, signatures attached after the distinct —
+    # keeps the band self-join and pair-dedup shuffle id-only instead
+    # of dragging two K-long arrays through them
+    a = bands.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     cand = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    cand = cand.join(
+        F.broadcast(sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))),
+        "doc_a",
+    ).join(
+        F.broadcast(sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))),
+        "doc_b",
     )
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    return (
-        cand.withColumn("est_jaccard", matches / F.lit(float(NUM_HASHES)))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
-    )
+    return filter_above_join(
+        cand.withColumn("est_jaccard", matches / F.lit(float(NUM_HASHES))),
+        F.col("est_jaccard") >= threshold,
+    ).select("doc_a", "doc_b", "est_jaccard")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -145,7 +226,14 @@ def ngram_jaccard_pairs(
     the standard scale move; an unblocked all-pairs join is O(n²) and
     is exactly what the reference's anomaly loop does (src/ai.py:46-48).
     """
-    t = tokenize(docs).select("doc_id", *block_cols, "tokens")
+    # repartition on block keys: co-locates each block AND acts as a
+    # materialization barrier so the tokenize+hash projection runs once
+    # per doc, not once per pair (CollapseProject would inline it)
+    t = (
+        hashed_token_sets(docs)
+        .select("doc_id", *block_cols, "tokens")
+        .repartition(*[F.col(c) for c in block_cols])
+    )
     a = t.select(
         F.col("doc_id").alias("doc_a"), *block_cols, F.col("tokens").alias("tok_a")
     )
@@ -158,11 +246,14 @@ def ngram_jaccard_pairs(
         F.col("doc_a") < F.col("doc_b")
     ]
     pairs = a.join(b, cond)
-    jac = F.size(F.array_intersect("tok_a", "tok_b")) / F.size(
-        F.array_union("tok_a", "tok_b")
+    # |A∪B| = |A|+|B|-|A∩B| for distinct arrays, and the intersect is
+    # let-bound so the threshold filter (which Catalyst pushes into the
+    # join condition) still computes it once per pair
+    sizes = F.size("tok_a") + F.size("tok_b")
+    jac = let1(
+        F.size(F.array_intersect("tok_a", "tok_b")),
+        lambda i: i / (sizes - i),
     )
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return filter_above_join(
+        pairs.withColumn("jaccard", jac), F.col("jaccard") >= threshold
+    ).select("doc_a", "doc_b", "jaccard")

@@ -12,6 +12,8 @@ from etl_mp_transactions_spark.sources.tables import load_table
 # shared oracle fragments
 _TOKS = "SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS tokens FROM documents"
 _HASH = "('0x' || substr(md5(tok || '#' || {seed}), 1, 8))::BIGINT"
+# minhash family i = 32-bit chunk (i%4) of digest md5(tok||'#'||i//4)
+_MH_HASH = "('0x' || substr(md5(tok || '#' || (h // 4)), 1 + 8 * (h % 4), 8))::BIGINT"
 
 
 @query(
@@ -36,7 +38,7 @@ def dedup_exact(spark, sf_dir):
     WITH toks AS ({_TOKS}),
     tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
     hashes AS (
-      SELECT doc_id, h, MIN({_HASH.format(seed="h")}) AS mh
+      SELECT doc_id, h, MIN({_MH_HASH}) AS mh
       FROM tok, unnest(generate_series(0, 15)) AS t(h)
       GROUP BY doc_id, h
     ),
