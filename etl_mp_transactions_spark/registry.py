@@ -58,6 +58,7 @@ def _load_all() -> None:
         return
     from etl_mp_transactions_spark.queries import (  # noqa: F401
         relational,
+        relational2,
         scalar,
         dedup,
         similarity,

@@ -27,9 +27,12 @@ def write_silver_partitioned(df: DataFrame, path: str, mode: str = "append") -> 
     file per task — repartition on the partition columns first when a
     batch spans many partitions, so each partition's rows land in few
     files instead of tasks × partitions fragments."""
+    # try_to_date: transaction_date keeps unparseable originals by
+    # design (C2 passthrough) — those rows land in the null partition
+    # (__HIVE_DEFAULT_PARTITION__), the quarantine bucket
     (
-        df.withColumn("year", F.year(F.to_date("transaction_date")))
-        .withColumn("month", F.month(F.to_date("transaction_date")))
+        df.withColumn("year", F.year(F.try_to_date("transaction_date")))
+        .withColumn("month", F.month(F.try_to_date("transaction_date")))
         .repartition("company_id", "year", "month")
         .write.mode(mode)
         .partitionBy("company_id", "year", "month")

@@ -1,0 +1,88 @@
+"""Physical-plan assertions (SURVEY.md §7 step 8): the optimizations we
+rely on at 100 TB must be visible in the plan, not assumed — predicate
+pushdown to the parquet scan, broadcast anti-joins, partition pruning
+on partitioned outputs, nested-schema pruning, and shuffle-freedom of
+the silver map pipeline."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators.silver import silver_transactions
+from etl_mp_transactions_spark.sinks.writers import write_silver_partitioned
+from etl_mp_transactions_spark.sources.bronze import build_bronze
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    ).select("l_returnflag")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    plan = _plan(li)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_returnflag:string", "l_quantity:double"}
+
+
+def test_anti_join_is_broadcast(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.relational import f3_anti_join
+    plan = _plan(f3_anti_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_silver_pipeline_is_shuffle_free(spark, sf_dir):
+    # given an existing bronze (here: built + persisted shape), the
+    # flatten→transform pipeline itself must add no Exchange
+    bronze = build_bronze(spark, sf_dir)
+    silver = silver_transactions(bronze)
+    bronze_plan = _plan(bronze)
+    silver_plan = _plan(silver)
+    assert silver_plan.count("Exchange") == bronze_plan.count("Exchange"), (
+        "silver transform introduced a shuffle on top of the bronze source"
+    )
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "silver")
+    silver = silver_transactions(build_bronze(spark, sf_dir))
+    write_silver_partitioned(silver.limit(2000), out, mode="overwrite")
+    back = spark.read.parquet(out).filter(F.col("company_id") == "comp-1")
+    plan = _plan(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "company_id" in m.group(1), plan[:800]
+
+
+def test_nested_schema_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "bronze")
+    build_bronze(spark, sf_dir).limit(500).write.mode("overwrite").parquet(out)
+    nested = spark.read.parquet(out).select(
+        F.col("payload")[0]["header"]["currency"].alias("ccy")
+    )
+    plan = _plan(nested)
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    schema = m.group(1)
+    # only header.currency should survive into the scan schema
+    assert "currency" in schema
+    assert "lines" not in schema and "account_number" not in schema
+
+
+def test_aqe_enabled_and_skew_conf(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.relational import sort_limit_topn
+    plan = _plan(sort_limit_topn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # not a global Sort + Limit
