@@ -65,6 +65,7 @@ def _load_all() -> None:
         text,
         windows,
         streaming_mm,
+        skew_strings,
     )
 
     _LOADED = True
