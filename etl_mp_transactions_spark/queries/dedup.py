@@ -51,7 +51,7 @@ def dedup_exact(spark, sf_dir):
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
-      JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
            len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0

@@ -66,6 +66,7 @@ def _load_all() -> None:
         windows,
         streaming_mm,
         skew_strings,
+        raw_scan,
     )
 
     _LOADED = True
