@@ -67,6 +67,7 @@ def _load_all() -> None:
         streaming_mm,
         skew_strings,
         raw_scan,
+        breadth,
     )
 
     _LOADED = True
