@@ -68,6 +68,7 @@ def _load_all() -> None:
         skew_strings,
         raw_scan,
         breadth,
+        joins_breadth,
     )
 
     _LOADED = True
