@@ -130,20 +130,32 @@ SCHEMAS: dict[str, T.StructType] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, asserting the schema contract."""
+    """Read one testdata table, asserting the schema contract.
+
+    Defensive against externally-created sessions (the driver passes
+    its own): the nanos-parquet conf is set here, and the nanos→ntz
+    conversion is pure NTZ arithmetic — no instant/LTZ hop, so the
+    result is identical under any session timezone.
+    """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which the vectorized reader
+        # rejects unless read as long (runtime-settable conf)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as nanos-since-epoch long (session conf
-        # nanosAsLong): convert to micros → wall-clock timestamp_ntz.
         from pyspark.sql import functions as F
 
-        # integer division — a double intermediate loses µs precision
-        # on nanos-since-epoch magnitudes
+        # integer `div` (a double intermediate loses µs precision at
+        # nanos-since-epoch magnitudes); timestampadd on an NTZ epoch
+        # base keeps the wall-clock independent of session timezone
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     expected = {(f.name, f.dataType.simpleString()) for f in SCHEMAS[name].fields}
     actual = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
