@@ -95,7 +95,7 @@ def cosine_topk(
             )
 
     return embeddings.select(id_col, "embedding").mapInPandas(
-        score, "vec_id long, neighbor_id long, rank int"
+        score, "vec_id long, neighbor_id long, rank long"
     )
 
 
@@ -120,7 +120,7 @@ def cosine_topk_expr(
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         pairs.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank")
     )
@@ -161,7 +161,7 @@ def cosine_topk_lsh(
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         pairs.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("vec_id", "bucket", "neighbor_id", "rank")
     )

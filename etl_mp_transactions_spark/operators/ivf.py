@@ -83,5 +83,5 @@ def ivf_topk(
             )
 
     return embeddings.select(id_col, "embedding").mapInPandas(
-        search, "vec_id long, neighbor_id long, rank int"
+        search, "vec_id long, neighbor_id long, rank long"
     )

@@ -30,7 +30,7 @@ def _tokens(text_col) -> Column:
 
 def _marker_count(tokens: Column, markers: list[str]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t))).cast("long")
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,7 +60,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     stop_n = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     df = (
-        docs.withColumn("n_tokens", n_tokens)
+        docs.withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn(
             "mean_token_len",
             (text_len - (n_tokens - 1)) / n_tokens,  # chars minus separators
@@ -84,7 +84,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     bpe = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
     )
-    return docs.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+    return docs.withColumn("ws_tokens", ws.cast("long")).withColumn("bpe_tokens", bpe.cast("long"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

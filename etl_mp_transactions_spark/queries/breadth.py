@@ -66,6 +66,7 @@ def posexplode_tokens(spark, sf_dir):
             "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
         )
         .filter(F.col("pos") < 5)
+        .withColumn("pos", F.col("pos").cast("long"))
     )
 
 
@@ -93,7 +94,7 @@ def array_function_breadth(spark, sf_dir):
         F.array_join(
             F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ","
         ).alias("first_sorted"),
-        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),

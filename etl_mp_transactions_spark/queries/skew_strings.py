@@ -80,7 +80,7 @@ def string_edit_distance(spark, sf_dir):
     from etl_mp_transactions_spark.operators.textdedup import filter_above_join
 
     return filter_above_join(
-        pairs.withColumn("edit_dist", F.levenshtein("ha", "hb")),
+        pairs.withColumn("edit_dist", F.levenshtein("ha", "hb").cast("long")),
         F.col("edit_dist") <= 8,
     ).select("doc_a", "doc_b", "edit_dist")
 
@@ -112,7 +112,7 @@ def w4_frames_ntile(spark, sf_dir):
     return ev.select(
         "event_id",
         "user_id",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("prank"),
         (
             F.sum(F.col("value").cast("decimal(18,2)")).over(wf).cast("double")

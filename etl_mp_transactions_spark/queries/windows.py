@@ -93,7 +93,7 @@ def w3_running_lag(spark, sf_dir):
         .cast("double")
         .alias("running_value"),
         F.lag("event_type").over(w).alias("prev_type"),
-        F.rank().over(w).alias("rnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
     )
 
 
