@@ -325,7 +325,17 @@ def set_ops(spark, sf_dir):
     d = o.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return a.intersect(b).union(u).exceptAll(d.distinct()).distinct()
+    return set_ops_expr(a, b, u, d)
+
+
+def set_ops_expr(a, b, u, d):
+    """((a ∩ b) ∪ u) \\ d with SQL set semantics. `subtract` is EXCEPT
+    DISTINCT — it dedups its output and drops every occurrence of a
+    matched element, so no explicit distinct is needed (an earlier
+    exceptAll-based form kept elements that entered via both union
+    branches; tests/test_set_semantics.py guards this via this very
+    function)."""
+    return a.intersect(b).union(u).subtract(d)
 
 
 @query(
