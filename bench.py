@@ -63,13 +63,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    import re
+
+    m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf else None,
+        "sf": float(m.group(1)) if m else None,
     }
     print(json.dumps(out))
 

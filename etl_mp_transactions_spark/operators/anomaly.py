@@ -44,8 +44,10 @@ def relative_similarity(a: Column, b: Column) -> Column:
 
 
 def exact_similarity(a: Column, b: Column) -> Column:
-    """C13: 1.0 on equality else 0.0."""
-    return (a == b).cast("double")
+    """C13: 1.0 on equality else 0.0 — including when either side is
+    NULL (a bare `==` yields NULL there, which would null the whole
+    blended score and silently drop the pair; SQL CASE gives 0.0)."""
+    return F.coalesce((a == b).cast("double"), F.lit(0.0))
 
 
 def anomaly_pairs(
@@ -55,33 +57,18 @@ def anomaly_pairs(
 ) -> DataFrame:
     """J2 scalable mode over `documents`: weighted blend of
     0.8·jaccard(text) + 0.1·relative(n_chars) + 0.1·exact(lang)."""
-    from etl_mp_transactions_spark.operators.textdedup import hashed_token_sets
+    from etl_mp_transactions_spark.operators.textdedup import (
+        blocked_pairs,
+        hashed_token_sets,
+    )
 
     # int64 token hashes: pair-quadratic set intersection over longs,
-    # not strings (Jaccard value unchanged — see hashed_token_sets).
-    # The repartition on the block key is a materialization barrier as
-    # much as a co-location move: without it CollapseProject inlines
-    # the tokenize+hash expression into the join output and recomputes
-    # it PER PAIR (O(pairs·tokens) md5 calls) instead of per doc.
-    t = hashed_token_sets(docs).repartition(*[F.col(c) for c in block_cols])
-    a = t.select(
-        F.col("doc_id").alias("doc_a"),
-        *block_cols,
-        F.col("tokens").alias("tok_a"),
-        F.col("n_chars").alias("nc_a"),
-        F.col("lang").alias("lang_a"),
+    # not strings (Jaccard value unchanged — see hashed_token_sets)
+    pairs = blocked_pairs(
+        hashed_token_sets(docs),
+        block_cols,
+        {"tokens": "tok", "n_chars": "nc", "lang": "lang"},
     )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("tokens").alias("tok_b"),
-        F.col("n_chars").alias("nc_b"),
-        F.col("lang").alias("lang_b"),
-    )
-    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
-        F.col("doc_a") < F.col("doc_b")
-    ]
-    pairs = a.join(b, cond)
     # the whole blend is let-bound on the intersect size: the threshold
     # filter gets pushed into the join condition by Catalyst, and
     # without the binding every reference would re-run array_intersect
@@ -160,18 +147,9 @@ def tfidf_pair_scores(
     """J2 exactness mode: blocked pairs scored with the reference's
     per-pair TF-IDF cosine. Arrow batches cross the Python boundary
     once per ~10k pairs (session conf), not once per pair."""
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), *block_cols, F.col("text").alias("text_a")
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("text").alias("text_b"),
-    )
-    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
-        F.col("doc_a") < F.col("doc_b")
-    ]
-    pairs = a.join(b, cond)
+    from etl_mp_transactions_spark.operators.textdedup import blocked_pairs
+
+    pairs = blocked_pairs(docs, block_cols, {"text": "text"})
     udf = _make_pair_udf()
     return pairs.select(
         "doc_a",

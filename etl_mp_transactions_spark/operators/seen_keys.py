@@ -46,19 +46,37 @@ class SeenKeysStore:
             [], T.StructType([T.StructField(self.key, T.StringType())])
         )
 
-    def filter_new(self, batch: DataFrame) -> DataFrame:
-        """Rows whose key has never been processed (first-wins also
-        *within* the batch, matching the Redis loop's arrival order —
-        expressed as dropDuplicates on the key)."""
-        return batch.dropDuplicates([self.key]).join(
-            F.broadcast(self.seen()), self.key, "left_anti"
-        )
+    def filter_new(
+        self, batch: DataFrame, order_by: list[str] | None = None
+    ) -> DataFrame:
+        """Rows whose key has never been processed.
+
+        Within-batch dedup: with `order_by`, the first row per key in
+        that ordering wins deterministically (row_number = 1 — the true
+        analog of the Redis loop's arrival order). Without it,
+        dropDuplicates keeps an arbitrary row per key — the KEY set is
+        still exactly-once, but which payload survives may differ
+        between runs; pass `order_by` when payload identity matters."""
+        if order_by:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(self.key).orderBy(*order_by)
+            deduped = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            deduped = batch.dropDuplicates([self.key])
+        return deduped.join(F.broadcast(self.seen()), self.key, "left_anti")
 
     def commit(self, new_rows: DataFrame) -> None:
         """Append the surviving keys to the store."""
         new_rows.select(self.key).write.mode("append").parquet(self.path)
 
-    def process(self, batch: DataFrame) -> DataFrame:
+    def process(
+        self, batch: DataFrame, order_by: list[str] | None = None
+    ) -> DataFrame:
         """filter_new + commit in one step; returns the new rows.
 
         The result is checkpointed BEFORE the store append: its plan
@@ -67,6 +85,6 @@ class SeenKeysStore:
         the mutated store and return nothing. (On a cluster use
         ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
         for executor-failure-tolerant truncation.)"""
-        new_rows = self.filter_new(batch).localCheckpoint(eager=True)
+        new_rows = self.filter_new(batch, order_by).localCheckpoint(eager=True)
         self.commit(new_rows)
         return new_rows

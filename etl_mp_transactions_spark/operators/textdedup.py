@@ -52,6 +52,44 @@ def filter_above_join(df: DataFrame, cond) -> DataFrame:
     return df.filter(cond | (F.lit(0.0) * F.rand(42) > F.lit(1.0)))
 
 
+def blocked_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    payload_cols: dict[str, str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical blocked self-join pair generator used by every
+    pair-quadratic operator (Jaccard verify, similarity blends,
+    edit-distance, TF-IDF scoring).
+
+    payload_cols: {source_col: suffix_base} — each carried column c
+    appears as f"{base}_a" / f"{base}_b" on the pair row. Ids appear
+    as doc_a/doc_b with doc_a < doc_b.
+
+    The repartition on the block key both co-locates each block and
+    acts as a materialization barrier: without it CollapseProject
+    inlines upstream per-doc projections (tokenize+hash) into the join
+    output and recomputes them per PAIR.
+    """
+    t = df.select(id_col, *block_cols, *payload_cols).repartition(
+        *[F.col(c) for c in block_cols]
+    )
+    a = t.select(
+        F.col(id_col).alias("doc_a"),
+        *block_cols,
+        *[F.col(c).alias(f"{base}_a") for c, base in payload_cols.items()],
+    )
+    b = t.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        *[F.col(c).alias(f"{base}_b") for c, base in payload_cols.items()],
+    )
+    cond = [F.col(c) == F.col(f"__b_{c}") for c in block_cols] + [
+        F.col("doc_a") < F.col("doc_b")
+    ]
+    return a.join(b, cond).drop(*[f"__b_{c}" for c in block_cols])
+
+
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct word tokens per doc (the shingle set for unigram J)."""
     return df.withColumn("tokens", F.array_distinct(F.split(F.col(text_col), r"\s+")))
@@ -229,26 +267,9 @@ def ngram_jaccard_pairs(
     the standard scale move; an unblocked all-pairs join is O(n²) and
     is exactly what the reference's anomaly loop does (src/ai.py:46-48).
     """
-    # repartition on block keys: co-locates each block AND acts as a
-    # materialization barrier so the tokenize+hash projection runs once
-    # per doc, not once per pair (CollapseProject would inline it)
-    t = (
-        hashed_token_sets(docs)
-        .select("doc_id", *block_cols, "tokens")
-        .repartition(*[F.col(c) for c in block_cols])
+    pairs = blocked_pairs(
+        hashed_token_sets(docs), block_cols, {"tokens": "tok"}
     )
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), *block_cols, F.col("tokens").alias("tok_a")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(c).alias(f"{c}_b") for c in block_cols],
-        F.col("tokens").alias("tok_b"),
-    )
-    cond = [F.col(c) == F.col(f"{c}_b") for c in block_cols] + [
-        F.col("doc_a") < F.col("doc_b")
-    ]
-    pairs = a.join(b, cond)
     # |A∪B| = |A|+|B|-|A∩B| for distinct arrays, and the intersect is
     # let-bound so the threshold filter (which Catalyst pushes into the
     # join condition) still computes it once per pair

@@ -63,10 +63,13 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn(
             "mean_token_len",
-            (text_len - (n_tokens - 1)) / n_tokens,  # chars minus separators
+            # try_divide: split('') yields [''] so n_tokens ≥ 1, but a
+            # null-text row gives null; empty text gives text_len=0 and
+            # under ANSI a plain division would abort the whole job
+            F.try_divide(text_len - (n_tokens - 1), n_tokens),
         )
-        .withColumn("stopword_ratio", stop_n / n_tokens)
-        .withColumn("punct_ratio", punct / text_len)
+        .withColumn("stopword_ratio", F.try_divide(stop_n, n_tokens))
+        .withColumn("punct_ratio", F.try_divide(punct, text_len))
     )
     score = (
         F.lit(0.4) * F.col("stopword_ratio")

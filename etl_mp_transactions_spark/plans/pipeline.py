@@ -81,23 +81,35 @@ class Pipeline:
         self._filters = [resolve_stage(s) for s in spec.filters]
         self._loads = [resolve_stage(s) for s in spec.loads]
 
+    @staticmethod
+    def _apply(stage, df: DataFrame, params: dict):
+        """Stages that declare ``wants_params = True`` receive the run's
+        params dict as a second argument — per-run binding without
+        module-global state (two pipelines can coexist in one
+        process)."""
+        if getattr(stage, "wants_params", False):
+            return stage(df, params)
+        return stage(df)
+
     def dataframe(self, spark: SparkSession, params: dict | None = None) -> DataFrame:
         """The logical plan up to (excluding) loads — lazily composed,
         so Catalyst sees the whole pipeline at once."""
-        df = self._extract(spark, params or {})
+        params = params or {}
+        df = self._extract(spark, params)
         for stage in [*self._transforms, *self._filters]:
-            df = df.transform(stage)
+            df = self._apply(stage, df, params)
         return df
 
     def run(self, spark: SparkSession, params: dict | None = None) -> DataFrame:
         """Execute: build the plan, fan out to every load."""
+        params = params or {}
         df = self.dataframe(spark, params)
         if self._loads:
             # one materialization shared across sinks
             df.persist()
             try:
                 for load in self._loads:
-                    load(df)
+                    self._apply(load, df, params)
             finally:
                 df.unpersist()
         return df

@@ -9,6 +9,11 @@ Stage graph (lazily composed; Catalyst sees one plan through loads):
       → silver transform                            [P1 P2 C1 C2 C3 A2 J3]
       → two-phase seen-keys anti-join dedup         [J1 F3 A3]
       → loads: partitioned silver parquet [K1] + JSON messages [K2]
+
+Runtime parameters (paths, partition bindings) travel through the
+run's params dict — stages declare ``wants_params`` and receive it as
+a second argument, so multiple pipelines with different bindings
+coexist in one process (no module-global state).
 """
 
 from __future__ import annotations
@@ -34,28 +39,26 @@ CONFIG = {
     }
 }
 
-# module-level params bound by build_pipeline (stages are resolved by
-# dotted name, so runtime parameters travel via the params dict)
-_RUNTIME: dict = {}
-
 
 def extract_bronze(spark: SparkSession, params: dict) -> DataFrame:
-    """S1: nested bronze scan. `params['bronze_path']` points at the
-    partitioned nested parquet; partition predicates (F1) prune at the
-    scan via the silver stage's partitions binding."""
-    return spark.read.parquet(params.get("bronze_path") or _RUNTIME["bronze_path"])
+    """S1: nested bronze scan; partition predicates (F1) bind in
+    to_silver so Catalyst prunes this scan."""
+    return spark.read.parquet(params["bronze_path"])
 
 
-def to_silver(df: DataFrame) -> DataFrame:
-    return silver_transactions(df, partitions=_RUNTIME.get("partitions"))
+def to_silver(df: DataFrame, params: dict) -> DataFrame:
+    return silver_transactions(df, partitions=params.get("partitions"))
 
 
-def dedup_against_seen(df: DataFrame) -> DataFrame:
+to_silver.wants_params = True
+
+
+def dedup_against_seen(df: DataFrame, params: dict) -> DataFrame:
     """J1 two-phase: anti-join on checksum then etl_checksum against
     the persisted seen-keys store (R1 batch contract)."""
     from etl_mp_transactions_spark.operators.seen_keys import SeenKeysStore
 
-    store_path = _RUNTIME.get("seen_path")
+    store_path = params.get("seen_path")
     if not store_path:
         return df
     spark = df.sparkSession
@@ -68,28 +71,49 @@ def dedup_against_seen(df: DataFrame) -> DataFrame:
     return out
 
 
-def load_silver_parquet(df: DataFrame) -> None:
+dedup_against_seen.wants_params = True
+
+
+def load_silver_parquet(df: DataFrame, params: dict) -> None:
+    from etl_mp_transactions_spark.operators.seen_keys import SeenKeysStore
     from etl_mp_transactions_spark.sinks.writers import write_silver_partitioned
 
-    write_silver_partitioned(df, _RUNTIME["silver_path"])
+    write_silver_partitioned(df, params["silver_path"])
     # commit surviving keys so the next run's anti-join sees them
-    from etl_mp_transactions_spark.operators.seen_keys import SeenKeysStore
-
-    if _RUNTIME.get("seen_path"):
+    if params.get("seen_path"):
         spark = df.sparkSession
         for key in ("checksum", "etl_checksum"):
-            SeenKeysStore(spark, f"{_RUNTIME['seen_path']}/{key}", key=key).commit(df)
+            SeenKeysStore(spark, f"{params['seen_path']}/{key}", key=key).commit(df)
 
 
-def load_json_messages(df: DataFrame) -> None:
+load_silver_parquet.wants_params = True
+
+
+def load_json_messages(df: DataFrame, params: dict) -> None:
     from etl_mp_transactions_spark.sinks.writers import pubsub_shape, write_json_messages
 
-    write_json_messages(pubsub_shape(df), _RUNTIME["messages_path"])
+    write_json_messages(pubsub_shape(df), params["messages_path"])
 
 
-def build_pipeline(**runtime) -> Pipeline:
+load_json_messages.wants_params = True
+
+
+class BoundPipeline:
+    """A Pipeline with its runtime params attached — build once, run
+    many times; independent instances never share state."""
+
+    def __init__(self, params: dict):
+        self.params = dict(params)
+        self.pipeline = Pipeline(PipelineSpec.from_config(CONFIG, "transactions"))
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        return self.pipeline.dataframe(spark, self.params)
+
+    def run(self, spark: SparkSession) -> DataFrame:
+        return self.pipeline.run(spark, self.params)
+
+
+def build_pipeline(**runtime) -> BoundPipeline:
     """runtime: bronze_path, silver_path, messages_path, seen_path
     (optional), partitions (optional F1 binding)."""
-    _RUNTIME.clear()
-    _RUNTIME.update(runtime)
-    return Pipeline(PipelineSpec.from_config(CONFIG, "transactions"))
+    return BoundPipeline(runtime)

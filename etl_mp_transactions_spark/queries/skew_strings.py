@@ -58,29 +58,17 @@ def string_edit_distance(spark, sf_dir):
     """Edit-distance near-dup (blocked): levenshtein is built-in on
     both engines; truncated heads bound the O(len²) per-pair cost —
     the cheap pre-filter before expensive full-text verification."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "lang", "source", F.substring("text", 1, 24).alias("head")
-    ).repartition(F.col("lang"), F.col("source"))
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("head").alias("ha")
+    from etl_mp_transactions_spark.operators.textdedup import (
+        blocked_pairs,
+        filter_above_join,
     )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
-        F.col("head").alias("hb"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("source") == F.col("source_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    )
-    from etl_mp_transactions_spark.operators.textdedup import filter_above_join
 
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "head", F.substring("text", 1, 24)
+    )
+    pairs = blocked_pairs(docs, ("lang", "source"), {"head": "h"})
     return filter_above_join(
-        pairs.withColumn("edit_dist", F.levenshtein("ha", "hb").cast("long")),
+        pairs.withColumn("edit_dist", F.levenshtein("h_a", "h_b").cast("long")),
         F.col("edit_dist") <= 8,
     ).select("doc_a", "doc_b", "edit_dist")
 

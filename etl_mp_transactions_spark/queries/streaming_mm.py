@@ -50,7 +50,14 @@ def r1_stream_dedup(spark, sf_dir):
         stream_dedup_run,
     )
 
-    work = tempfile.mkdtemp(prefix="sg_stream_")
+    # fixed per-sf workdir, wiped at entry: repeated gate/bench runs
+    # reuse one footprint instead of leaking a staging copy per call
+    # (the returned DataFrame reads from this dir, so it must outlive
+    # the call — bounded reuse, not post-hoc deletion)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"sg_stream_{sf_tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
     stage = os.path.join(work, "in")
     stage_events_as_files(spark, sf_dir, stage, n_files=4)
     # duplicate one input file → replayed notification

@@ -62,12 +62,17 @@ _STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           (text_len - (n_tokens - 1))::DOUBLE / n_tokens AS mean_token_len,
-           stop_n::DOUBLE / n_tokens AS stopword_ratio,
-           punct::DOUBLE / text_len AS punct_ratio,
-           0.4 * (stop_n::DOUBLE / n_tokens)
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE (text_len - (n_tokens - 1))::DOUBLE / n_tokens END AS mean_token_len,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE stop_n::DOUBLE / n_tokens END AS stopword_ratio,
+           CASE WHEN text_len = 0 THEN NULL
+                ELSE punct::DOUBLE / text_len END AS punct_ratio,
+           0.4 * (CASE WHEN n_tokens = 0 THEN NULL
+                       ELSE stop_n::DOUBLE / n_tokens END)
              + 0.3 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - punct::DOUBLE / text_len) AS quality
+             + 0.3 * (1.0 - CASE WHEN text_len = 0 THEN NULL
+                                 ELSE punct::DOUBLE / text_len END) AS quality
     FROM t
     """,
 )

@@ -167,6 +167,8 @@ def window_sliding(spark, sf_dir):
     """
     WITH flagged AS (
       SELECT user_id, ts,
+             -- strict >: session_window MERGES a gap of exactly the
+             -- duration (verified empirically — tests/test_session_gap)
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL 30 MINUTE

@@ -55,10 +55,19 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
-def stateful_dedup(stream: DataFrame, key: str = "event_id") -> DataFrame:
+def stateful_dedup(
+    stream: DataFrame,
+    key: str = "event_id",
+    output_cols: list[str] | None = None,
+) -> DataFrame:
     """Exactly-once first-wins dedup with an explicit per-key seen
     flag (the Redis ``processed_checksums`` set re-expressed as
-    partitioned state, src/redis_tools.py:38-54)."""
+    partitioned state, src/redis_tools.py:38-54). Works on any frame:
+    the output schema is derived from `output_cols` (default: every
+    column of the stream), so e.g. ``stateful_dedup(silver, key=
+    "checksum")`` dedups the silver stream."""
+    cols = output_cols or stream.columns
+    out_schema = stream.select(*cols).schema
 
     def keep_first(
         k: tuple[Any, ...],
@@ -70,14 +79,14 @@ def stateful_dedup(stream: DataFrame, key: str = "event_id") -> DataFrame:
         first = None
         for pdf in pdfs:
             if first is None and len(pdf):
-                first = pdf.iloc[[0]][["event_id", "user_id", "event_type"]]
+                first = pdf.iloc[[0]][cols]
         state.update((True,))
         if first is not None:
             yield first
 
     return stream.groupBy(key).applyInPandasWithState(
         keep_first,
-        outputStructType="event_id long, user_id long, event_type string",
+        outputStructType=out_schema,
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

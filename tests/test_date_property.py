@@ -11,26 +11,27 @@ from hypothesis import given, settings, strategies as st
 from etl_mp_transactions_spark.functions.dates import normalize_date_multiformat
 
 
+import re
+
+# the engine's strict-shape policy: every component fixed-width (the
+# java.time/DuckDB behavior the oracle shares; Python strptime would
+# also accept unpadded '3-4-2024' — SURVEY §7 documents the delta)
+_SHAPES = [
+    (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "%Y-%m-%d"),
+    (re.compile(r"^\d{2}-\d{2}-\d{4}$"), "%d-%m-%Y"),
+    (re.compile(r"^\d{4}/\d{2}/\d{2}$"), "%Y/%m/%d"),
+    (re.compile(r"^\d{2}/\d{2}/\d{4}$"), "%d/%m/%Y"),
+]
+
+
 def reference_normalize(date_str):
-    """Faithful port of the reference's fix_date (dispatch on
-    separator, try-order, return-input-on-failure) with the strict
-    4-digit-year behavior our engine and oracle share (Python's %Y
-    accepts 1-3-digit years; java.time and DuckDB do not — SURVEY §7
-    documents the divergence; the fixture only emits 4-digit years)."""
+    """Port of the reference's fix_date try-order and
+    return-input-on-failure, restricted to the strict fixed-width
+    shapes the engine/oracle parse (see _SHAPES note)."""
     if date_str is None:
         return None
-    fmts = []
-    if "-" in date_str:
-        fmts = [("%Y-%m-%d", 4), ("%d-%m-%Y", 2)]
-    elif "/" in date_str:
-        parts = date_str.split("/")
-        if len(parts[0]) == 4:
-            fmts = [("%Y/%m/%d", 4)]
-        elif len(parts) == 3 and len(parts[-1]) == 4:
-            fmts = [("%d/%m/%Y", 2)]
-    for fmt, first_width in fmts:
-        token = date_str.split("-" if "-" in date_str else "/")[0]
-        if len(token) != first_width:
+    for shape, fmt in _SHAPES:
+        if not shape.match(date_str):
             continue
         try:
             return datetime.strptime(date_str, fmt).strftime("%Y-%m-%d")
