@@ -69,6 +69,7 @@ def _load_all() -> None:
         raw_scan,
         breadth,
         joins_breadth,
+        stats,
     )
 
     _LOADED = True

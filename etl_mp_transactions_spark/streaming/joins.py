@@ -1,0 +1,70 @@
+"""Stream-stream joins (SURVEY.md §2.7 extension surface): correlate
+two event streams within a bounded event-time window — the canonical
+"click followed by purchase within N minutes" funnel.
+
+Both sides carry watermarks and the join condition bounds event time on
+both, so Spark can expire state: per-key buffered rows older than
+(watermark + window) are dropped. Without the time bound the state
+grows forever — the bound IS the scale design. One shuffle per side on
+the join key; state is partitioned with it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """click → purchase by the same user within `within` (event time).
+
+    Works on both batch and streaming frames (same plan; streaming
+    additionally applies the watermarks for state expiry)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        "click_ts", "purchase_ts",
+    )
+
+
+def run_funnel_stream(
+    spark, src_dir: str, schema, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """AvailableNow funnel over a staged events directory: the stream
+    splits into click/purchase substreams joined on event time."""
+    stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = funnel_join(clicks, purchases)
+    q = (
+        joined.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
