@@ -23,7 +23,7 @@ def _rules():
          F.try_to_date("transaction_date", "yyyy-MM-dd").isNull()),
         ("missing_checksum", F.col("checksum").isNull() | (F.col("checksum") == "")),
         ("nonpositive_amount_with_remaining",
-         (F.col("amount") == 0) & (F.col("reported_remaining") == 0)),
+         (F.col("amount") <= 0) & (F.col("reported_remaining") <= 0)),
     ]
 
 

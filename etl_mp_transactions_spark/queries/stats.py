@@ -35,9 +35,10 @@ from etl_mp_transactions_spark.sources.tables import load_table
     )
     SELECT l_returnflag, n,
            sx / n AS mean_qty,
-           sqrt((sxx - sx * sx / n) / n) AS stddev_pop_qty,
+           sqrt(greatest((sxx - sx * sx / n) / n, 0)) AS stddev_pop_qty,
            (sxy - sx * sy / n)
-             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+             / (sqrt(greatest(sxx - sx * sx / n, 0))
+                * sqrt(greatest(syy - sy * sy / n, 0))) AS corr_qty_price
     FROM s
     """,
 )
@@ -61,10 +62,13 @@ def stats_via_sums(spark, sf_dir):
         "l_returnflag",
         "n",
         (sx / n).alias("mean_qty"),
-        F.sqrt((sxx - sx * sx / n) / n).alias("stddev_pop_qty"),
+        F.sqrt(F.greatest((sxx - sx * sx / n) / n, F.lit(0.0))).alias("stddev_pop_qty"),
         (
             (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+            / (
+                F.sqrt(F.greatest(sxx - sx * sx / n, F.lit(0.0)))
+                * F.sqrt(F.greatest(syy - sy * sy / n, F.lit(0.0)))
+            )
         ).alias("corr_qty_price"),
     )
 
@@ -113,17 +117,18 @@ def exact_median_window(spark, sf_dir):
 )
 def grouping_sets_id(spark, sf_dir):
     """Explicit GROUPING SETS with grouping_id disambiguation (the
-    Expand-based single-shuffle plan)."""
-    spark_df = load_table(spark, sf_dir, "lineitem")
-    spark_df.createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-               COUNT(*) AS n
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+    Expand-based single-shuffle plan), via the native DataFrame
+    groupingSets API."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("gid"),
+        F.count("*").alias("n"),
     )
 
 
@@ -135,7 +140,7 @@ def grouping_sets_id(spark, sf_dir):
            strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
            date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
            strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
-           year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS yyyymm
     FROM orders
     """,
 )
@@ -155,7 +160,7 @@ def date_arithmetic(spark, sf_dir):
             "days_to_y2k"
         ),
         F.date_format(F.trunc(d, "quarter"), iso).alias("quarter_start"),
-        (F.year(d) * 100 + F.month(d)).alias("yyyymm"),
+        (F.year(d) * 100 + F.month(d)).cast("long").alias("yyyymm"),
     )
 
 

@@ -70,6 +70,10 @@ def build_bronze(
         F.sort_array(F.collect_list("line")).alias("lines")
     )
 
+    # no broadcast hint here: orders scales with the input (one row per
+    # order), so forcing it would hit the 8GB broadcast wall at large
+    # SFs — let AQE pick broadcast when the filtered side happens to be
+    # small and SMJ otherwise
     bronze = (
         orders.join(nested_lines, orders.o_orderkey == nested_lines.l_orderkey, "inner")
         .select(

@@ -46,6 +46,25 @@ def stream_files_available_now(
     return reader.load(src_dir)
 
 
+def run_available_now_to_parquet(
+    df: DataFrame, checkpoint_dir: str, out_dir: str, partition_by: list[str] | None = None
+) -> DataFrame:
+    """Shared sink pattern: one AvailableNow pass appending to a
+    parquet sink (checkpoint-recoverable), returning the accumulated
+    output. Used by dedup, windowed, funnel, and silver streams."""
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return df.sparkSession.read.parquet(out_dir)
+
+
 def stream_dedup_run(
     spark: SparkSession,
     src_dir: str,
@@ -67,16 +86,7 @@ def stream_dedup_run(
         )
     else:
         deduped = stream.dropDuplicates([key])
-    q = (
-        deduped.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return run_available_now_to_parquet(deduped, checkpoint_dir, out_dir)
 
 
 def stream_windowed_counts_run(

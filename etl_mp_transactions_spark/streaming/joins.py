@@ -54,17 +54,14 @@ def run_funnel_stream(
 ) -> DataFrame:
     """AvailableNow funnel over a staged events directory: the stream
     splits into click/purchase substreams joined on event time."""
-    stream = spark.readStream.schema(schema).format("parquet").load(src_dir)
+    from etl_mp_transactions_spark.streaming.filesource import (
+        run_available_now_to_parquet,
+        stream_files_available_now,
+    )
+
+    stream = stream_files_available_now(spark, src_dir, schema=schema)
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase")
-    joined = funnel_join(clicks, purchases)
-    q = (
-        joined.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return run_available_now_to_parquet(
+        funnel_join(clicks, purchases), checkpoint_dir, out_dir
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)

@@ -36,14 +36,10 @@ def run_silver_stream(
 
     silver = silver_transactions(bronze).dropDuplicates(["checksum"])
 
-    q = (
-        silver.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("company_id")
-        .trigger(availableNow=True)
-        .start()
+    from etl_mp_transactions_spark.streaming.filesource import (
+        run_available_now_to_parquet,
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+
+    return run_available_now_to_parquet(
+        silver, checkpoint_dir, out_dir, partition_by=["company_id"]
+    )
