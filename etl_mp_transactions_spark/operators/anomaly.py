@@ -75,6 +75,24 @@ def anomaly_pairs(
     # per candidate pair (~3× the runtime, measured)
     from etl_mp_transactions_spark.operators.textdedup import let1
 
+    # Length-ratio prefilter (classic set-similarity-join prune):
+    # J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), and the blend needs
+    # J ≥ (threshold − NUM_W·rel − EXACT_W·exact)/TEXT_W, so any pair
+    # whose size ratio falls below that bound can't pass. Pure integer/
+    # double comparisons — Catalyst pushes it into the join, pruning
+    # most pairs BEFORE the O(|A|+|B|) array_intersect runs. The 1e-9
+    # slack keeps the prune strictly conservative under fp rounding;
+    # results are provably unchanged.
+    j_min = (
+        F.lit(threshold)
+        - F.lit(NUM_W) * relative_similarity(F.col("nc_a"), F.col("nc_b"))
+        - F.lit(EXACT_W) * exact_similarity(F.col("lang_a"), F.col("lang_b"))
+    ) / F.lit(TEXT_W)
+    pairs = pairs.filter(
+        F.least(F.size("tok_a"), F.size("tok_b")).cast("double")
+        >= (j_min - F.lit(1e-9)) * F.greatest(F.size("tok_a"), F.size("tok_b"))
+    )
+
     sizes = F.size("tok_a") + F.size("tok_b")
     # association order (t + r) + e matches the SQL oracle bit-for-bit
     sim = let1(

@@ -303,6 +303,15 @@ def ngram_jaccard_pairs(
     pairs = blocked_pairs(
         hashed_token_sets(docs), block_cols, {"tokens": "tok"}
     )
+    # Length-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a
+    # pair whose size ratio is below threshold can't qualify. Integer
+    # comparison only — pushes into the join and prunes most pairs
+    # before the O(|A|+|B|) intersect (1e-9 slack keeps it strictly
+    # conservative under fp rounding; results provably unchanged).
+    pairs = pairs.filter(
+        F.least(F.size("tok_a"), F.size("tok_b")).cast("double")
+        >= F.lit(threshold - 1e-9) * F.greatest(F.size("tok_a"), F.size("tok_b"))
+    )
     # |A∪B| = |A|+|B|-|A∩B| for distinct arrays, and the intersect is
     # let-bound so the threshold filter (which Catalyst pushes into the
     # join condition) still computes it once per pair
