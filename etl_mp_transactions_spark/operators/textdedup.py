@@ -289,6 +289,75 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Scale shape (pigeonhole banding, the standard SimHash dedup index):
+    split the 32-bit fingerprint into (max_hamming+1) chunks — any pair
+    within distance k must agree EXACTLY on at least one chunk, so the
+    quadratic stage is a per-chunk equality self-join, never all-pairs.
+    As with MinHash LSH, the band join and xor/bit_count verification
+    run at the DISTINCT-fingerprint level; identical-fingerprint pairs
+    (hamming 0) and verified cross-fingerprint pairs expand back to doc
+    pairs via hash joins on the fingerprint value.
+    """
+    fp = simhash_fingerprints(docs)  # (doc_id, simhash)
+    uniq = fp.select("simhash").distinct()
+
+    # 1) identical fingerprints: hamming ≡ 0
+    same = (
+        fp.select("simhash", F.col(id_col).alias("doc_a"))
+        .join(fp.select("simhash", F.col(id_col).alias("doc_b")), "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    # 2) cross-fingerprint candidates: agree on ≥1 of k+1 bit-chunks
+    nchunks = max_hamming + 1
+    width = 32 // nchunks
+    widths = [width + (1 if c < 32 % nchunks else 0) for c in range(nchunks)]
+    offs = [sum(widths[:c]) for c in range(nchunks)]
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                (
+                    F.shiftright(F.col("simhash"), offs[c])
+                    % F.lit(2 ** widths[c])
+                ).alias("v"),
+            )
+            for c in range(nchunks)
+        ]
+    )
+    chunks = uniq.select("simhash", F.explode(chunk_structs).alias("ch")).select(
+        "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v")
+    )
+    cand = (
+        chunks.select(F.col("simhash").alias("fa"), "c", "v")
+        .join(chunks.select(F.col("simhash").alias("fb"), "c", "v"), ["c", "v"])
+        .filter(F.col("fa") < F.col("fb"))
+        .select("fa", "fb")
+        .dropDuplicates(["fa", "fb"])
+    )
+    qual = cand.withColumn(
+        "hamming", F.bit_count(F.expr("fa ^ fb")).cast("int")
+    ).filter(F.col("hamming") <= max_hamming)
+
+    # 3) expand back to doc pairs
+    cross = (
+        qual.join(fp.select(F.col("simhash").alias("fa"), F.col(id_col).alias("da")), "fa")
+        .join(fp.select(F.col("simhash").alias("fb"), F.col(id_col).alias("db")), "fb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionAll(cross)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.9,

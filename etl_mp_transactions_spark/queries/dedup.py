@@ -94,6 +94,43 @@ def dedup_simhash(spark, sf_dir):
     return textdedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+_SIMHASH_CTE = f"""
+    WITH toks AS ({_TOKS}),
+    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+    h AS (SELECT doc_id, {_HASH.format(seed="0")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, j, SUM((h >> j) & 1) AS ones, COUNT(*) AS n
+      FROM h, unnest(generate_series(0, 31)) AS t(j)
+      GROUP BY doc_id, j
+    ),
+    s AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_simhash_hamming",
+    f"""
+    {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 3 via pigeonhole banding
+    (4 bit-chunks; a qualifying pair must agree exactly on ≥1 chunk) —
+    the quadratic stage runs per-chunk at the distinct-fingerprint
+    level, never all-pairs. The oracle does the O(n²) join directly."""
+    return textdedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     """

@@ -40,6 +40,31 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     assert 0 <= fp[1] < 2 ** 32
 
 
+def test_simhash_hamming_pairs_matches_brute_force(spark):
+    """Pigeonhole banding must find EVERY pair within max_hamming —
+    compare against the all-pairs xor/bit_count join on sf0.001."""
+    from etl_mp_transactions_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in textdedup.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    fp = textdedup.simhash_fingerprints(docs)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.expr("fa ^ fb")).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0
+
+
 def test_ngram_jaccard_blocked_pairs(spark):
     docs = _docs(spark, [(1, "aa bb cc dd", "en", "s1", 1),
                          (2, "aa bb cc ee", "en", "s1", 1),
