@@ -40,6 +40,7 @@ HEADLINE = [
     "j2_anomaly_pairs",     # similarity blend join
     "text_quality",         # text feature scan
     "multimodal_features",  # Arrow mapInPandas path
+    "corpus_curation",      # composed quality->dedup->neardup pipeline
 ]
 
 

@@ -1,0 +1,59 @@
+"""Corpus curation: the composed training-data pipeline (SURVEY.md
+§2.9) — quality gate → exact dedup → MinHash near-dup removal → token
+accounting, as ONE declarative DAG.
+
+This is the shape a 100 TB pretraining-corpus build actually runs:
+every stage is a a map-only scan or a hash-shuffle on a uniform key
+(content hash / signature key), and the near-dup stage inherits the
+distinct-signature collapse from operators/textdedup.py, so duplicate-
+heavy corpora never hit a quadratic doc-level join. Canonicalization is
+greedy keep-smallest-id: a doc is dropped iff it near-dup-pairs with a
+smaller surviving id (pairs are emitted doc_a < doc_b, so dropping all
+doc_b occurrences implements the rule exactly).
+
+Reference parity note: the reference has no corpus pipeline; this
+composes the §2.9 north-star extensions mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_mp_transactions_spark.operators import textdedup, textstats
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.45,
+    neardup_threshold: float = 0.9,
+) -> DataFrame:
+    """documents → curated corpus manifest
+    (doc_id, lang, source, bpe_tokens, quality).
+
+    Stages: (1) heuristic quality score ≥ quality_min (map-only);
+    (2) exact dedup — min doc_id per md5(text) wins (one hash shuffle);
+    (3) MinHash+LSH near-dup removal at est-Jaccard ≥ neardup_threshold
+    among survivors — drop every doc_b of a qualifying pair;
+    (4) BPE-ish token accounting for the kept docs (map-only).
+    """
+    q = textstats.quality_score(docs).filter(F.col("quality") >= quality_min)
+
+    w = Window.partitionBy(F.md5("text"))
+    ex = (
+        q.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+
+    removed = (
+        textdedup.minhash_lsh_pairs(ex, threshold=neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = ex.join(removed, "doc_id", "left_anti")
+
+    return textstats.token_counts(kept).select(
+        "doc_id", "lang", "source", "bpe_tokens", "quality"
+    )

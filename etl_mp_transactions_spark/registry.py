@@ -70,6 +70,7 @@ def _load_all() -> None:
         breadth,
         joins_breadth,
         stats,
+        curation,
     )
 
     _LOADED = True
