@@ -1,0 +1,63 @@
+"""Bounded-interval (range) join — pairs left rows with right rows
+whose timestamp falls in [left_ts + lower, left_ts + upper) within the
+same key group.
+
+Scale shape: the naive form is an equi-join on the key followed by the
+range predicate — on dup-heavy keys that is quadratic per key and the
+range filter runs post-explosion. The standard fix (used by every
+engine with a real range-join rule, e.g. Databricks' range-join
+optimization): bucketize time into width = (upper - lower) windows,
+join on (key, bucket) with the LEFT side exploded to the 2 candidate
+buckets its window can overlap, then apply the exact range predicate.
+Pair candidates are bounded by bucket occupancy, not key cardinality,
+and the join stays a hash equi-join Catalyst can plan normally.
+
+All bucket arithmetic is integer microseconds (`div` truncation ==
+floor for the positive epoch range), so bucket edges are exact — no
+double rounding at boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join_interval(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+) -> DataFrame:
+    """Inner-join left×right on ``by`` where
+    right_ts ∈ [left_ts + lower_us, left_ts + upper_us)  (microsecond
+    bounds, lower inclusive / upper exclusive). Columns: all left
+    columns + all right columns (caller aliases to avoid collisions).
+    """
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must be > lower_us")
+    width = upper_us - lower_us
+
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+
+    l = left.withColumn("_lus", l_us).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"(_lus + {lower_us}) div {width}"),
+                F.expr(f"(_lus + {upper_us}) div {width}"),
+            )
+        ),
+    )
+    r = right.withColumn("_rus", r_us).withColumn(
+        "_bucket", F.expr(f"_rus div {width}")
+    )
+    joined = l.join(r, [*by, "_bucket"]).filter(
+        (F.col("_rus") >= F.col("_lus") + F.lit(lower_us))
+        & (F.col("_rus") < F.col("_lus") + F.lit(upper_us))
+    )
+    return joined.drop("_lus", "_rus", "_bucket")

@@ -71,6 +71,7 @@ def _load_all() -> None:
         joins_breadth,
         stats,
         curation,
+        asof_q,
     )
 
     _LOADED = True

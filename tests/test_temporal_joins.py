@@ -1,0 +1,69 @@
+"""As-of and range join semantics on constructed inputs — boundary
+inclusivity and tie handling are exactly where these operators go
+wrong, so pin them."""
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators.asof import asof_join_backward
+from etl_mp_transactions_spark.operators.rangejoin import range_join_interval
+
+
+def _ts(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    for c in df.columns:
+        if c.endswith("ts"):
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left = _ts(spark, [(1, 1, "2024-01-01 10:00:00"),
+                       (2, 1, "2024-01-01 12:00:00"),
+                       (3, 2, "2024-01-01 10:00:00")],
+               "id long, k long, ts string")
+    right = _ts(spark, [(1, "2024-01-01 09:00:00", "a"),
+                        (1, "2024-01-01 10:00:00", "b"),   # tie: inclusive
+                        (1, "2024-01-01 11:00:00", "c"),
+                        (2, "2024-01-01 10:00:01", "d")],  # after left → no match
+                "k long, ts string, tag string")
+    out = {r["id"]: (str(r["asof_ts"]) if r["asof_ts"] else None, r["asof_tag"])
+           for r in asof_join_backward(left, right, by=["k"], on="ts",
+                                       right_payload=["tag"]).collect()}
+    assert out[1] == ("2024-01-01 10:00:00", "b")  # equal ts matches (inclusive)
+    assert out[2] == ("2024-01-01 11:00:00", "c")  # latest ≤, not just any
+    assert out[3] == (None, None)                  # nothing at-or-before
+
+
+def test_asof_left_rows_all_survive(spark):
+    left = _ts(spark, [(1, 9, "2024-01-01 00:00:00")], "id long, k long, ts string")
+    right = _ts(spark, [(8, "2024-01-01 00:00:00", "x")], "k long, ts string, tag string")
+    rows = asof_join_backward(left, right, by=["k"], on="ts",
+                              right_payload=["tag"]).collect()
+    assert len(rows) == 1 and rows[0]["asof_tag"] is None
+
+
+def test_range_join_bounds_inclusive_exclusive(spark):
+    left = _ts(spark, [(1, 1, "2024-01-01 10:05:00")], "lid long, k long, lts string")
+    right = _ts(spark, [(10, 1, "2024-01-01 10:00:00"),   # exactly lower → in
+                        (11, 1, "2024-01-01 10:04:59"),
+                        (12, 1, "2024-01-01 10:05:00"),   # exactly upper → out
+                        (13, 1, "2024-01-01 09:59:59"),   # below lower → out
+                        (14, 2, "2024-01-01 10:04:00")],  # other key → out
+                "rid long, k long, rts string")
+    out = range_join_interval(left, right, by=["k"], left_ts="lts",
+                              right_ts="rts",
+                              lower_us=-300_000_000, upper_us=0)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11]
+
+
+def test_range_join_spanning_bucket_boundary(spark):
+    # width = 60s buckets; right rows straddle the left row's two
+    # candidate buckets — the explode must cover both
+    left = _ts(spark, [(1, 1, "2024-01-01 00:01:30")], "lid long, k long, lts string")
+    right = _ts(spark, [(20, 1, "2024-01-01 00:00:31"),
+                        (21, 1, "2024-01-01 00:01:29")],
+                "rid long, k long, rts string")
+    out = range_join_interval(left, right, by=["k"], left_ts="lts",
+                              right_ts="rts",
+                              lower_us=-60_000_000, upper_us=0)
+    assert sorted(r["rid"] for r in out.collect()) == [20, 21]
