@@ -215,12 +215,14 @@ def minhash_lsh_pairs(
     sigs = uniq.select(
         "sk", F.array(*[F.col(f"h{i}") for i in range(NUM_HASHES)]).alias("sig")
     )
+    # no broadcast hint: distinct-signature cardinality scales with the
+    # corpus (could be billions at 100 TB) — AQE broadcasts it anyway
+    # when it's actually small, and falls back to a shuffle join when
+    # it isn't
     cand = cand.join(
-        F.broadcast(sigs.select(F.col("sk").alias("sk_a"), F.col("sig").alias("sig_a"))),
-        "sk_a",
+        sigs.select(F.col("sk").alias("sk_a"), F.col("sig").alias("sig_a")), "sk_a"
     ).join(
-        F.broadcast(sigs.select(F.col("sk").alias("sk_b"), F.col("sig").alias("sig_b"))),
-        "sk_b",
+        sigs.select(F.col("sk").alias("sk_b"), F.col("sig").alias("sig_b")), "sk_b"
     )
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
