@@ -79,3 +79,16 @@ def render_date_mixed_format(date_col: Column | str, variant_col: Column | str) 
         .when(v == 3, F.date_format(d, "dd/MM/yyyy"))
         .otherwise(F.date_format(d, "MM/dd/yyyy"))
     )
+
+
+def ntz_micros(col: Column | str) -> Column:
+    """Microseconds since epoch of a TIMESTAMP_NTZ column, computed
+    wall-clock-only (`timestampdiff` between two NTZ values). A
+    `cast("timestamp")` detour would re-interpret the wall time in the
+    session timezone — non-linear across DST gaps — so results would
+    depend on `spark.sql.session.timeZone` for externally-created
+    sessions; this stays identical under any timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
+    )

@@ -42,6 +42,12 @@ def asof_join_backward(
     )
     payload_type = right.select(payload.alias("_p")).schema[0].dataType
 
+    # a NULL-timestamp right row can never be "the latest at-or-before"
+    # (ASOF semantics: NULL matches nothing) — but nulls sort FIRST in
+    # the ascending window, so without this filter such a row's payload
+    # would be carried to every left row that has no real match
+    right = right.filter(F.col(on).isNotNull())
+
     l = left.select(
         *by,
         F.col(on).alias("_ts"),
@@ -56,9 +62,13 @@ def asof_join_backward(
         F.lit(None).cast(l.schema["_l"].dataType).alias("_l"),
         payload.alias("_r"),
     )
+    # _r as the final sort key makes ties deterministic: right rows
+    # sharing a timestamp sort by their payload struct (field-order
+    # lexicographic), so last() always carries the max-payload row
+    # instead of whichever row the shuffle happened to order last
     w = (
         Window.partitionBy(*by)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -6,10 +6,12 @@ This is the shape a 100 TB pretraining-corpus build actually runs:
 every stage is a a map-only scan or a hash-shuffle on a uniform key
 (content hash / signature key), and the near-dup stage inherits the
 distinct-signature collapse from operators/textdedup.py, so duplicate-
-heavy corpora never hit a quadratic doc-level join. Canonicalization is
-greedy keep-smallest-id: a doc is dropped iff it near-dup-pairs with a
-smaller surviving id (pairs are emitted doc_a < doc_b, so dropping all
-doc_b occurrences implements the rule exactly).
+heavy corpora never hit a quadratic doc-level join. Canonicalization
+drops every doc that near-dup-pairs with ANY smaller-id doc (pairs are
+emitted doc_a < doc_b; every doc_b occurrence is dropped, whether or
+not its doc_a itself survives). On transitive chains (1,2)+(2,3) this
+removes 2 AND 3 — more aggressive than connected-component
+canonicalization, and exactly what the oracle mirrors.
 
 Reference parity note: the reference has no corpus pipeline; this
 composes the §2.9 north-star extensions mandated by BASELINE.json.
@@ -35,7 +37,8 @@ def curate_corpus(
     Stages: (1) heuristic quality score ≥ quality_min (map-only);
     (2) exact dedup — min doc_id per md5(text) wins (one hash shuffle);
     (3) MinHash+LSH near-dup removal at est-Jaccard ≥ neardup_threshold
-    among survivors — drop every doc_b of a qualifying pair;
+    among survivors — drop every doc_b of a qualifying pair (see module
+    docstring for the transitive-chain behavior);
     (4) BPE-ish token accounting for the kept docs (map-only).
     """
     q = textstats.quality_score(docs).filter(F.col("quality") >= quality_min)

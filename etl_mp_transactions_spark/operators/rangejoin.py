@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.dates import ntz_micros
+
 
 def range_join_interval(
     left: DataFrame,
@@ -41,8 +43,11 @@ def range_join_interval(
         raise ValueError("upper_us must be > lower_us")
     width = upper_us - lower_us
 
-    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
-    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    # wall-clock-only epoch micros (functions/dates.py::ntz_micros) —
+    # a cast("timestamp") here would make bucket edges depend on the
+    # session timezone across DST gaps
+    l_us = ntz_micros(left_ts)
+    r_us = ntz_micros(right_ts)
 
     l = left.withColumn("_lus", l_us).withColumn(
         "_bucket",

@@ -267,22 +267,22 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash per doc: majority vote of token-hash bits.
 
     Explodes (token × bit) — 32× amplification, but it's an int-only
     map stage feeding one groupBy(doc); at scale this beats wide
     32-aggregate rows on shuffle size.
     """
-    toks = tokenize(docs).select("doc_id", F.explode("tokens").alias("tok"))
+    toks = tokenize(docs).select(id_col, F.explode("tokens").alias("tok"))
     h = toks.withColumn("h", _hash_expr(F.col("tok"), 0))
     bits = h.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
     ).withColumn("bit", F.expr("shiftright(h, j) & 1"))
-    per_bit = bits.groupBy("doc_id", "j").agg(
+    per_bit = bits.groupBy(id_col, "j").agg(
         F.sum("bit").alias("ones"), F.count("*").alias("n")
     )
-    return per_bit.groupBy("doc_id").agg(
+    return per_bit.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("ones") * 2 > F.col("n"), F.expr("shiftleft(1L, j)")).otherwise(
                 F.lit(0).cast("long")
@@ -305,7 +305,7 @@ def simhash_hamming_pairs(
     (hamming 0) and verified cross-fingerprint pairs expand back to doc
     pairs via hash joins on the fingerprint value.
     """
-    fp = simhash_fingerprints(docs)  # (doc_id, simhash)
+    fp = simhash_fingerprints(docs, id_col)  # (id_col, simhash)
     uniq = fp.select("simhash").distinct()
 
     # 1) identical fingerprints: hamming ≡ 0

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.dates import ntz_micros
 from etl_mp_transactions_spark.operators.asof import asof_join_backward
 from etl_mp_transactions_spark.operators.rangejoin import range_join_interval
 from etl_mp_transactions_spark.registry import query
@@ -36,14 +37,13 @@ def asof_click_view(spark, sf_dir):
     out = asof_join_backward(
         clicks, views, by=["user_id"], on="ts", right_payload=[]
     )
-    t = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     return out.select(
         "event_id",
         "user_id",
         F.col("ts").alias("click_ts"),
         F.col("asof_ts").alias("view_ts"),
         F.when(
-            F.col("asof_ts").isNotNull(), t("ts") - t("asof_ts")
+            F.col("asof_ts").isNotNull(), ntz_micros("ts") - ntz_micros("asof_ts")
         ).alias("lag_us"),
     )
 
@@ -81,8 +81,7 @@ def range_error_context(spark, sf_dir):
         by=["user_id"], left_ts="error_ts", right_ts="context_ts",
         lower_us=-300_000_000, upper_us=0,
     )
-    t = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     return out.select(
         "error_id", "context_id", "context_type",
-        (t("error_ts") - t("context_ts")).alias("before_us"),
+        (ntz_micros("error_ts") - ntz_micros("context_ts")).alias("before_us"),
     )

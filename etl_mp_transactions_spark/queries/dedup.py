@@ -9,11 +9,45 @@ from etl_mp_transactions_spark.operators import textdedup
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
-# shared oracle fragments
-_TOKS = "SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS tokens FROM documents"
+# shared oracle fragments — single source for every hash recipe; the
+# composed-pipeline oracle (queries/curation.py) imports these, so a
+# change here propagates to every oracle that embeds the stage
+def _toks(src: str = "documents") -> str:
+    return (
+        "SELECT doc_id, list_distinct(string_split_regex(text, '\\s+'))"
+        f" AS tokens FROM {src}"
+    )
+
+
+_TOKS = _toks()
 _HASH = "('0x' || substr(md5(tok || '#' || {seed}), 1, 8))::BIGINT"
 # minhash family i = 32-bit chunk (i%4) of digest md5(tok||'#'||i//4)
 _MH_HASH = "('0x' || substr(md5(tok || '#' || (h // 4)), 1 + 8 * (h % 4), 8))::BIGINT"
+
+
+def minhash_band_ctes(src: str = "documents") -> str:
+    """CTE chain `toks → tok → hashes → sigs → bands → cand` computing
+    16-perm minhash signatures + 2×8 LSH band candidates over ``src``
+    (which must expose doc_id + text). Callers append their own WITH
+    prefix and SELECT."""
+    return f"""toks AS ({_toks(src)}),
+    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+    hashes AS (
+      SELECT doc_id, h, MIN({_MH_HASH}) AS mh
+      FROM tok, unnest(generate_series(0, 15)) AS t(h)
+      GROUP BY doc_id, h
+    ),
+    sigs AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, sig, b,
+             md5(array_to_string(sig[1 + 8*b : 8 + 8*b], ',')) AS band_key
+      FROM sigs, unnest([0, 1]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
 
 
 @query(
@@ -35,24 +69,7 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_minhash_lsh",
     f"""
-    WITH toks AS ({_TOKS}),
-    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
-    hashes AS (
-      SELECT doc_id, h, MIN({_MH_HASH}) AS mh
-      FROM tok, unnest(generate_series(0, 15)) AS t(h)
-      GROUP BY doc_id, h
-    ),
-    sigs AS (SELECT doc_id, list(mh ORDER BY h) AS sig FROM hashes GROUP BY doc_id),
-    bands AS (
-      SELECT doc_id, sig, b,
-             md5(array_to_string(sig[1 + 8*b : 8 + 8*b], ',')) AS band_key
-      FROM sigs, unnest([0, 1]) AS t(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
+    WITH {minhash_band_ctes("documents")}
     SELECT c.doc_a, c.doc_b,
            len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) / 16.0
              AS est_jaccard
@@ -72,28 +89,6 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_simhash",
-    f"""
-    WITH toks AS ({_TOKS}),
-    tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
-    h AS (SELECT doc_id, {_HASH.format(seed="0")} AS h FROM tok),
-    bits AS (
-      SELECT doc_id, j, SUM((h >> j) & 1) AS ones, COUNT(*) AS n
-      FROM h, unnest(generate_series(0, 31)) AS t(j)
-      GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           SUM(CASE WHEN ones * 2 > n THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-    FROM bits GROUP BY doc_id
-    """,
-)
-def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash fingerprints (majority vote over token-hash
-    bits) — the constant-size signature for hamming-distance near-dup."""
-    return textdedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
-
-
 _SIMHASH_CTE = f"""
     WITH toks AS ({_TOKS}),
     tok AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
@@ -109,6 +104,19 @@ _SIMHASH_CTE = f"""
                AS simhash
       FROM bits GROUP BY doc_id
     )"""
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM s
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (majority vote over token-hash
+    bits) — the constant-size signature for hamming-distance near-dup."""
+    return textdedup.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 @query(

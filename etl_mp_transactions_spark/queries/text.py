@@ -48,18 +48,27 @@ def text_lang_id(spark, sf_dir):
 
 _STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 
+# single-source quality blend (imported by queries/curation.py so the
+# composed-pipeline oracle can never drift from this per-stage one)
+QUALITY_SQL = f"""0.4 * (CASE WHEN n_tokens = 0 THEN NULL
+                       ELSE stop_n::DOUBLE / n_tokens END)
+             + 0.3 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN text_len = 0 THEN NULL
+                                 ELSE punct::DOUBLE / text_len END)"""
+
+QUALITY_FEATURES_SQL = f"""SELECT *,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             length(text) AS text_len,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> list_contains([{_STOPS}], t))) AS stop_n"""
+
 
 @query(
     "text_quality",
     f"""
     WITH t AS (
-      SELECT doc_id,
-             len(string_split_regex(text, '\\s+')) AS n_tokens,
-             length(text) AS text_len,
-             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
-             len(list_filter(string_split_regex(text, '\\s+'),
-                             t -> list_contains([{_STOPS}], t))) AS stop_n
-      FROM documents
+      {QUALITY_FEATURES_SQL} FROM (SELECT doc_id, text FROM documents)
     )
     SELECT doc_id, n_tokens,
            CASE WHEN n_tokens = 0 THEN NULL
@@ -68,11 +77,7 @@ _STOPS = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
                 ELSE stop_n::DOUBLE / n_tokens END AS stopword_ratio,
            CASE WHEN text_len = 0 THEN NULL
                 ELSE punct::DOUBLE / text_len END AS punct_ratio,
-           0.4 * (CASE WHEN n_tokens = 0 THEN NULL
-                       ELSE stop_n::DOUBLE / n_tokens END)
-             + 0.3 * least(n_tokens / 100.0, 1.0)
-             + 0.3 * (1.0 - CASE WHEN text_len = 0 THEN NULL
-                                 ELSE punct::DOUBLE / text_len END) AS quality
+           {QUALITY_SQL} AS quality
     FROM t
     """,
 )

@@ -42,6 +42,25 @@ def test_asof_left_rows_all_survive(spark):
     assert len(rows) == 1 and rows[0]["asof_tag"] is None
 
 
+def test_asof_null_right_timestamp_never_matches(spark):
+    left = _ts(spark, [(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string")
+    right = _ts(spark, [(1, None, "x")], "k long, ts string, tag string")
+    rows = asof_join_backward(left, right, by=["k"], on="ts",
+                              right_payload=["tag"]).collect()
+    assert rows[0]["asof_ts"] is None and rows[0]["asof_tag"] is None
+
+
+def test_asof_tied_right_timestamps_deterministic(spark):
+    left = _ts(spark, [(1, 1, "2024-01-01 10:00:00")], "id long, k long, ts string")
+    right = _ts(spark, [(1, "2024-01-01 09:00:00", "a"),
+                        (1, "2024-01-01 09:00:00", "b")],
+                "k long, ts string, tag string")
+    for _ in range(3):  # max-payload rule, stable across runs
+        rows = asof_join_backward(left, right, by=["k"], on="ts",
+                                  right_payload=["tag"]).collect()
+        assert rows[0]["asof_tag"] == "b"
+
+
 def test_range_join_bounds_inclusive_exclusive(spark):
     left = _ts(spark, [(1, 1, "2024-01-01 10:05:00")], "lid long, k long, lts string")
     right = _ts(spark, [(10, 1, "2024-01-01 10:00:00"),   # exactly lower → in

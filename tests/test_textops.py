@@ -40,12 +40,12 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     assert 0 <= fp[1] < 2 ** 32
 
 
-def test_simhash_hamming_pairs_matches_brute_force(spark):
+def test_simhash_hamming_pairs_matches_brute_force(spark, sf_dir):
     """Pigeonhole banding must find EVERY pair within max_hamming —
-    compare against the all-pairs xor/bit_count join on sf0.001."""
+    compare against the all-pairs xor/bit_count join."""
     from etl_mp_transactions_spark.sources.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, sf_dir, "documents")
     banded = {
         (r["doc_a"], r["doc_b"], r["hamming"])
         for r in textdedup.simhash_hamming_pairs(docs, max_hamming=3).collect()
