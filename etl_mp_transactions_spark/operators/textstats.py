@@ -98,3 +98,68 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
     )
     return docs.withColumn("fingerprint", F.md5(norm))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the LLM
+    pretraining chunking step. One row per (doc, chunk): chunk_idx
+    (0-based), chunk_text, n_chunk_tokens.
+
+    Pure expressions: sequence() generates the window starts, slice()
+    cuts each window — explode is the only row-amplifying op and the
+    whole thing stays in one codegen span; at 100 TB this is a map-only
+    scan with ~n_tokens/stride output amplification and zero shuffle.
+    """
+    toks = _tokens(F.col(text_col))
+    df = docs.withColumn("_toks", toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks"), F.lit(1)), F.lit(stride)
+    )
+    df = df.withColumn("_start", F.explode(starts))
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return (
+        df.withColumn("chunk_idx", ((F.col("_start") - 1) / stride).cast("long"))
+        .withColumn("chunk_text", F.array_join(chunk, " "))
+        .withColumn("n_chunk_tokens", F.size(chunk).cast("long"))
+        .drop("_toks", "_start")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each ``by`` group,
+    docs ordered by doc_id are packed into bins of ~``budget`` tokens —
+    bin_id = (tokens accumulated BEFORE this doc) div budget, the
+    deterministic streaming-packing rule (a doc that straddles a budget
+    edge goes to the bin its first token falls in).
+
+    One window sum per group — a single shuffle on the group key; no
+    driver-side loop, no global sort. The 100 TB shape for building
+    fixed-context training batches.
+    """
+    from pyspark.sql.window import Window
+
+    n = F.size(_tokens(F.col(text_col))).cast("long")
+    w = (
+        Window.partitionBy(by)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = docs.withColumn("n_tokens", n).withColumn(
+        "_cum_incl", F.sum("n_tokens").over(w)
+    )
+    return (
+        df.withColumn(
+            "bin_id", F.expr(f"(_cum_incl - n_tokens) div {budget}")
+        )
+        .drop("_cum_incl")
+    )

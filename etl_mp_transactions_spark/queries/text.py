@@ -145,3 +145,48 @@ def text_top_terms(spark, sf_dir):
         .orderBy(F.desc("n_docs"), "tok")
         .limit(20)
     )
+
+
+@query(
+    "text_chunking",
+    """
+    SELECT doc_id,
+           ((s - 1) // 8)::BIGINT AS chunk_idx,
+           array_to_string(toks[s : s + 15], ' ') AS chunk_text,
+           len(toks[s : s + 15])::BIGINT AS n_chunk_tokens
+    FROM (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    ), unnest(generate_series(1, greatest(len(toks), 1), 8)) AS t(s)
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (16-token windows, stride 8)
+    — map-only explode, the LLM-pretraining preprocessing step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.chunk_documents(
+        docs, chunk_tokens=16, stride=8
+    ).select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+
+
+@query(
+    "sequence_packing",
+    """
+    SELECT doc_id, source, n_tokens,
+           ((cum_incl - n_tokens) // 2048)::BIGINT AS bin_id
+    FROM (
+      SELECT doc_id, source,
+             len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens,
+             SUM(len(string_split_regex(text, '\\s+')))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+      FROM documents
+    )
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Greedy contiguous sequence packing into 2048-token bins per
+    source — one window sum, the fixed-context batch-building step."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.pack_sequences(docs, budget=2048, by="source").select(
+        "doc_id", "source", "n_tokens", "bin_id"
+    )
