@@ -86,3 +86,46 @@ def test_topn_uses_take_ordered(spark, sf_dir):
     from etl_mp_transactions_spark.queries.relational import sort_limit_topn
     plan = _plan(sort_limit_topn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # not a global Sort + Limit
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost exactly ONE exchange (the key
+    partitioning for the sort-window) — never a join explosion."""
+    from etl_mp_transactions_spark.operators.asof import asof_join_backward
+
+    left = spark.range(100).selectExpr(
+        "id", "id % 5 AS k",
+        "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP_NTZ '2024-01-01') AS ts")
+    right = spark.range(50).selectExpr(
+        "id % 5 AS k",
+        "timestampadd(SECOND, CAST(id * 2 AS INT), TIMESTAMP_NTZ '2024-01-01') AS ts",
+        "id AS rid")
+    plan = _plan(asof_join_backward(left, right, by=["k"], on="ts",
+                                    right_payload=["rid"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # union + window, not a join at all
+
+
+def test_range_join_is_equi_hash_not_nested_loop(spark):
+    """The bucketized range join must plan as an equi join on
+    (key, bucket) — never BroadcastNestedLoop/Cartesian."""
+    from etl_mp_transactions_spark.operators.rangejoin import range_join_interval
+
+    left = spark.range(100).selectExpr(
+        "id AS lid", "id % 5 AS k",
+        "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP_NTZ '2024-01-01') AS lts")
+    right = spark.range(100).selectExpr(
+        "id AS rid", "id % 5 AS k",
+        "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP_NTZ '2024-01-01') AS rts")
+    plan = _plan(range_join_interval(left, right, by=["k"], left_ts="lts",
+                                     right_ts="rts",
+                                     lower_us=-60_000_000, upper_us=0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from etl_mp_transactions_spark.operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(chunk_documents(docs))
