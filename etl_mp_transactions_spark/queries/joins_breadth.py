@@ -64,3 +64,37 @@ def right_join_dims(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count("s_suppkey").alias("n_suppliers"))
     )
+
+
+@query(
+    "q13_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT JOIN with the right-side filter in the ON
+    clause (NOT a WHERE — filtering after the join would drop the
+    zero-order customers that Q13 exists to count), then a two-level
+    aggregation giving the distribution of per-customer order counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

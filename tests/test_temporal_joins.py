@@ -86,3 +86,54 @@ def test_range_join_spanning_bucket_boundary(spark):
                               right_ts="rts",
                               lower_us=-60_000_000, upper_us=0)
     assert sorted(r["rid"] for r in out.collect()) == [20, 21]
+
+
+def _rand_events(spark, n, keys, seed):
+    """Deterministic pseudo-random (key, ts) rows via md5-derived
+    offsets — covers tie/boundary cases no hand-picked fixture would."""
+    return spark.range(n).selectExpr(
+        "id",
+        f"CAST(conv(substring(md5(concat(CAST(id AS STRING), '{seed}')), 1, 4), 16, 10) AS BIGINT) % {keys} AS k",
+        f"timestampadd(SECOND, CAST(CAST(conv(substring(md5(concat(CAST(id AS STRING), 'ts{seed}')), 1, 4), 16, 10) AS BIGINT) % 120 AS INT), TIMESTAMP_NTZ '2024-01-01') AS ts",
+    )
+
+
+def test_asof_matches_bruteforce_on_random_data(spark):
+    left = _rand_events(spark, 300, 7, "L")
+    right = _rand_events(spark, 300, 7, "R")
+    got = {
+        (r["id"], str(r["asof_ts"]) if r["asof_ts"] else None)
+        for r in asof_join_backward(left, right, by=["k"], on="ts",
+                                    right_payload=[]).collect()
+    }
+    left.createOrReplaceTempView("bf_l")
+    right.createOrReplaceTempView("bf_r")
+    want = {
+        (r["id"], str(r["m"]) if r["m"] else None)
+        for r in spark.sql("""
+            SELECT l.id, (SELECT MAX(r.ts) FROM bf_r r
+                          WHERE r.k = l.k AND r.ts <= l.ts) AS m
+            FROM bf_l l""").collect()
+    }
+    assert got == want
+
+
+def test_range_join_matches_bruteforce_on_random_data(spark):
+    left = _rand_events(spark, 200, 5, "A").withColumnRenamed("id", "lid") \
+        .withColumnRenamed("ts", "lts")
+    right = _rand_events(spark, 200, 5, "B").withColumnRenamed("id", "rid") \
+        .withColumnRenamed("ts", "rts")
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join_interval(left, right, by=["k"], left_ts="lts",
+                                     right_ts="rts",
+                                     lower_us=-45_000_000, upper_us=30_000_000)
+        .collect()
+    }
+    want = {
+        (r["lid"], r["rid"])
+        for r in left.join(right, "k")
+        .filter("rts >= lts - INTERVAL 45 SECOND AND rts < lts + INTERVAL 30 SECOND")
+        .collect()
+    }
+    assert got == want and len(want) > 0
