@@ -1,19 +1,42 @@
-"""Approximate-nearest-neighbor search over embedding columns
-(SURVEY.md §2.9): brute-force cosine top-k as the exact baseline, and
-a sign-bucket LSH variant as the scale path.
+"""Similarity search over embedding columns (SURVEY.md §2.9):
+exact cosine top-k, exact threshold near-dup, and LSH variants.
 
-All vector math is expression-level (``zip_with`` dot products over
-double-cast elements, sequential left-fold — deterministic and
-engine-portable); no Python in the hot path. For very high dims a
-vectorized pandas UDF with numpy BLAS becomes competitive; at dim 64
-codegen expressions win by avoiding the Arrow hop entirely.
+Scale shapes (the 100 TB story — see SCALE.md "Similarity & ANN"):
 
-Scale shape: brute force is an O(n·m) crossJoin — correct baseline,
-quadratic cost. The LSH variant buckets vectors by the sign pattern of
-the leading components (a fixed, data-independent hyperplane family),
-so the join degenerates to per-bucket blocks: at 1000 executors each
-bucket joins locally after one shuffle on the bucket key. Recall is
-tunable via n_bits (fewer bits → bigger buckets → higher recall).
+- ``cosine_topk`` (default): 2-D tiled block matmul via a cogrouped
+  ``applyInPandas``. Queries are hashed into QG chunks, corpus into G
+  tiles; each (chunk, tile) cell is one cogroup task scoring an
+  (n/QG × m/G) block with one BLAS matmul, emitting its local top-k;
+  a window merges per-query candidates globally. Per-task memory is
+  bounded by the cell size (tunable), data movement is O(n·G + m·QG)
+  — the 1-bucket-theta replication shape — and nothing is ever
+  collected to the driver. Exact answers; the plan is equi-shuffles +
+  FlatMapCoGroupsInPandas, no CartesianProduct.
+- ``cosine_topk_bcast``: the small-corpus fast path — corpus matrix
+  broadcast once, queries stream through ``mapInPandas``. ~2× faster
+  below a few million rows but capped at driver/executor memory;
+  documented, not the default.
+- ``neardup_pairs`` (exact threshold join): triangular tiled cogroup —
+  tile pairs (i ≤ j) are the cogroup keys, each task scores one tile
+  pair exactly. For a low threshold on dense embeddings no LSH family
+  is selective-AND-complete (see ``neardup_pairs_banded``), so the
+  exact operator distributes the unavoidable O(n²/2) compute evenly
+  with O(n·G) replication instead of a crossJoin.
+- ``neardup_pairs_banded``: random-hyperplane (sign-bit) banding for
+  the high-similarity near-dup regime. A pair at cosine c collides in
+  one r-bit band with probability p^r where p = 1 − arccos(c)/π, and
+  in ≥1 of b bands with 1−(1−p^r)^b: at c=0.9 (real near-dup corpora)
+  r=4/b=8 gives 0.998 recall; at c=0.45 it is only ~0.8, and at
+  c=0.35 no (r,b) both prunes and recalls — which is why the exact
+  tiled join above stays the default for low thresholds. Candidates
+  are verified with the exact expression-level cosine, so precision
+  is always 1; the banding is deterministic (axis hyperplanes) and
+  SQL-mirrorable, so the oracle reproduces it exactly.
+
+All expression-level vector math uses ``zip_with`` dot products with a
+sequential left-fold — deterministic and engine-portable. The Arrow
+paths use the same float64 normalize-then-matmul everywhere so ranks
+and thresholds agree bit-for-bit across variants.
 """
 
 from __future__ import annotations
@@ -45,47 +68,116 @@ def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_vec", d).withColumn("_norm", norm(F.col("_vec")))
 
 
+def _stack(col):
+    """Arrow list-of-float column → L2-normalized float64 matrix."""
+    import numpy as np
+
+    M = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    return M
+
+
+def _local_topk_fn(k: int):
+    """Cogroup scorer: (query block: vec_id/embedding, corpus tile:
+    nid/nemb) → per-query local top-k rows (vec_id, neighbor_id, cos).
+    Exact within the cell; the caller merges cells with a global
+    window. The two sides use distinct column names because cogroup
+    sides sharing lineage (self-cogroup) collapse same-ExprId columns
+    during pruning — renaming forces fresh attributes."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos": []})
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return empty
+        q_ids = left["vec_id"].to_numpy(dtype="int64")
+        c_ids = right["nid"].to_numpy(dtype="int64")
+        S = _stack(left["embedding"]) @ _stack(right["nemb"]).T
+        out_v, out_n, out_c = [], [], []
+        for row, qid in enumerate(q_ids):
+            sims = S[row]
+            mask = c_ids != qid  # exclude self
+            cand_ids, cand_sims = c_ids[mask], sims[mask]
+            # order by (-cos, neighbor_id): lexsort keys are
+            # last-key-primary
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            out_v.extend([qid] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_sims[order])
+        return pd.DataFrame({"vec_id": out_v, "neighbor_id": out_n, "cos": out_c})
+
+    return fn
+
+
 def cosine_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    n_tiles: int = 8,
+    n_query_chunks: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k, distributed: (vec_id, neighbor_id, rank).
+
+    2-D tiled block matmul (see module docstring): no driver collect,
+    no broadcast of the corpus, per-task memory bounded by
+    (n/n_query_chunks + m/n_tiles) rows. Size the grid so a cell's two
+    blocks fit an executor core's Arrow budget at the target SF.
+    """
+    emb = embeddings.select(F.col(id_col).cast("long").alias("vec_id"), "embedding")
+    corpus = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nemb"),
+        F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int").alias("ct"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_query_chunks - 1))).alias("qt"),
+    )
+    queries = emb.select(
+        "*",
+        F.pmod(F.col("vec_id"), F.lit(n_query_chunks)).cast("int").alias("qt"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("ct"),
+    )
+    cand = (
+        queries.groupBy("qt", "ct")
+        .cogroup(corpus.groupBy("qt", "ct"))
+        .applyInPandas(_local_topk_fn(k), "vec_id long, neighbor_id long, cos double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_topk_bcast(
     embeddings: DataFrame, k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: (vec_id, neighbor_id, rank).
-
-    Physical strategy: the corpus matrix is broadcast once (ids +
-    L2-normalized float64 rows); query partitions stream through
-    ``mapInPandas`` and score against it with one BLAS matmul per
-    Arrow batch. ~20× faster than the expression-level crossJoin fold
-    and shuffle-free — queries never move, only the corpus does.
-
-    Scale: valid while the corpus side fits executor memory (64-dim ×
-    100M rows ≈ 50 GB — past that, IVF-prune the corpus per query
-    bucket first, see cosine_topk_lsh). The expression-level variant
-    is kept as cosine_topk_expr for plan-parity tests.
-    """
+    """Exact top-k, small-corpus fast path: corpus broadcast once,
+    queries stream through ``mapInPandas`` with one BLAS matmul per
+    Arrow batch. Shuffle-free but capped at driver/executor memory —
+    valid while ids+vectors fit (64-dim × ~100M rows ≈ 50 GB); past
+    that use ``cosine_topk`` (tiled) or ``ivf_topk``."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
     corpus = embeddings.select(id_col, "embedding").toPandas()
     ids = corpus[id_col].to_numpy(dtype="int64")
-    M = np.vstack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    M = _stack(corpus["embedding"])
     bc = spark.sparkContext.broadcast((ids, M))
 
     def score(batches):
         b_ids, b_M = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype="int64")
-            Q = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            S = Q @ b_M.T  # cosines: (batch, corpus)
+            S = _stack(pdf["embedding"]) @ b_M.T  # cosines: (batch, corpus)
             out_vec, out_nbr, out_rank = [], [], []
             for row, qid in enumerate(q_ids):
                 sims = S[row]
                 mask = b_ids != qid  # exclude self
                 cand_ids = b_ids[mask]
                 cand_sims = sims[mask]
-                # order by (-sim, neighbor_id): lexsort keys are
-                # last-key-primary
                 order = np.lexsort((cand_ids, -cand_sims))[:k]
                 out_vec.extend([qid] * len(order))
                 out_nbr.extend(cand_ids[order])
@@ -103,7 +195,8 @@ def cosine_topk_expr(
     embeddings: DataFrame, k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
     """Expression-level exact top-k (crossJoin + fold dot product) —
-    the no-Python reference plan; O(n·m·d) inside codegen."""
+    the no-Python reference plan; O(n·m·d) interpreted. Kept for
+    plan-parity tests only."""
     base = with_unit_prep(embeddings)
     a = base.select(
         F.col(id_col).alias("vec_id"),
@@ -126,10 +219,10 @@ def cosine_topk_expr(
     )
 
 
-def sign_bucket(vec_col, n_bits: int = 8) -> Column:
-    """LSH bucket id: sign bits of the first n_bits components."""
+def sign_bucket(vec_col, n_bits: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id: sign bits of components [offset, offset+n_bits)."""
     bits = [
-        F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(F.col(vec_col)[offset + i] >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(n_bits)
     ]
     return F.concat(*bits)
@@ -168,20 +261,117 @@ def cosine_topk_lsh(
 
 
 def neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    n_tiles: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold)."""
-    base = with_unit_prep(embeddings)
-    a = base.select(
-        F.col(id_col).alias("vec_a"), F.col("_vec").alias("va"), F.col("_norm").alias("na")
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), exact.
+
+    Triangular tiled self-join: rows hash into G tiles; every unordered
+    tile pair (i ≤ j) is one cogroup key — a row in tile t enters the
+    LEFT side of keys (t, j≥t) and the RIGHT side of keys (i≤t, t), so
+    each vector pair is scored in exactly one task. Replication is
+    O(n·G/2) per side vs the crossJoin's O(n²) shuffle; tasks are
+    uniform (tiles are hash-balanced) so 1000 executors each score an
+    equal block. Exactness: every pair reaches exactly one cell —
+    diagonal cells keep a<b, off-diagonal cells are disjoint sets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = embeddings.select(F.col(id_col).cast("long").alias("vec_id"), "embedding")
+    t = emb.withColumn("tile", F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int"))
+    left = t.select(
+        "*", F.explode(F.sequence(F.col("tile"), F.lit(n_tiles - 1))).alias("j")
+    ).select(F.col("vec_id"), "embedding", "tile", (F.col("tile") * n_tiles + F.col("j")).alias("pk"))
+    # distinct right-side names: cogroup sides with shared lineage
+    # collapse same-ExprId columns during pruning (see _local_topk_fn)
+    right = t.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("tile"))).alias("i")
+    ).select(
+        F.col("vec_id").alias("rid"),
+        F.col("embedding").alias("remb"),
+        F.col("tile").alias("rtile"),
+        (F.col("i") * n_tiles + F.col("tile")).alias("pk"),
     )
-    b = base.select(
-        F.col(id_col).alias("vec_b"), F.col("_vec").alias("vb"), F.col("_norm").alias("nb")
-    )
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+
+    def pairs_fn(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        if lg.empty or rg.empty:
+            return empty
+        l_ids = lg["vec_id"].to_numpy(dtype="int64")
+        r_ids = rg["rid"].to_numpy(dtype="int64")
+        S = _stack(lg["embedding"]) @ _stack(rg["remb"]).T
+        li, ri = np.nonzero(S >= threshold)
+        a_ids, b_ids, sims = l_ids[li], r_ids[ri], S[li, ri]
+        if lg["tile"].iat[0] == rg["rtile"].iat[0]:
+            keep = a_ids < b_ids  # diagonal cell: both sides are tile t
+        else:
+            keep = np.ones(len(a_ids), dtype=bool)  # disjoint tiles
+        a_ids, b_ids, sims = a_ids[keep], b_ids[keep], sims[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a_ids, b_ids),
+                "vec_b": np.maximum(a_ids, b_ids),
+                "cos": sims,
+            }
+        )
+
     return (
-        pairs.withColumn("cos", cos)
+        left.groupBy("pk")
+        .cogroup(right.groupBy("pk"))
+        .applyInPandas(pairs_fn, "vec_a long, vec_b long, cos double")
+    )
+
+
+def neardup_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 4,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hyperplane-banded near-dup: candidates collide in ≥1 sign-bit
+    band (band b = signs of components [b·n_bits, (b+1)·n_bits)), then
+    exact cosine verification. Precision 1 by construction; recall is
+    1−(1−p^r)^b with p = 1−arccos(threshold)/π — ~0.998 at the 0.9
+    near-dup regime this index is for, lower at loose thresholds (see
+    module docstring; use ``neardup_pairs`` for those).
+
+    Scale: one explode (b bands), one self-equi-join per band key, one
+    pair dedup — the quadratic stage touches only same-bucket pairs,
+    ~n²/2^r per band at uniform signs. No crossJoin anywhere.
+    """
+    base = with_unit_prep(embeddings).select(
+        F.col(id_col).alias("vec_id"), "_vec", "_norm", "embedding"
+    )
+    bands = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket("embedding", n_bits, offset=b * n_bits)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b", "bkey"),
+    )
+    cand = (
+        bands.select(F.col("vec_id").alias("vec_a"), "b", "bkey")
+        .join(bands.select(F.col("vec_id").alias("vec_b"), "b", "bkey"), ["b", "bkey"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = base.select(F.col("vec_id").alias("vec_a"), F.col("_vec").alias("ua"), F.col("_norm").alias("na"))
+    vb = base.select(F.col("vec_id").alias("vec_b"), F.col("_vec").alias("ub"), F.col("_norm").alias("nb"))
+    cos = dot(F.col("ua"), F.col("ub")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

@@ -11,17 +11,67 @@ from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 
-@query("ann_ivf")  # rows-only: numpy k-means index is not SQL-expressible
+@query(
+    "ann_ivf",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+    ),
+    ascore AS (
+      SELECT e.vec_id, c.cid, list_cosine_similarity(e.emb, c.cemb) AS s
+      FROM e CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+      FROM ascore
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE r = 1),
+    probes AS (SELECT vec_id, cid FROM ranked WHERE r <= 4),
+    cand AS (
+      SELECT p.vec_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+    )
+    SELECT vec_id, neighbor_id, rank FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(ea.emb, eb.emb) DESC, c.neighbor_id
+             ) AS rank
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_id
+      JOIN e eb ON eb.vec_id = c.neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
 def ann_ivf(spark, sf_dir):
-    """IVF ANN: deterministic k-means coarse quantizer + nprobe
-    inverted-list search. Recall vs brute force asserted in
-    tests/test_ivf.py."""
+    """IVF ANN, fully distributed (operators/ivf.py): deterministic
+    hash-seeded coarse quantizer, map-only assignment/probing against
+    the k×d centroid matrix, inverted lists as a cid-keyed table, one
+    cogroup shuffle + window merge. No full-corpus collect anywhere —
+    the quantizer is SQL-mirrorable, so the whole search is
+    oracle-exact. Recall vs brute force asserted in tests/test_ivf.py."""
     return ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         k_neighbors=5,
         n_centroids=16,
         nprobe=4,
     )
+
+
+@query("ann_ivf_kmeans")  # rows-only: sample-fitted float centroids are not
+# SQL-expressible; checked by recall/subset tests (tests/test_ivf.py)
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF with k-means-refined centroids fitted on a bounded
+    deterministic sample (driver sees ≤4096 rows regardless of corpus
+    size); same distributed assignment/search path as `ann_ivf`."""
+    from etl_mp_transactions_spark.operators.ivf import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_centroids=16, fit_sample=4096)
+    return ivf_topk(emb, k_neighbors=5, n_centroids=16, nprobe=4, centroids=cents)
 
 
 @query(

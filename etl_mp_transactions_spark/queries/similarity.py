@@ -73,8 +73,11 @@ def j2_tfidf_exact_pairs(spark, sf_dir):
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
-    """Exact brute-force cosine top-10 per vector — the ANN baseline.
-    O(n²) by construction; the LSH variant below is the scale path."""
+    """Exact cosine top-10 per vector via the 2-D tiled cogroup block
+    matmul (operators/ann.py): no driver collect, no corpus broadcast,
+    per-task memory bounded by the grid — the distributed-exact shape.
+    O(n²) compute by definition of exact; the LSH/IVF variants are the
+    sub-linear paths."""
     return ann.cosine_topk(load_table(spark, sf_dir, "embeddings"), k=10)
 
 
@@ -124,7 +127,56 @@ def ann_lsh_bucketed(spark, sf_dir):
 def embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (≥ 0.35 — chosen at ~p99.9 of
     the corpus cosine distribution so the result is small but
-    non-empty). Cos values excluded from output: ranks and thresholds
-    are engine-portable, raw float sums are not guaranteed to be."""
+    non-empty), exact. 0.35 sits in the random-similarity tail where
+    no LSH family is both selective and complete (recall math in
+    operators/ann.py), so the implementation is the triangular tiled
+    cogroup join: every tile pair scored in exactly one task, O(n·G)
+    replication, no CartesianProduct in the plan. Cos values excluded
+    from output: thresholds are engine-portable, raw float sums are
+    not guaranteed to be."""
     pairs = ann.neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return pairs.select("vec_a", "vec_b")
+
+
+def _band_sql(b: int, n_bits: int = 4) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN embedding[{b * n_bits + i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_bits)
+    )
+    return f"SELECT vec_id, {b} AS b, {bits} AS bkey FROM embeddings"
+
+
+_BANDS_SQL = "\n      UNION ALL ".join(_band_sql(b) for b in range(8))
+
+
+@query(
+    "embedding_neardup_banded",
+    f"""
+    WITH bands AS (
+      {_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.vec_a
+    JOIN embeddings vb ON vb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])
+            >= 0.45
+    """,
+)
+def embedding_neardup_banded(spark, sf_dir):
+    """Hyperplane-banded near-dup (8 bands × 4 sign bits, exact-verify
+    at cos ≥ 0.45): the sub-quadratic LSH index shape for the
+    high-similarity dedup regime. Banding is deterministic and
+    mirrored in the oracle, so candidates — and therefore results —
+    are bit-identical across engines; recall vs the exact join is
+    1−(1−p⁴)⁸ (≈0.998 at cos 0.9, where a real near-dup corpus
+    lives; measured vs `neardup_pairs` in tests/test_ann_scale.py)."""
+    pairs = ann.neardup_pairs_banded(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4, n_bands=8
+    )
     return pairs.select("vec_a", "vec_b")

@@ -35,7 +35,14 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@query("r1_stream_dedup")  # rows-only: stateful streaming is not SQL-expressible
+@query(
+    "r1_stream_dedup",
+    # the streamed result IS SQL-checkable here: base event_ids are
+    # unique and the replayed file contains byte-identical rows, so
+    # whichever copy the state store keeps, the output relation equals
+    # the base event set — a full oracle, not rows-only
+    "SELECT event_id, user_id, event_type FROM events",
+)
 def r1_stream_dedup(spark, sf_dir):
     """R1/R3: file-source micro-batch stream with exactly-once
     dropDuplicates on event_id. Events are staged into 4 files and the

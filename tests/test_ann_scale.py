@@ -1,0 +1,136 @@
+"""Scale-shape and equivalence tests for the reworked ANN family
+(VERDICT r1 items 2-3): the distributed implementations must produce
+the same answers as the small-corpus baselines, and their physical
+plans must not contain the scale-killer nodes (CartesianProduct /
+BroadcastNestedLoopJoin / full-corpus collect)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators.ann import (
+    cosine_topk,
+    cosine_topk_bcast,
+    neardup_pairs,
+    neardup_pairs_banded,
+)
+from etl_mp_transactions_spark.operators.ivf import (
+    ivf_topk,
+    kmeans_centroids,
+    seed_centroids,
+)
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_cartesian(plan: str):
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_plan_has_no_cartesian(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(neardup_pairs(emb, threshold=0.35))
+    _no_cartesian(plan)
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_cosine_topk_plan_has_no_cartesian(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(cosine_topk(emb, k=5))
+    _no_cartesian(plan)
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_banded_neardup_plan_has_no_cartesian(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _no_cartesian(_plan(neardup_pairs_banded(emb, threshold=0.45)))
+
+
+def test_ivf_plan_has_no_cartesian(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _no_cartesian(_plan(ivf_topk(emb, 3, 8, 2)))
+
+
+def test_tiled_topk_equals_broadcast_blas(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    tiled = sorted(map(tuple, cosine_topk(emb, k=7).collect()))
+    bcast = sorted(map(tuple, cosine_topk_bcast(emb, k=7).collect()))
+    assert tiled == bcast
+
+
+def test_tiled_topk_grid_invariance(spark, sf_dir):
+    # the tiling grid is a physical choice — results must not depend on it
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    a = sorted(map(tuple, cosine_topk(emb, k=4, n_tiles=3, n_query_chunks=2).collect()))
+    b = sorted(map(tuple, cosine_topk(emb, k=4, n_tiles=8, n_query_chunks=5).collect()))
+    assert a == b
+
+
+def _bruteforce_pairs(emb_df, threshold):
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype="int64")
+    M = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    out = set()
+    ai, bi = np.nonzero(S >= threshold)
+    for x, y in zip(ids[ai], ids[bi]):
+        if x < y:
+            out.add((int(x), int(y)))
+    return out
+
+
+def test_tiled_neardup_matches_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs(emb, threshold=0.3).collect()
+    }
+    assert got == _bruteforce_pairs(emb, 0.3)
+
+
+def test_tiled_neardup_no_duplicate_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = neardup_pairs(emb, threshold=0.25).select("vec_a", "vec_b")
+    assert out.count() == out.distinct().count()
+
+
+def test_banded_neardup_is_subset_with_expected_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _bruteforce_pairs(emb, 0.4)
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in neardup_pairs_banded(emb, threshold=0.4).collect()
+    }
+    assert banded <= exact  # precision 1: banding only drops, never invents
+    # recall formula: 1-(1-p^4)^8, p = 1-acos(0.4)/pi ~= 0.63 -> ~0.81;
+    # assert a loose floor (the corpus tail sits near the threshold)
+    if exact:
+        assert len(banded) / len(exact) >= 0.5
+
+
+def test_seed_centroids_bounded_and_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cids1, c1 = seed_centroids(emb, 8)
+    cids2, c2 = seed_centroids(emb, 8)
+    assert len(cids1) == 8 and c1.shape[0] == 8
+    assert list(cids1) == sorted(cids1)  # ascending for argmax tie-break
+    assert list(cids1) == list(cids2) and np.array_equal(c1, c2)
+
+
+def test_ivf_kmeans_mode_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    exact = {
+        (r["vec_id"], r["neighbor_id"]) for r in cosine_topk(emb, k=5).collect()
+    }
+    cents = kmeans_centroids(emb, n_centroids=8, fit_sample=200)
+    approx = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k_neighbors=5, n_centroids=8, nprobe=4,
+                          centroids=cents).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.7, f"recall {recall:.2f}"

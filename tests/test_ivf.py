@@ -23,8 +23,10 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in ivf_topk(emb, k_neighbors=5, n_centroids=8, nprobe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # nprobe=4 of 8 lists: expect high-but-not-perfect recall
-    assert recall > 0.7, f"recall {recall:.2f}"
+    # nprobe=4 of 8 lists with the unrefined hash-seed quantizer
+    # (random Voronoi): slightly below the kmeans-refined mode, which
+    # is floor-0.7-tested in test_ann_scale.test_ivf_kmeans_mode_recall
+    assert recall > 0.6, f"recall {recall:.2f}"
 
 
 def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
