@@ -5,12 +5,13 @@ a multi-format precedence chain — ``%Y-%m-%d`` then ``%d-%m-%Y`` for
 '-'-separated, ``%Y/%m/%d`` then ``%d/%m/%Y`` for '/'-separated — and
 **on failure the input string passes through unchanged**.
 
-Spark-first form: a single ``coalesce`` over strict ``try_to_date``
-parses. Because the Spark 4 CORRECTED parser is strict about separators
-and digit counts, the flat coalesce chain is exactly equivalent to the
-reference's dispatch-on-separator logic (verified against the oracle for
-every case in FIXTURES.md §3). Everything stays inside whole-stage
-codegen — no UDF, no Python.
+Spark-first form: a regex shape dispatch over ``try_to_date`` parses,
+accepting 1-2-digit day/month like the reference's strptime (property-
+tested against a literal Python port in tests/test_date_property.py).
+The one documented divergence: years must be 4 digits and nonzero —
+Python's %Y would also take 1-3-digit years, which are outside the
+data contract and would make the separator shapes ambiguous.
+Everything stays inside whole-stage codegen — no UDF, no Python.
 """
 
 from __future__ import annotations
@@ -35,15 +36,21 @@ def normalize_date_multiformat(col: Column | str) -> Column:
     # chain (the strict parser rejects shape mismatches anyway) but
     # avoids 3 exception-driven parse failures per row — parse
     # exceptions dominate the cost of the multi-format chain.
+    # Day/month accept 1-2 digits ('5-6-2024'), as the reference's
+    # strptime does; years are contractually 4-digit (the reference's
+    # %Y would also take 1-3-digit years — out of the data contract,
+    # and rejected here so the shapes stay unambiguous).
+    # (?!0000): java.time parses proleptic year 0; the reference's
+    # Python datetime raises on it (min year 1) — keep it passthrough
     parsed = (
-        F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"),
-               F.date_format(F.try_to_date(c, "yyyy-MM-dd"), "yyyy-MM-dd"))
-        .when(c.rlike(r"^\d{2}-\d{2}-\d{4}$"),
-              F.date_format(F.try_to_date(c, "dd-MM-yyyy"), "yyyy-MM-dd"))
-        .when(c.rlike(r"^\d{4}/\d{2}/\d{2}$"),
-              F.date_format(F.try_to_date(c, "yyyy/MM/dd"), "yyyy-MM-dd"))
-        .when(c.rlike(r"^\d{2}/\d{2}/\d{4}$"),
-              F.date_format(F.try_to_date(c, "dd/MM/yyyy"), "yyyy-MM-dd"))
+        F.when(c.rlike(r"^(?!0000)\d{4}-\d{1,2}-\d{1,2}$"),
+               F.date_format(F.try_to_date(c, "yyyy-M-d"), "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{1,2}-\d{1,2}-(?!0000)\d{4}$"),
+              F.date_format(F.try_to_date(c, "d-M-yyyy"), "yyyy-MM-dd"))
+        .when(c.rlike(r"^(?!0000)\d{4}/\d{1,2}/\d{1,2}$"),
+              F.date_format(F.try_to_date(c, "yyyy/M/d"), "yyyy-MM-dd"))
+        .when(c.rlike(r"^\d{1,2}/\d{1,2}/(?!0000)\d{4}$"),
+              F.date_format(F.try_to_date(c, "d/M/yyyy"), "yyyy-MM-dd"))
     )
     return F.coalesce(parsed, c)
 
@@ -57,8 +64,8 @@ def strict_midnight_timestamp(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     parsed = (
-        F.when(c.rlike(r"^\d{4}-\d{2}-\d{2}$"), F.try_to_date(c, "yyyy-MM-dd"))
-        .when(c.rlike(r"^\d{2}/\d{2}/\d{4}$"), F.try_to_date(c, "dd/MM/yyyy"))
+        F.when(c.rlike(r"^(?!0000)\d{4}-\d{1,2}-\d{1,2}$"), F.try_to_date(c, "yyyy-M-d"))
+        .when(c.rlike(r"^\d{1,2}/\d{1,2}/(?!0000)\d{4}$"), F.try_to_date(c, "d/M/yyyy"))
     )
     return F.date_format(parsed, "yyyy-MM-dd'T'00:00:00")
 

@@ -12,9 +12,11 @@ buckets its window can overlap, then apply the exact range predicate.
 Pair candidates are bounded by bucket occupancy, not key cardinality,
 and the join stays a hash equi-join Catalyst can plan normally.
 
-All bucket arithmetic is integer microseconds (`div` truncation ==
-floor for the positive epoch range), so bucket edges are exact — no
-double rounding at boundaries.
+All bucket arithmetic is integer microseconds with a true floor
+division (Spark's `div` truncates toward zero, which mis-buckets
+negative values — e.g. a lower bound reaching before the 1970 epoch),
+so bucket edges are exact for any timestamp — no double rounding at
+boundaries and no positive-range assumption.
 """
 
 from __future__ import annotations
@@ -43,6 +45,11 @@ def range_join_interval(
         raise ValueError("upper_us must be > lower_us")
     width = upper_us - lower_us
 
+    def fdiv(e: str) -> str:
+        # exact integer floor division: `div` truncates toward zero,
+        # wrong for negative numerators (pre-epoch instants)
+        return f"(({e}) div {width}) - (CASE WHEN ({e}) % {width} < 0 THEN 1 ELSE 0 END)"
+
     # wall-clock-only epoch micros (functions/dates.py::ntz_micros) —
     # a cast("timestamp") here would make bucket edges depend on the
     # session timezone across DST gaps
@@ -53,13 +60,13 @@ def range_join_interval(
         "_bucket",
         F.explode(
             F.sequence(
-                F.expr(f"(_lus + {lower_us}) div {width}"),
-                F.expr(f"(_lus + {upper_us}) div {width}"),
+                F.expr(fdiv(f"_lus + {lower_us}")),
+                F.expr(fdiv(f"_lus + {upper_us}")),
             )
         ),
     )
     r = right.withColumn("_rus", r_us).withColumn(
-        "_bucket", F.expr(f"_rus div {width}")
+        "_bucket", F.expr(fdiv("_rus"))
     )
     joined = l.join(r, [*by, "_bucket"]).filter(
         (F.col("_rus") >= F.col("_lus") + F.lit(lower_us))

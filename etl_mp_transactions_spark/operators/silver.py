@@ -64,7 +64,11 @@ def silver_transactions(
         F.coalesce(F.col("header.timeframe"), s).alias("report_type"),
         F.col("header.extraction_timestamp").alias("extraction_date"),
         F.coalesce(F.col("userId"), s).alias("user_id"),
-        F.coalesce(F.col("company_id"), s).alias("company_id"),
+        # sourced from the record-level companyId field, as the
+        # reference does (transactions.py:36) — NOT from the company_id
+        # partition column, which is a path-derived value that may
+        # lawfully differ from the payload on a misfiled object
+        F.coalesce(F.col("companyId"), s).alias("company_id"),
         normalize_date_multiformat("date").alias("transaction_date"),
         F.coalesce(F.col("remaining"), F.lit(0.0)).alias("reported_remaining"),
         strict_midnight_timestamp(F.col("header.report_date")).alias("created_at"),

@@ -32,11 +32,16 @@ def salted_agg(
     partial_aggs: name -> aggregate expression for phase 1 (over raw rows)
     final_aggs:   name -> aggregate expression for phase 2 (over partials,
                   referencing the phase-1 names)
-    salt_on:      column whose hash spreads rows (defaults to a stable
-                  row-dependent column to avoid a random, non-replayable
-                  salt — determinism matters for retries at scale too)
+    salt_on:      column whose hash spreads rows. Defaults to a hash of
+                  the whole row — a pure function of row CONTENT, so
+                  the salt (and every phase-1 partial) is identical
+                  across task retries and repartitionings; a
+                  partition-id or random salt would not be. Pass a
+                  high-cardinality column explicitly when rows within
+                  a hot key are near-identical (content-hash would
+                  then under-spread).
     """
-    salt_src = F.col(salt_on) if salt_on else F.spark_partition_id()
+    salt_src = F.col(salt_on) if salt_on else F.hash(*[F.col(c) for c in df.columns])
     salted = df.withColumn("_salt", F.pmod(F.hash(salt_src), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[expr.alias(name) for name, expr in partial_aggs.items()]

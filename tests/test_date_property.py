@@ -13,14 +13,14 @@ from etl_mp_transactions_spark.functions.dates import normalize_date_multiformat
 
 import re
 
-# the engine's strict-shape policy: every component fixed-width (the
-# java.time/DuckDB behavior the oracle shares; Python strptime would
-# also accept unpadded '3-4-2024' — SURVEY §7 documents the delta)
+# day/month accept 1-2 digits, matching the reference's strptime
+# ('5-6-2024' normalizes); years are contractually 4-digit and nonzero
+# (Python datetime has no year 0; java.time does — both passthrough)
 _SHAPES = [
-    (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "%Y-%m-%d"),
-    (re.compile(r"^\d{2}-\d{2}-\d{4}$"), "%d-%m-%Y"),
-    (re.compile(r"^\d{4}/\d{2}/\d{2}$"), "%Y/%m/%d"),
-    (re.compile(r"^\d{2}/\d{2}/\d{4}$"), "%d/%m/%Y"),
+    (re.compile(r"^(?!0000)\d{4}-\d{1,2}-\d{1,2}$"), "%Y-%m-%d"),
+    (re.compile(r"^\d{1,2}-\d{1,2}-(?!0000)\d{4}$"), "%d-%m-%Y"),
+    (re.compile(r"^(?!0000)\d{4}/\d{1,2}/\d{1,2}$"), "%Y/%m/%d"),
+    (re.compile(r"^\d{1,2}/\d{1,2}/(?!0000)\d{4}$"), "%d/%m/%Y"),
 ]
 
 
@@ -47,8 +47,18 @@ fmt_names = st.sampled_from(["%Y-%m-%d", "%d-%m-%Y", "%Y/%m/%d", "%d/%m/%Y",
 garbage = st.text(
     alphabet="0123456789-/abz ", min_size=0, max_size=14)
 
+unpadded = st.builds(
+    lambda d, f: f.format(d=d.day, m=d.month, y=d.year),
+    dates,
+    st.sampled_from(
+        ["{y:04d}-{m}-{d}", "{d}-{m}-{y:04d}", "{y:04d}/{m}/{d}", "{d}/{m}/{y:04d}",
+         "{m}/{d}/{y:04d}"]
+    ),
+)
+
 inputs = st.one_of(
     st.builds(lambda d, f: d.strftime(f), dates, fmt_names),
+    unpadded,
     garbage,
 )
 

@@ -137,3 +137,22 @@ def test_range_join_matches_bruteforce_on_random_data(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_range_join_near_epoch_negative_bucket_arithmetic(spark):
+    # lower bound reaches before the 1970 epoch: bucket ids go negative,
+    # where truncating `div` would collapse buckets -1 and 0 and drop
+    # pairs (VERDICT r1 / ADVICE: rangejoin.py floor-division fix)
+    left = _ts(spark, [(1, 1, "1970-01-01 00:02:00")], "id long, k long, lts string")
+    right = _ts(spark, [(1, "1970-01-01 00:00:30", "in-window"),
+                        (1, "1969-12-31 23:59:30", "before-epoch-in-window"),
+                        (1, "1969-12-31 23:56:59", "too-early"),
+                        (1, "1970-01-01 00:02:00", "upper-excluded")],
+                "k long, rts string, tag string")
+    out = range_join_interval(
+        left, right.withColumnRenamed("k", "rk").withColumnRenamed("rts", "ts2"),
+        by=[], left_ts="lts", right_ts="ts2",
+        lower_us=-300_000_000, upper_us=0,
+    ).filter(F.col("k") == F.col("rk"))
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == ["before-epoch-in-window", "in-window"]
