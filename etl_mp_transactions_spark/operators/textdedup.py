@@ -164,7 +164,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.9, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    band_bucket_cap: int = 2048,
 ) -> DataFrame:
     """Near-dup candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -181,6 +184,18 @@ def minhash_lsh_pairs(
     the signature key — codegen-friendly, no per-pair array work, and
     no final pair-level dropDuplicates shuffle (each doc has exactly
     one signature, so expanded pairs are unique by construction).
+
+    band_bucket_cap bounds the pathological case — a band bucket with
+    B distinct signatures costs B² join work, and an adversarial
+    near-identical corpus can put ALL signatures in one bucket. Each
+    bucket keeps only its first `cap` signatures (row_number over the
+    deterministic sk order), so per-bucket work is ≤ cap² no matter
+    the corpus. Signatures past the cap lose only that band's
+    candidacy (other bands still vote); identical-signature pairs are
+    unaffected (handled before banding). The default is far above any
+    honest bucket (sf0.1 max observed: 79) — it exists to turn a
+    quadratic blowup into a bounded loss, the standard capped-LSH
+    tradeoff.
     """
     sig = minhash_signatures(docs, id_col)
     hcols = [F.col(f"h{i}").cast("string") for i in range(NUM_HASHES)]
@@ -205,6 +220,15 @@ def minhash_lsh_pairs(
             F.array(*[F.col(f"band_{b}") for b in range(NUM_BANDS)])
         ).alias("band_key"),
     )
+    if band_bucket_cap is not None:
+        from pyspark.sql.window import Window
+
+        wcap = Window.partitionBy("band_key").orderBy("sk")
+        bands = (
+            bands.withColumn("_bpos", F.row_number().over(wcap))
+            .filter(F.col("_bpos") <= band_bucket_cap)
+            .drop("_bpos")
+        )
     cand = (
         bands.select(F.col("sk").alias("sk_a"), "band_key")
         .join(bands.select(F.col("sk").alias("sk_b"), "band_key"), "band_key")

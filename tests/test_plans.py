@@ -129,3 +129,24 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     assert "Exchange" not in _plan(chunk_documents(docs))
+
+
+def test_score_filter_pinned_above_pair_joins(spark, sf_dir):
+    # filter_above_join relies on Catalyst's don't-push-nondeterministic
+    # rule (the 0*rand(42) marker). If a Spark version bump re-pushes the
+    # score predicate into the join condition, pair scoring re-runs per
+    # probe row interpreted (~3x slower) — fail loudly instead.
+    from etl_mp_transactions_spark.queries.dedup import dedup_ngram_jaccard
+    from etl_mp_transactions_spark.queries.similarity import j2_anomaly_pairs
+
+    for q in (dedup_ngram_jaccard, j2_anomaly_pairs):
+        plan = _plan(q(spark, sf_dir))
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert join_lines, "expected a pair join in the plan"
+        assert all("rand(" not in ln for ln in join_lines), (
+            "score predicate was pushed into a join condition"
+        )
+        filter_lines = [ln for ln in plan.splitlines() if "Filter" in ln]
+        assert any("rand(" in ln for ln in filter_lines), (
+            "nondeterminism marker missing from the Filter node"
+        )

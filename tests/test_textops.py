@@ -105,3 +105,28 @@ def test_fingerprint_normalizes(spark):
                          (2, "hello world", "en", "s", 1)])
     fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
     assert fp[1] == fp[2]
+
+
+def test_minhash_band_bucket_cap_bounds_adversarial_corpus(spark):
+    # near-identical corpus: every doc shares 40 tokens and adds one
+    # unique token, so signatures are distinct-but-close and most pile
+    # into a handful of band buckets — the quadratic LSH pathology.
+    common = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, f"{common} uniq{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    sig = textdedup.minhash_signatures(docs)
+    bucket_sizes = (
+        sig.dropDuplicates([f"h{i}" for i in range(16)])  # distinct signatures
+        .select(F.explode(F.array("band_0", "band_1")).alias("bk"))
+        .groupBy("bk").count()
+    )
+    max_bucket = bucket_sizes.agg(F.max("count")).collect()[0][0]
+    assert max_bucket > 50, "fixture failed to create a pathological bucket"
+
+    capped = textdedup.minhash_lsh_pairs(docs, threshold=0.9, band_bucket_cap=50)
+    uncapped = textdedup.minhash_lsh_pairs(docs, threshold=0.9, band_bucket_cap=None)
+    got_c = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    got_u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    # the cap only drops candidates, never invents them
+    assert got_c <= got_u
