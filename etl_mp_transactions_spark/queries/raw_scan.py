@@ -47,3 +47,64 @@ def s2_raw_scan(spark, sf_dir):
         "account_number",
         "company_id",
     )
+
+
+@query(
+    "s3_avro_scan",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_ns(ts) // 1000 AS ts_us
+    FROM events
+    """,
+)
+def s3_avro_scan(spark, sf_dir):
+    """S3: Avro file-source scan, runnable without the spark-avro jar.
+
+    Fixture prep (not the operator under test) stages the events table
+    into 4 deflate-compressed Avro container files written by the
+    spec-subset encoder in sources/avro_py.py; the operator is the
+    read path — the `avro_py` Python DataSource decoding one container
+    file per partition. Reference parity:
+    /root/reference/etl/extraction/avro.py:6-16 (fastavro record scan).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_mp_transactions_spark.functions.dates import ntz_micros
+    from etl_mp_transactions_spark.sources.avro import read_avro
+    from etl_mp_transactions_spark.sources.avro_py import write_container
+    from etl_mp_transactions_spark.sources.tables import load_table
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"sg_avro_{sf_tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    schema = {
+        "type": "record",
+        "name": "event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+    )
+    n_files = 4
+    for i in range(n_files):
+        write_container(
+            os.path.join(work, f"part-{i}.avro"),
+            schema,
+            (tuple(r) for j, r in enumerate(ev) if j % n_files == i),
+        )
+
+    df = read_avro(spark, os.path.join(work))
+    return df.select(
+        "event_id", "user_id", "event_type", ntz_micros("ts").alias("ts_us")
+    )

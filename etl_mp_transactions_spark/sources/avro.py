@@ -21,14 +21,21 @@ def avro_available(spark: SparkSession) -> bool:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.format('avro') with a deployment hint when the module
-    is absent (add org.apache.spark:spark-avro_2.13:<spark-version> to
-    spark.jars.packages on the cluster)."""
-    if not avro_available(spark):
-        raise RuntimeError(
-            "spark-avro is not on the classpath in this environment; deploy "
-            "org.apache.spark:spark-avro_2.13 matching your Spark version "
-            "(external module since Spark 2.4). Parquet paths cover the "
-            "test fixtures."
-        )
-    return spark.read.format("avro").load(path)
+    """Avro scan, best available implementation:
+
+    1. the JVM Avro file format — Spark 4 bundles the class inside
+       spark-sql even where the short-name `avro` registration (the
+       external spark-avro module's service file) is absent, so it is
+       addressed by full class name; splittable, vectorized, the real
+       cluster path;
+    2. jar-less fallback: the pure-Python `avro_py` DataSource
+       (sources/avro_py.py), one partition per container file —
+       slow-but-runnable, format parity preserved."""
+    if avro_available(spark):
+        return spark.read.format(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        ).load(path)
+    from etl_mp_transactions_spark.sources.avro_py import register_avro_datasource
+
+    fmt = register_avro_datasource(spark)
+    return spark.read.format(fmt).options(path=path).load()
