@@ -55,9 +55,13 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # full registry, headline set first (keeps their timings comparable
+    # round-over-round), then every remaining query so regressions in
+    # non-headline operators are visible against the 2x guardrail
     qs = registry.queries()
+    order = HEADLINE + sorted(n for n in qs if n not in HEADLINE)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -68,9 +72,13 @@ def main() -> None:
 
     m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
     out = {
+        # headline total stays the headline metric (baseline-comparable);
+        # the full-registry total rides along for round-over-round diffs
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
+        "full_registry_total": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
         "queries": timings,
         "sf": float(m.group(1)) if m else None,
     }
