@@ -68,7 +68,6 @@ def s3_avro_scan(spark, sf_dir):
     /root/reference/etl/extraction/avro.py:6-16 (fastavro record scan).
     """
     import os
-    import shutil
     import tempfile
 
     from etl_mp_transactions_spark.functions.dates import ntz_micros
@@ -77,9 +76,9 @@ def s3_avro_scan(spark, sf_dir):
     from etl_mp_transactions_spark.sources.tables import load_table
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    work = os.path.join(tempfile.gettempdir(), f"sg_avro_{sf_tag}")
-    shutil.rmtree(work, ignore_errors=True)
-    os.makedirs(work, exist_ok=True)
+    # run-keyed dir: concurrent invocations at the same SF must not
+    # race on a shared fixture path (driver + bench can overlap)
+    work = tempfile.mkdtemp(prefix=f"sg_avro_{sf_tag}_")
 
     schema = {
         "type": "record",

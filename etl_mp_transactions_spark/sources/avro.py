@@ -30,11 +30,31 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
        cluster path;
     2. jar-less fallback: the pure-Python `avro_py` DataSource
        (sources/avro_py.py), one partition per container file —
-       slow-but-runnable, format parity preserved."""
+       slow-but-runnable, format parity preserved.
+
+    Both paths return timestamp-micros columns as TIMESTAMP_NTZ
+    (wall-clock UTC): the JVM format decodes them as session-zoned
+    TIMESTAMP, so those columns are cast here — without this the two
+    paths would only agree while spark.sql.session.timeZone=UTC."""
     if avro_available(spark):
-        return spark.read.format(
+        df = spark.read.format(
             "org.apache.spark.sql.avro.AvroFileFormat"
         ).load(path)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampType
+
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, TimestampType):
+                # cast gives the session-zone wall clock; re-render it
+                # in UTC so the value is zone-independent
+                df = df.withColumn(
+                    f.name,
+                    F.convert_timezone(
+                        F.lit(tz), F.lit("UTC"), F.col(f.name).cast("timestamp_ntz")
+                    ),
+                )
+        return df
     from etl_mp_transactions_spark.sources.avro_py import register_avro_datasource
 
     fmt = register_avro_datasource(spark)

@@ -78,9 +78,17 @@ def _read_bytes(buf, pos: int) -> tuple[bytes, int]:
 
 def _encode_value(out: io.BytesIO, typ, v) -> None:
     if isinstance(typ, list):  # union: branch index then value
-        branch = 0 if v is None else next(
-            i for i, t in enumerate(typ) if _type_name(t) != "null"
+        want = "null" if v is None else "non-null"
+        branch = next(
+            (
+                i
+                for i, t in enumerate(typ)
+                if (_type_name(t) == "null") == (v is None)
+            ),
+            None,
         )
+        if branch is None:
+            raise ValueError(f"union {typ!r} has no {want} branch")
         _write_long(out, branch)
         if v is not None:
             _encode_value(out, typ[branch], v)
@@ -92,7 +100,11 @@ def _encode_value(out: io.BytesIO, typ, v) -> None:
         out.write(b"\x01" if v else b"\x00")
     elif name in ("int", "long"):
         if isinstance(typ, dict) and typ.get("logicalType") == "timestamp-micros":
-            v = int((v - _EPOCH).total_seconds()) * 1_000_000 + v.microsecond
+            # timedelta components are floored, so this is exact for
+            # pre-epoch datetimes too (int(total_seconds()) truncates
+            # toward zero and would mis-encode them by up to ~2s)
+            d = v - _EPOCH
+            v = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
         _write_long(out, int(v))
     elif name == "float":
         out.write(struct.pack("<f", v))

@@ -74,6 +74,84 @@ def test_multi_block_files(tmp_path):
     assert list(read_container(p)) == rows
 
 
+def test_union_null_branch_not_first(tmp_path):
+    # ["string","null"] puts null at branch 1: the encoder must pick
+    # the branch by type, not assume null is index 0 (a wrong index
+    # makes the decoder read the next field's bytes as the string)
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "s", "type": ["string", "null"]},
+            {"name": "a", "type": "long"},
+        ],
+    }
+    rows = [("hi", 1), (None, 2), ("bye", 3)]
+    p = str(tmp_path / "x.avro")
+    write_container(p, schema, rows)
+    assert list(read_container(p)) == rows
+
+
+def test_union_without_null_branch_rejects_none(tmp_path):
+    import io
+
+    from etl_mp_transactions_spark.sources.avro_py import _encode_value
+
+    with pytest.raises(ValueError, match="no null branch"):
+        _encode_value(io.BytesIO(), ["string", "long"], None)
+
+
+def test_pre_epoch_timestamp_roundtrip(tmp_path):
+    # int(total_seconds()) truncates toward zero while .microsecond is
+    # always positive — pre-1970 values used to corrupt by up to ~2s
+    from datetime import datetime
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    rows = [
+        (datetime(1969, 12, 31, 23, 59, 59, 500000),),
+        (datetime(1969, 12, 31, 23, 59, 59, 0),),
+        (datetime(1945, 5, 8, 1, 2, 3, 999999),),
+        (datetime(1970, 1, 1, 0, 0, 0, 1),),
+        (datetime(2024, 6, 1, 12, 0, 0, 123456),),
+    ]
+    p = str(tmp_path / "x.avro")
+    write_container(p, schema, rows)
+    assert list(read_container(p)) == rows
+
+
+def test_read_avro_ntz_is_session_tz_independent(spark, tmp_path):
+    # both read paths must return the UTC wall clock as TIMESTAMP_NTZ
+    # even when the session timezone is not UTC
+    from datetime import datetime
+
+    from etl_mp_transactions_spark.sources.avro import read_avro
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    want = datetime(2024, 6, 1, 12, 30, 45, 123456)
+    p = str(tmp_path / "x.avro")
+    write_container(p, schema, [(want,)])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = read_avro(spark, p)
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        assert df.collect()[0]["ts"] == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_sync_marker_never_all_zero(tmp_path):
     # an all-zero sync is ambiguous with the metadata-map terminator
     # byte that precedes it and breaks split-seeking readers
