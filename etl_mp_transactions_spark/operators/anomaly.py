@@ -174,3 +174,90 @@ def tfidf_pair_scores(
         "doc_b",
         udf(F.col("text_a"), F.col("text_b")).alias("tfidf_cosine"),
     )
+
+
+# (ln(3/2)+1)² — the squared idf of a token present in exactly one of
+# the two documents (smooth idf, n=2, df=1). Embedded as the same
+# decimal literal in the SQL oracle so both engines parse the
+# identical double.
+IDF1_SQ = 1.9753321701094941
+
+
+def tfidf_pair_scores_sparse(docs: DataFrame, block_col: str = "source") -> DataFrame:
+    """Per-pair 2-document TF-IDF cosine (C11) in closed form, fully
+    JVM-side — the distributed-exact shape of ``tfidf_pair_scores``.
+
+    For a 2-doc fit with sklearn defaults the idf is bimodal: 1.0 for
+    tokens in both docs, ln(1.5)+1 for tokens in one. So with raw term
+    counts tf, letting dot = Σ_shared tfa·tfb, sh = Σ_shared tf² and
+    S = Σ_all tf² (a per-doc constant):
+
+        cos(a,b) = dot / sqrt((sh_a + (S_a−sh_a)·c²)·(sh_b + (S_b−sh_b)·c²))
+
+    where c² = IDF1_SQ. Every sum is an exact int64, so the one float
+    expression at the end is bit-identical across engines — unlike the
+    pandas-UDF path this mode is DuckDB-oracle-checkable.
+
+    Physical shape: tokenize once per document (not once per pair),
+    one (block, token) self-join producing a row per *shared* token
+    occurrence, one groupBy(pair). No text bytes are replicated across
+    pairs and no Python runs. Worst case is Σ_t df(t)² rows — a
+    stopword shared by every doc in a block costs |block|² rows, the
+    inherent cost of exact all-pairs scoring; the scalable screen for
+    100 TB corpora is `anomaly_pairs` / the LSH dedup family, with
+    this as the exact verifier on their candidates.
+
+    Reference parity: src/ai.py:21-25 (per-pair TfidfVectorizer fit);
+    equivalence with the literal formula is asserted to 1e-9 in
+    tests/test_anomaly.py (float association differs, values agree).
+    """
+    tf = (
+        docs.select(
+            "doc_id",
+            block_col,
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(r"\b\w\w+\b"), F.lit(0)
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id", block_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    s = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("s2"))
+
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col(block_col).alias("__blk"),
+        "token",
+        F.col("tf").alias("tf_a"),
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col(block_col).alias("__blk_b"),
+        F.col("token").alias("__tok_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    pair = (
+        a.join(
+            b,
+            (F.col("__blk") == F.col("__blk_b"))
+            & (F.col("token") == F.col("__tok_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
+            F.sum(F.col("tf_a") * F.col("tf_a")).alias("sh_a"),
+            F.sum(F.col("tf_b") * F.col("tf_b")).alias("sh_b"),
+        )
+    )
+    pair = pair.join(
+        s.select(F.col("doc_id").alias("doc_a"), F.col("s2").alias("s2_a")), "doc_a"
+    ).join(s.select(F.col("doc_id").alias("doc_b"), F.col("s2").alias("s2_b")), "doc_b")
+    c2 = F.lit(IDF1_SQ)
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("sh_a") + (F.col("s2_a") - F.col("sh_a")) * c2)
+        * (F.col("sh_b") + (F.col("s2_b") - F.col("sh_b")) * c2)
+    )
+    return pair.select("doc_a", "doc_b", cos.alias("tfidf_cosine"))

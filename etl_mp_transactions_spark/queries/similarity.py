@@ -42,20 +42,55 @@ def j2_anomaly_pairs(spark, sf_dir):
     return anomaly.anomaly_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@query("j2_tfidf_exact_pairs")  # no SQL oracle: per-pair TF-IDF is not SQL-expressible
+# the 2-doc TF-IDF cosine in closed form (see operators/anomaly.py
+# tfidf_pair_scores_sparse): every sum is an exact int64; the one
+# float expression is written identically on both engines.
+# NB: the ::DOUBLE on the constant is load-bearing — DuckDB otherwise
+# parses the literal as DECIMAL(17,16) and evaluates the whole norm in
+# decimal arithmetic (1-ulp drift vs Spark's IEEE doubles).
+_TFIDF_COS = """CAST(p.dot AS DOUBLE)
+        / sqrt((p.sh_a + (sa.s2 - p.sh_a) * 1.9753321701094941::DOUBLE)
+             * (p.sh_b + (sb.s2 - p.sh_b) * 1.9753321701094941::DOUBLE))"""
+
+
+@query(
+    "j2_tfidf_exact_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, t.token AS token, count(*)::BIGINT AS tf
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '\\b\\w\\w+\\b')) AS t(token)
+      GROUP BY doc_id, source, t.token
+    ),
+    s AS (SELECT doc_id, sum(tf * tf)::BIGINT AS s2 FROM tok GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.tf * b.tf)::BIGINT AS dot,
+             sum(a.tf * a.tf)::BIGINT AS sh_a,
+             sum(b.tf * b.tf)::BIGINT AS sh_b
+      FROM tok a
+      JOIN tok b ON a.source = b.source AND a.token = b.token
+                AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, {_TFIDF_COS} AS tfidf_cosine
+    FROM p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    WHERE {_TFIDF_COS} >= 0.9
+    """,
+)
 def j2_tfidf_exact_pairs(spark, sf_dir):
     """J2 exactness mode: the reference's per-pair 2-document TF-IDF
-    cosine (sklearn semantics) as an Arrow pandas UDF, on source-
-    blocked pairs. Unit-tested against a literal reimplementation of
-    the reference formula (tests/test_anomaly.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = anomaly.tfidf_pair_scores(docs)
-    # keep the output bounded and deterministic: strong pairs only
+    cosine (sklearn semantics) in closed form over a sparse token
+    join — all-JVM, oracle-exact, no per-pair text shipping. The
+    pandas-UDF formula path (anomaly.tfidf_pair_scores) remains as
+    the unit-test ground truth (tests/test_anomaly.py)."""
     from pyspark.sql import functions as F
 
-    return scored.filter(F.col("tfidf_cosine") >= 0.9).select(
-        "doc_a", "doc_b", F.round("tfidf_cosine", 6).alias("tfidf_cosine")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    scored = anomaly.tfidf_pair_scores_sparse(docs)
+    return scored.filter(F.col("tfidf_cosine") >= 0.9)
 
 
 @query(

@@ -74,3 +74,38 @@ def test_tfidf_pair_scores_udf_matches_local(spark):
     assert len(out) == 1
     assert out[0]["tfidf_cosine"] == pytest.approx(
         _pair_tfidf_cosine("foo bar baz", "foo bar qux"))
+
+
+def test_tfidf_sparse_matches_pair_formula(spark):
+    # the closed-form sparse token join must agree with the literal
+    # per-pair sklearn formula on every blocked pair (float association
+    # differs, so 1e-9 tolerance rather than equality)
+    from etl_mp_transactions_spark.operators.anomaly import tfidf_pair_scores_sparse
+
+    rows = [
+        (1, "foo bar baz foo", "s1"),
+        (2, "foo bar qux", "s1"),
+        (3, "foo foo foo bar bar baz", "s1"),
+        (4, "completely different words here", "s1"),
+        (5, "foo bar baz foo", "s2"),  # other block: must not pair with 1-4
+        (6, "foo bar baz", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["tfidf_cosine"]
+        for r in tfidf_pair_scores_sparse(docs).collect()
+    }
+    texts = {d: t for d, t, _ in rows}
+    blocks = {d: s for d, _, s in rows}
+    import itertools
+
+    for a, b in itertools.combinations(sorted(texts), 2):
+        if blocks[a] != blocks[b]:
+            assert (a, b) not in got
+            continue
+        want = _pair_tfidf_cosine(texts[a], texts[b])
+        if want == 0.0:
+            # sparse form emits only pairs sharing >= 1 token
+            assert got.get((a, b), 0.0) == 0.0
+        else:
+            assert got[(a, b)] == pytest.approx(want, abs=1e-9), (a, b)
