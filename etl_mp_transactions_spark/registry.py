@@ -72,6 +72,7 @@ def _load_all() -> None:
         stats,
         curation,
         asof_q,
+        tpch_breadth,
     )
 
     _LOADED = True
