@@ -163,3 +163,69 @@ def pack_sequences(
         )
         .drop("_cum_incl")
     )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    fraction of tokens taken by the most frequent word, and duplicate
+    2-gram / 3-gram fractions. Repetitious documents are the classic
+    low-quality-generation signature a pretraining filter removes.
+
+    All expression-level (array slices + zip_with — no explode, no
+    shuffle): a map-only scan at any corpus size. Per-doc cost is
+    O(distinct·total) for the top-word count and O(total) for the
+    n-gram sets — bounded by document length, not corpus size.
+    """
+    words = _tokens(F.col(text_col))
+    total = F.size(words)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda y: y == w)),
+        )
+    )
+    # 2-grams: zip each word with its successor; slice lengths clamp
+    # to empty on single-word docs (no sequence(1,0) descending trap)
+    len2 = F.greatest(total - 1, F.lit(0))
+    len3 = F.greatest(total - 2, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(words, 1, len2),
+        F.slice(words, 2, len2),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g3 = F.zip_with(
+        F.slice(g2, 1, len3),
+        F.slice(words, 3, len3),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    def dup_frac(grams):
+        n = F.size(grams)
+        nd = F.size(F.array_distinct(grams))
+        return F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
+
+    return (
+        docs.withColumn("n_words", total.cast("long"))
+        .withColumn(
+            "top_word_frac",
+            F.when(total > 0, top_count.cast("double") / total).otherwise(F.lit(0.0)),
+        )
+        .withColumn("dup_2gram_frac", dup_frac(g2))
+        .withColumn("dup_3gram_frac", dup_frac(g3))
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> Column:
+    """Distinct word n-grams as an array column (space-joined), built
+    from slice+zip_with chains — expression-level, explode-free."""
+    words = _tokens(F.col(text_col))
+    total = F.size(words)
+    glen = F.greatest(total - (n - 1), F.lit(0))
+    acc = F.slice(words, 1, glen)
+    for i in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, i, glen),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(acc)

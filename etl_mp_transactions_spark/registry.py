@@ -73,6 +73,7 @@ def _load_all() -> None:
         curation,
         asof_q,
         tpch_breadth,
+        training_ops,
     )
 
     _LOADED = True
