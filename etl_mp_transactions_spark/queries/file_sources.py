@@ -1,0 +1,101 @@
+"""File-format source breadth (SURVEY.md §2.1 S-family widening):
+CSV, JSON-lines, and ORC scans.
+
+The reference ingests BigQuery extracts and Avro blobs; a Spark
+deployment of the same pipeline also meets CSV/JSONL drops and ORC
+lakes. Each query stages the orders table into the format under test
+(Spark executors write — no driver collect), reads it back with an
+explicit schema, and runs a projection+filter whose oracle is the
+same expression over the canonical parquet view — so the check proves
+the full write→read round trip preserves values.
+
+Parity notes: o_orderdate is midnight TIMESTAMP_NTZ and o_totalprice
+is a 2-decimal double, both of which round-trip text formats exactly;
+the NTZ format string is pinned (no [.SSS] optional-fraction drift).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+_ORDERS_DDL = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+_NTZ_FMT = "yyyy-MM-dd HH:mm:ss"
+
+_SCAN_ORACLE = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    """
+
+
+def _stage(spark, sf_dir: str, fmt: str, writer_opts: dict) -> str:
+    work = tempfile.mkdtemp(prefix=f"sg_{fmt}_")
+    out = os.path.join(work, "orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartition(4)
+        .write.options(**writer_opts)
+        .format(fmt)
+        .mode("overwrite")
+        .save(out)
+    )
+    return out
+
+
+def _project(df):
+    return df.filter(F.col("o_totalprice") > 150000.0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+@query("s6_csv_scan", _SCAN_ORACLE)
+def s6_csv_scan(spark, sf_dir):
+    """CSV source scan. Explicit schema (no inference pass — a second
+    full read at 100 TB), pinned NTZ timestamp format, header files.
+    The totalprice filter reaches the CSV scan as a data filter;
+    unlike parquet there are no stats to prune with — the docstring
+    point of this query is that format choice changes scan cost, not
+    semantics."""
+    path = _stage(
+        spark, sf_dir, "csv",
+        {"header": "true", "timestampNTZFormat": _NTZ_FMT},
+    )
+    df = (
+        spark.read.schema(_ORDERS_DDL)
+        .options(header="true", timestampNTZFormat=_NTZ_FMT)
+        .csv(path)
+    )
+    return _project(df)
+
+
+@query("s7_jsonl_scan", _SCAN_ORACLE)
+def s7_jsonl_scan(spark, sf_dir):
+    """JSON-lines source scan: one JSON object per line, splittable,
+    schema-on-read with an explicit schema (inference at scale costs
+    a full extra pass and types drift per file)."""
+    path = _stage(spark, sf_dir, "json", {"timestampNTZFormat": _NTZ_FMT})
+    df = (
+        spark.read.schema(_ORDERS_DDL)
+        .options(timestampNTZFormat=_NTZ_FMT)
+        .json(path)
+    )
+    return _project(df)
+
+
+@query("s8_orc_scan", _SCAN_ORACLE)
+def s8_orc_scan(spark, sf_dir):
+    """ORC source scan — the columnar alternative lake format; stats-
+    based row-group pruning and predicate pushdown work as in parquet
+    (the filter appears as PushedFilters in the scan node)."""
+    path = _stage(spark, sf_dir, "orc", {})
+    df = spark.read.orc(path)
+    return _project(df)

@@ -74,6 +74,7 @@ def _load_all() -> None:
         asof_q,
         tpch_breadth,
         training_ops,
+        file_sources,
     )
 
     _LOADED = True
