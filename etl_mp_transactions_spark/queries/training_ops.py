@@ -184,3 +184,54 @@ def decontamination_overlap(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("shared_grams"))
     )
+
+
+@query(
+    "dedup_components",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(text, '\\s+')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a
+      JOIN toks b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+              / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Transitive closure of exact-Jaccard near-dup pairs: every doc
+    labeled with min(doc_id) of its duplicate cluster (singletons keep
+    their own id) — the stage that turns pair emitters into a usable
+    keep-one-per-cluster dedup. Iterative min-label propagation
+    (operators/components.py); oracle is a DuckDB recursive-CTE
+    reachability closure over the identical edge set."""
+    from etl_mp_transactions_spark.operators import textdedup
+    from etl_mp_transactions_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = textdedup.ngram_jaccard_pairs(docs, threshold=0.9).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(docs, edges)
