@@ -150,3 +150,51 @@ def test_score_filter_pinned_above_pair_joins(spark, sf_dir):
         assert any("rand(" in ln for ln in filter_lines), (
             "nondeterminism marker missing from the Filter node"
         )
+
+
+def test_q18_semijoin_broadcast_and_topn(spark, sf_dir):
+    from etl_mp_transactions_spark.registry import queries
+
+    plan = _plan(queries()["q18_large_orders"](spark, sf_dir))
+    # the HAVING key list joins back as a broadcast left-semi
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    # LIMIT 100 over a sort compiles to TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_no_cartesian_and_semi_anti(spark, sf_dir):
+    from etl_mp_transactions_spark.registry import queries
+
+    plan = _plan(queries()["q21_waiting_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_gopher_repetition_is_map_only(spark, sf_dir):
+    from etl_mp_transactions_spark.registry import queries
+
+    plan = _plan(queries()["gopher_repetition"](spark, sf_dir))
+    assert "Exchange" not in plan  # expression-level n-grams: no shuffle
+
+
+def test_dataset_split_is_map_only(spark, sf_dir):
+    from etl_mp_transactions_spark.registry import queries
+
+    plan = _plan(queries()["dataset_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_decontamination_semi_join_on_gram(spark, sf_dir):
+    from etl_mp_transactions_spark.registry import queries
+
+    plan = _plan(queries()["decontamination_overlap"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sparse_tfidf_no_python_udf(spark, sf_dir):
+    # the closed-form rewrite must stay JVM-side: no Arrow/Python eval
+    from etl_mp_transactions_spark.registry import queries
+
+    plan = _plan(queries()["j2_tfidf_exact_pairs"](spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
