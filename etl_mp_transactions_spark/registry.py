@@ -75,6 +75,7 @@ def _load_all() -> None:
         tpch_breadth,
         training_ops,
         file_sources,
+        breadth2,
     )
 
     _LOADED = True
