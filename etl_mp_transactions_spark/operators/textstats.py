@@ -172,47 +172,79 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     low-quality-generation signature a pretraining filter removes.
 
     All expression-level (array slices + zip_with — no explode, no
-    shuffle): a map-only scan at any corpus size. Per-doc cost is
-    O(distinct·total) for the top-word count and O(total) for the
-    n-gram sets — bounded by document length, not corpus size.
+    shuffle): a map-only scan at any corpus size. Per-doc cost is one
+    O(n log n) sort pass (top word via run-length) plus O(n) n-gram
+    builds — bounded by document length, not corpus size.
+
+    Physical care: tokens/2-grams/3-grams are let-bound (`let1`) and
+    the four metrics come out of ONE struct expanded through
+    `F.inline` — higher-order functions don't get common-subexpression
+    elimination, and a plain withColumn chain re-inlines the n-gram
+    arrays into every reference (g2 evaluated 5×: measured 3× slower
+    end-to-end at sf0.1).
     """
-    words = _tokens(F.col(text_col))
-    total = F.size(words)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda y: y == w)),
-        )
-    )
-    # 2-grams: zip each word with its successor; slice lengths clamp
-    # to empty on single-word docs (no sequence(1,0) descending trap)
-    len2 = F.greatest(total - 1, F.lit(0))
-    len3 = F.greatest(total - 2, F.lit(0))
-    g2 = F.zip_with(
-        F.slice(words, 1, len2),
-        F.slice(words, 2, len2),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    g3 = F.zip_with(
-        F.slice(g2, 1, len3),
-        F.slice(words, 3, len3),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    from etl_mp_transactions_spark.operators.textdedup import let1
 
-    def dup_frac(grams):
-        n = F.size(grams)
-        nd = F.size(F.array_distinct(grams))
-        return F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
-
-    return (
-        docs.withColumn("n_words", total.cast("long"))
-        .withColumn(
-            "top_word_frac",
-            F.when(total > 0, top_count.cast("double") / total).otherwise(F.lit(0.0)),
+    def body(words):
+        total = F.size(words)
+        # top-word count as a run-length fold over the sorted array;
+        # the transform(distinct, size(filter)) form is O(distinct·n)
+        top_count = F.aggregate(
+            F.array_sort(words),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, w: F.struct(
+                w.alias("prev"),
+                F.when(w == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
-        .withColumn("dup_2gram_frac", dup_frac(g2))
-        .withColumn("dup_3gram_frac", dup_frac(g3))
-    )
+        # slice lengths clamp to empty on short docs (no
+        # sequence(1,0) descending trap)
+        len2 = F.greatest(total - 1, F.lit(0))
+        len3 = F.greatest(total - 2, F.lit(0))
+
+        def dup_frac(grams):
+            n = F.size(grams)
+            nd = F.size(F.array_distinct(grams))
+            return F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
+
+        def with_g2(g2):
+            def with_g3(g3):
+                return F.struct(
+                    total.cast("long").alias("n_words"),
+                    F.when(total > 0, top_count.cast("double") / total)
+                    .otherwise(F.lit(0.0))
+                    .alias("top_word_frac"),
+                    dup_frac(g2).alias("dup_2gram_frac"),
+                    dup_frac(g3).alias("dup_3gram_frac"),
+                )
+
+            g3 = F.zip_with(
+                F.slice(g2, 1, len3),
+                F.slice(words, 3, len3),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+            return let1(g3, with_g3)
+
+        g2 = F.zip_with(
+            F.slice(words, 1, len2),
+            F.slice(words, 2, len2),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return let1(g2, with_g2)
+
+    metrics = let1(_tokens(F.col(text_col)), body)
+    # inline (a Generate node) expands the struct once per row;
+    # select("m.*") would be collapsed back into four copies
+    return docs.select("*", F.inline(F.array(metrics)))
 
 
 def word_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> Column:
