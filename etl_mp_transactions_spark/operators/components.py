@@ -51,11 +51,16 @@ def connected_components(
     ).union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
     sym = sym.localCheckpoint(eager=True)
 
-    labels = nodes.select(F.col(node_col).alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
+    # iterate only over nodes that touch an edge: singletons (the
+    # overwhelming majority of a deduped corpus) never change label
+    # and join back at the end — per-round frames shrink from |V| to
+    # |V_edges|
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("lbl", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=True)
 
+    done = None
     for _ in range(max_rounds):
         msgs = sym.join(labels, sym.a == labels.node).select(
             F.col("b").alias("node"), "lbl"
@@ -74,27 +79,37 @@ def connected_components(
         parent = cand.select(
             F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl")
         )
+        jumped = cand.join(parent, cand.lbl == F.col("p_node"), "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # carry the change flag inside the materialized frame: the
+        # convergence probe is then a scan-agg over the checkpoint,
+        # not an extra join job per round
         new_labels = (
-            cand.join(parent, cand.lbl == F.col("p_node"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))
-                ).alias("lbl"),
+            jumped.join(
+                labels.select("node", F.col("lbl").alias("old_lbl")), "node"
             )
+            .select("node", "lbl", (F.col("lbl") != F.col("old_lbl")).alias("chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.lbl") != F.col("n.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
-            return labels.select(F.col("node").alias(node_col), F.col("lbl").alias("component"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds — "
-        "pathological chain graph; switch to large-star/small-star"
+            done = labels
+            break
+    if done is None:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds — "
+            "pathological chain graph; switch to large-star/small-star"
+        )
+    all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    return (
+        all_nodes.join(done.select("node", "lbl"), "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce(F.col("lbl"), F.col("node")).alias("component"),
+        )
     )
