@@ -69,6 +69,27 @@ class PipelineSpec:
             loads=list(c.get("loads", [])),
         )
 
+    @classmethod
+    def from_yaml(cls, path: str, name: str) -> "PipelineSpec":
+        """YAML file → spec, reference config-format parity
+        (theetl/etl.py:26-43 + 45-61: a list of named pipeline dicts).
+        Both layouts are accepted: the reference's
+        ``[{name: ..., extraction: ...}, ...]`` list and the mapping
+        form ``{name: {extraction: ...}}``. Gated import: YAML support
+        degrades to from_config(dict) where pyyaml is absent."""
+        try:
+            import yaml
+        except ImportError as e:  # pragma: no cover - present in this env
+            raise ImportError(
+                "pyyaml not installed; parse the file yourself and use "
+                "PipelineSpec.from_config"
+            ) from e
+        with open(path) as fh:
+            raw = yaml.safe_load(fh)
+        if isinstance(raw, list):  # the reference's layout
+            raw = {c["name"]: c for c in raw}
+        return cls.from_config(raw, name)
+
 
 class Pipeline:
     """Composed DataFrame pipeline: extraction → transforms → filters

@@ -63,3 +63,34 @@ def test_pipeline_run_invokes_loads(spark):
 def test_unknown_pipeline_name():
     with pytest.raises(KeyError):
         PipelineSpec.from_config(CONFIG, "missing")
+
+
+def test_from_yaml_reference_list_layout(spark, tmp_path):
+    # the reference's YAML layout: a list of named pipeline dicts
+    # (theetl/etl.py:33 uses next(item for item if item['name']==...))
+    p = tmp_path / "etl.yaml"
+    p.write_text(
+        """
+- name: numbers
+  extraction: tests.test_pipeline.extract_numbers
+  transformations:
+    - tests.test_pipeline.double_it
+  filters:
+    - tests.test_pipeline.keep_big
+"""
+    )
+    spec = PipelineSpec.from_yaml(str(p), "numbers")
+    out = Pipeline(spec).dataframe(spark, {"n": 8})
+    assert [r["v"] for r in out.collect()] == [10, 12, 14]
+
+
+def test_from_yaml_mapping_layout(spark, tmp_path):
+    p = tmp_path / "etl.yaml"
+    p.write_text(
+        """
+numbers:
+  extraction: tests.test_pipeline.extract_numbers
+"""
+    )
+    spec = PipelineSpec.from_yaml(str(p), "numbers")
+    assert Pipeline(spec).dataframe(spark, {"n": 3}).count() == 3
