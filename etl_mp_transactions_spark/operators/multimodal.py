@@ -117,3 +117,98 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_hex", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 4, stride: int = 2
+) -> DataFrame:
+    """Frame sampling plumbing: treat `content` as a sequence of
+    fixed-size frames and emit every `stride`-th frame as its own row
+    — the 1→N mapInPandas fan-out a real video sampler uses (binary
+    in, per-frame rows out; a codec would replace the byte slicing).
+    Frames are surfaced as hex so downstream engines without blob
+    slicing can verify; a real pipeline keeps bytes.
+
+    Scale: map-only; output rows = assets × frames/stride, bounded by
+    the Arrow batch size per task. Blobs never shuffle — the fan-out
+    happens inside the task that read them."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hexes = [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                for i in range(0, len(b) // frame_bytes, stride):
+                    ids.append(int(asset_id))
+                    idxs.append(i)
+                    hexes.append(b[i * frame_bytes : (i + 1) * frame_bytes].hex().upper())
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_hex": hexes}
+            )
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("content_small", T.BinaryType()),
+        T.StructField(
+            "meta_small",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize plumbing: binary in → smaller binary out with updated
+    typed metadata — the mapInPandas contract of a real thumbnailer
+    (which would decode, scale, re-encode; here the deterministic
+    stand-in keeps every `factor`-th byte). Meta dimensions divide by
+    the factor so downstream layout logic sees consistent types.
+
+    Scale: map-only, output strictly smaller than input; the natural
+    place for this is the same pass that extracts features so blobs
+    are read once."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_content, out_meta = [], [], []
+            for asset_id, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                b = bytes(content)[::factor]
+                out_ids.append(int(asset_id))
+                out_content.append(b)
+                out_meta.append(
+                    {
+                        "width": int(meta["width"]) // factor,
+                        "height": int(meta["height"]) // factor,
+                        "n_bytes": len(b),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": out_ids,
+                    "content_small": out_content,
+                    "meta_small": out_meta,
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZE_SCHEMA)

@@ -77,3 +77,69 @@ def r1_stream_dedup(spark, sf_dir):
         key="event_id",
     )
     return out.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS asset_id, t.i::INT AS frame_idx,
+           substr(upper(md5(text) || md5('x' || text)), t.i * 8 + 1, 8)
+             AS frame_hex
+    FROM documents, unnest([0, 2, 4, 6]) AS t(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """§2.9 multimodal: sample every 2nd 4-byte frame of each video
+    asset's content via the mapInPandas fan-out (operators/multimodal.
+    sample_frames). The synthetic content is md5-derived, so the
+    oracle reproduces the exact frame bytes in hex-string space
+    (DuckDB has no blob slicing) — a FULL value oracle for the binary
+    plumbing, not a rows-only check."""
+    from etl_mp_transactions_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs).filter(F.col("media_type") == "video")
+    return sample_frames(assets, frame_bytes=4, stride=2)
+
+
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS asset_id,
+           list_aggregate(
+             list_transform(generate_series(0, 15),
+                            i -> substr(upper(md5(text) || md5('x' || text)),
+                                        i * 4 + 1, 2)),
+             'string_agg', '') AS content_small_hex,
+           (n_chars % 640) // 2 AS w_small,
+           (n_chars % 480) // 2 AS h_small,
+           16 AS n_bytes_small
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """§2.9 multimodal: thumbnail/resize plumbing for image assets —
+    every-2nd-byte downsample with metadata halving via mapInPandas
+    (operators/multimodal.resize_assets). Verified as a full value
+    oracle in hex-string space (every 2nd byte = hex pairs at even
+    offsets)."""
+    from etl_mp_transactions_spark.operators.multimodal import (
+        resize_assets,
+        synthesize_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs).filter(F.col("media_type") == "image")
+    r = resize_assets(assets, factor=2)
+    return r.select(
+        "asset_id",
+        F.hex("content_small").alias("content_small_hex"),
+        F.col("meta_small.width").cast("bigint").alias("w_small"),
+        F.col("meta_small.height").cast("bigint").alias("h_small"),
+        F.col("meta_small.n_bytes").cast("bigint").alias("n_bytes_small"),
+    )

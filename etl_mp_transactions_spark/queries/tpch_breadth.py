@@ -426,9 +426,12 @@ def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape: the double-correlated EXISTS / NOT EXISTS —
     suppliers whose line shipped last among multi-supplier finished
     orders. Adapted: "kept waiting" = strictly-latest l_shipdate (the
-    synthetic schema has no receipt/commit dates). Scale: all three
-    lineitem instances shuffle on the same orderkey — Spark reuses
-    the exchange; semi/anti joins carry the non-equi residuals."""
+    synthetic schema has no receipt/commit dates). Scale: at bench SF
+    AQE broadcasts every side (observed plan: 4 BroadcastHashJoins,
+    one exchange); at 100 TB the semi/anti sides exceed broadcast and
+    all three lineitem instances hash-shuffle on the same orderkey
+    key with the non-equi residuals as join conditions — no
+    CartesianProduct either way (pinned in test_plans.py)."""
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
