@@ -143,3 +143,44 @@ def multimodal_resize(spark, sf_dir):
         F.col("meta_small.height").cast("bigint").alias("h_small"),
         F.col("meta_small.n_bytes").cast("bigint").alias("n_bytes_small"),
     )
+
+
+@query(
+    "r6_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def r6_stream_tumbling(spark, sf_dir):
+    """R-ext streaming twin with a FULL oracle: watermarked tumbling-
+    window aggregation run as an AvailableNow stream (file source →
+    memory sink, complete mode so a finite run re-emits every window)
+    — the result must equal the batch/SQL aggregation bit-for-bit.
+    The production append-mode variant (watermark-finalized windows
+    only) is exercised in tests/test_streaming.py."""
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        stage_events_as_files,
+        stream_windowed_counts_run,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"sg_stream_win_{sf_tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    stage = os.path.join(work, "in")
+    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    return stream_windowed_counts_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        out_table=f"r6_win_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )

@@ -96,10 +96,17 @@ def stream_windowed_counts_run(
     out_table: str = "stream_window_out",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation over the event stream —
     the streaming twin of the batch `window_tumbling` query (same
-    F.window expression; late rows beyond the watermark drop)."""
+    F.window expression; late rows beyond the watermark drop).
+
+    output_mode: 'append' emits only watermark-finalized windows (the
+    production low-latency shape — windows above the final watermark
+    are withheld at end-of-stream); 'complete' re-emits every window,
+    which makes a finite AvailableNow run equal the batch aggregation
+    exactly — the mode the oracle-checked registry entry uses."""
     stream = stream_files_available_now(spark, src_dir, schema=_events_schema())
     # watermarks require TIMESTAMP (with-timezone); session TZ is UTC so
     # the ntz→ltz cast is instant-preserving
@@ -107,17 +114,23 @@ def stream_windowed_counts_run(
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n",
+            "total_value",
         )
     )
     q = (
         agg.writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
