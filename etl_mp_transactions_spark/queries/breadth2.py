@@ -174,3 +174,36 @@ def xor_checksum_udaf(spark, sf_dir):
             count_agg(F.col("h")).alias("n"),
         )
     )
+
+
+@query(
+    "json_array_roundtrip",
+    """
+    SELECT user_id, count(*) AS n,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def json_array_roundtrip(spark, sf_dir):
+    """Nested-JSON-array processing (C5/C6 extended): per-user event
+    arrays serialized with to_json, parsed back with a typed
+    from_json(array<struct>) schema, exploded, and re-aggregated. The
+    oracle aggregates the raw table directly — equality proves the
+    serialize→parse round trip is lossless, without brittle
+    JSON-string comparison across engines."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    arr_schema = T.ArrayType(T.StructType([T.StructField("event_id", T.LongType())]))
+    agg = ev.groupBy("user_id").agg(
+        F.to_json(F.sort_array(F.collect_list(F.struct("event_id")))).alias("j")
+    )
+    parsed = agg.select(
+        "user_id", F.explode(F.from_json("j", arr_schema)).alias("x")
+    )
+    return parsed.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.min("x.event_id").alias("min_id"),
+        F.max("x.event_id").alias("max_id"),
+    )

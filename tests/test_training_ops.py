@@ -67,3 +67,55 @@ def test_dataset_split_deterministic_and_complete(spark):
     assert a == b and len(a) > 0
     splits = {s for _, s in a}
     assert splits <= {"train", "val", "test"}
+
+
+def test_repetition_metrics_property_vs_python(spark):
+    # property parity: the let-bound expression pipeline must equal a
+    # literal Python implementation on arbitrary small word lists
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    word = st.sampled_from(["a", "b", "ab", "xyz", "q"])
+
+    def py_metrics(words):
+        total = len(words)
+        top = max(Counter(words).values()) if total else 0
+        g2 = [f"{words[i]} {words[i+1]}" for i in range(total - 1)]
+        g3 = [f"{words[i]} {words[i+1]} {words[i+2]}" for i in range(total - 2)]
+
+        def dup(g):
+            return (len(g) - len(set(g))) / len(g) if g else 0.0
+
+        return (
+            total,
+            top / total if total else 0.0,
+            dup(g2),
+            dup(g3),
+        )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=12), min_size=1, max_size=6))
+    def check(docs_words):
+        texts = [" ".join(ws) for ws in docs_words]
+        rows = repetition_metrics(
+            spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+        ).collect()
+        got = {
+            r["doc_id"]: (
+                r["n_words"],
+                r["top_word_frac"],
+                r["dup_2gram_frac"],
+                r["dup_3gram_frac"],
+            )
+            for r in rows
+        }
+        for i, ws in enumerate(docs_words):
+            want = py_metrics(ws)
+            assert got[i][0] == want[0]
+            for g, w in zip(got[i][1:], want[1:]):
+                assert abs(g - w) < 1e-12, (i, ws, got[i], want)
+
+    check()
