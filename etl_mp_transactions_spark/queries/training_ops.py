@@ -235,3 +235,62 @@ def dedup_components(spark, sf_dir):
         "doc_a", "doc_b"
     )
     return connected_components(docs, edges)
+
+
+@query(
+    "pii_redaction",
+    """
+    WITH raw AS (
+      SELECT c_custkey,
+             'contact ' || lower(c_name) || '@example.com or +1-555-'
+               || lpad((c_custkey % 10000)::VARCHAR, 4, '0')
+               || ' re account ' || c_acctbal AS note
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(note, '[a-z0-9#]+@[a-z.]+', '<EMAIL>', 'g'),
+             '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS note_redacted,
+           len(regexp_extract_all(note, '[a-z0-9#]+@[a-z.]+'))::BIGINT
+             + len(regexp_extract_all(note, '\\+1-555-[0-9]{4}'))::BIGINT
+             AS n_redactions,
+           substr(md5(c_custkey::VARCHAR || ':pii-salt-1'), 1, 16) AS pseudonym
+    FROM raw
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing for training corpora: regex redaction of emails
+    and phone numbers (synthesized deterministically into the fixture
+    text — the corpus itself contains none) plus salted-hash
+    pseudonymization of the subject key. Map-only scan; the redaction
+    count rides along so a quality gate can drop documents where
+    scrubbing density is suspicious. Patterns are kept in the
+    RE2∩Java-regex common subset so both engines execute the same
+    automaton."""
+    c = load_table(spark, sf_dir, "customer")
+    note = F.concat(
+        F.lit("contact "),
+        F.lower(F.col("c_name")),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" re account "),
+        F.col("c_acctbal").cast("string"),
+    )
+    email_re = "[a-z0-9#]+@[a-z.]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(note, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    n_red = (
+        F.size(F.regexp_extract_all(note, F.lit(email_re), F.lit(0))).cast("long")
+        + F.size(F.regexp_extract_all(note, F.lit(phone_re), F.lit(0))).cast("long")
+    )
+    pseudo = F.substring(
+        F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":pii-salt-1"))), 1, 16
+    )
+    return c.select(
+        "c_custkey",
+        redacted.alias("note_redacted"),
+        n_red.alias("n_redactions"),
+        pseudo.alias("pseudonym"),
+    )

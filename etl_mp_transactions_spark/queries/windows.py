@@ -198,3 +198,46 @@ def window_session(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "w5_value_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           first_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                       IGNORE NULLS) OVER w AS first_finished_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w5_value_functions(spark, sf_dir):
+    """§2.5 window value functions: first/last/nth value over an
+    explicit full-partition frame, plus the IGNORE NULLS variant
+    (first finished-order price) — the lookup shapes reporting
+    pipelines lean on. Frame spelled out because last_value over the
+    default frame is the classic silent-wrong-answer trap in both
+    engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    finished = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first(finished, ignorenulls=True).over(w).alias("first_finished_price"),
+    )
