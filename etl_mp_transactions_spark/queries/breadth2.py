@@ -207,3 +207,44 @@ def json_array_roundtrip(spark, sf_dir):
         F.min("x.event_id").alias("min_id"),
         F.max("x.event_id").alias("max_id"),
     )
+
+
+@query(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    WHERE value > 0.05
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """§2.5 unpivot (wide→long): three measure columns melted into
+    (measure, value) rows via the native unpivot operator — the
+    inverse of pivot_event_types. Map-only: Spark expands rows inside
+    the scan projection, no shuffle and no triple-scan (the oracle's
+    UNION ALL spelling reads the table three times; the engine reads
+    it once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["qty", "price", "discount"],
+            "measure",
+            "value",
+        )
+        .filter(F.col("value") > 0.05)
+    )
