@@ -76,6 +76,7 @@ def _load_all() -> None:
         training_ops,
         file_sources,
         breadth2,
+        breadth3,
     )
 
     _LOADED = True
