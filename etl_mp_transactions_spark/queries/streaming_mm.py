@@ -184,3 +184,49 @@ def r6_stream_tumbling(spark, sf_dir):
         out_table=f"r6_win_{uuid.uuid4().hex[:8]}",
         output_mode="complete",
     )
+
+
+@query(
+    "r7_stream_upsert",
+    """
+    SELECT user_id, event_id AS last_event_id,
+           ts AS last_ts, event_type AS last_type,
+           CAST(value AS DOUBLE) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def r7_stream_upsert(spark, sf_dir):
+    """Keep-latest streaming upsert with a FULL oracle: events staged
+    as 4 files, streamed one file per micro-batch through a
+    foreachBatch merge (newest row per user wins, event_id tiebreak).
+    The merge is max-by — associative and idempotent — so the final
+    state table must equal the batch 'latest event per user' exactly,
+    independent of file order and batch boundaries."""
+    import shutil
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        stage_events_as_files,
+        stream_upsert_latest_run,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"sg_stream_ups_{sf_tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    stage = os.path.join(work, "in")
+    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    out = stream_upsert_latest_run(
+        spark, stage, os.path.join(work, "ckpt"), os.path.join(work, "state")
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").cast("double").alias("last_value"),
+    )

@@ -139,6 +139,78 @@ def stream_windowed_counts_run(
     return spark.table(out_table)
 
 
+def stream_upsert_latest_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    key: str = "user_id",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Keep-latest upsert sink via ``foreachBatch`` — the streaming
+    MERGE INTO contract (R5 + K1): each micro-batch merges into a
+    keyed state table, newest row per key wins (ordered by ts, then
+    event_id as the deterministic tiebreak).
+
+    The merge is a max-by — associative, commutative, idempotent — so
+    the final table equals the batch "latest per key" regardless of
+    file arrival order or micro-batch boundaries, and batch replay
+    after a restart converges to the same state (exactly-once effect
+    without sink transactions).
+
+    State here is a versioned parquet swap (write v{batch}, then
+    retarget "live") because the sandbox has no table format; on a
+    real deployment this callback body is one ``MERGE INTO`` against
+    Delta/Iceberg and the swap bookkeeping disappears. Scale shape:
+    per-batch shuffle on the key only — old state is read back keyed,
+    never collected."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    stream = stream_files_available_now(
+        spark,
+        src_dir,
+        schema=_events_schema(),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    live = os.path.join(state_dir, "live")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.exists(live):
+            merged = (
+                sess.read.parquet(live)
+                .unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        else:
+            merged = latest
+        staged = os.path.join(state_dir, f"v{batch_id}")
+        # materialize the merge BEFORE dropping the old state: the swap
+        # is write-new → remove-old → rename, never read-while-delete
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(live, ignore_errors=True)
+        os.rename(staged, live)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(live)
+
+
 def _events_schema():
     """events schema with µs timestamps (streams are written by our own
     staging copy, which normalizes the nanos column)."""

@@ -55,3 +55,43 @@ def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_upsert_replay_converges_to_same_state(spark, sf_dir, tmp_path):
+    """foreachBatch keep-latest merge: replaying an already-seen file
+    after a 'restart' (same checkpoint + state dir) must leave the
+    state table unchanged — the merge is idempotent max-by."""
+    from pyspark.sql import functions as F
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        stream_upsert_latest_run,
+    )
+
+    stage = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+
+    out1 = stream_upsert_latest_run(spark, stage, ckpt, state)
+    snap1 = sorted(
+        out1.select("user_id", "event_id", "ts").collect(),
+        key=lambda r: r.user_id,
+    )
+    # per-key uniqueness and newest-wins vs the batch ground truth
+    ev = load_table(spark, sf_dir, "events")
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", F.col("m.event_id").alias("event_id"))
+    )
+    got = {(r.user_id, r.event_id) for r in out1.select("user_id", "event_id").collect()}
+    assert got == {(r.user_id, r.event_id) for r in expected.collect()}
+
+    part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(stage, part), os.path.join(stage, "replay.parquet"))
+    out2 = stream_upsert_latest_run(spark, stage, ckpt, state)
+    snap2 = sorted(
+        out2.select("user_id", "event_id", "ts").collect(),
+        key=lambda r: r.user_id,
+    )
+    assert snap1 == snap2
