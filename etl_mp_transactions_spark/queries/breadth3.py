@@ -216,3 +216,114 @@ def dataset_shard_assign(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "rolling_time_window",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS n_7d
+    FROM orders
+    """,
+)
+def rolling_time_window(spark, sf_dir):
+    """Time-RANGE window frame (§2.5, the frame kind w4's ROWS frames
+    don't cover): per-customer 7-day rolling order total. The frame is
+    value-based — all orders within 7 days, however many rows — so
+    ties share a frame and the sum is deterministic. Spark expresses
+    RANGE over time as rangeBetween on epoch seconds (same inclusive
+    [t-7d, t] semantics as the SQL INTERVAL frame). One shuffle on
+    custkey; the frame scan is a per-key sliding accumulator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # ntz → ltz → epoch seconds (UTC session, instant-preserving);
+        # ntz has no direct numeric cast
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d"),
+        F.count("*").over(w).alias("n_7d"),
+    )
+
+
+@query(
+    "percentile_bounds",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           quantile_cont(o_totalprice, 0.95) AS p95_exact,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY 1
+    """,
+)
+def percentile_bounds(spark, sf_dir):
+    """Exact interpolated percentiles (bit-identical to DuckDB's
+    quantile_cont — both linear-interpolate between order statistics)
+    next to the approx_percentile sketch, with the sketch's 5% error
+    envelope asserted inside the result, approx_distinct_bounds-style.
+    The exact form sorts per group (the verification cost); the sketch
+    is the 100 TB path — mergeable KLL-style partials, no global
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95_exact"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("p50_approx"),
+        F.expr("approx_percentile(o_totalprice, 0.95, 1000)").alias("p95_approx"),
+    )
+    within = (
+        F.abs(F.col("p50_approx") - F.col("p50_exact"))
+        <= F.col("p50_exact") * F.lit(0.05)
+    ) & (
+        F.abs(F.col("p95_approx") - F.col("p95_exact"))
+        <= F.col("p95_exact") * F.lit(0.05)
+    )
+    return agg.select(
+        "o_orderstatus", "p50_exact", "p95_exact", within.alias("approx_within_5pct")
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT floor(o_totalprice / 50000)::BIGINT AS bucket,
+           count(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Equi-width value histogram: fixed-width binning as a map-only
+    projection + one hash agg — the distribution profile every
+    quality dashboard draws. Bucket math stays in the scan projection
+    (floor of a double division by an exactly-representable width), so
+    the whole query is scan → partial agg → 1 small exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
