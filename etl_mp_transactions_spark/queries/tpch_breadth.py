@@ -513,3 +513,97 @@ def q22_dormant_customers(spark, sf_dir):
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure filter-aggregate — every predicate
+    (date range, discount band, quantity cap) sits in the scan and
+    pushes to parquet (PushedFilters + row-group min/max skip), then a
+    single global sum with map-side partials. The canonical 'is
+    pushdown working' probe: at 100 TB this query's cost is the
+    I/O the filters let through, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(d("l_extendedprice") * d("l_discount")).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier by quarterly revenue — a derived
+    aggregate view joined against its own scalar max (the classic
+    'argmax via self-referential subquery'). A literal scalar
+    subquery would scan-and-shuffle lineitem twice (verified on the
+    physical plan — two FileScans, no reuse); instead the global max
+    rides a whole-frame window over the already-aggregated revenue
+    view, so lineitem is scanned ONCE and the window only moves the
+    small supplier-level aggregate to a single partition (a dim-sized
+    exchange, not a fact-sized one). The final supplier join
+    broadcasts the (usually single-row) winner set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    from pyspark.sql import Window
+
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    top = (
+        revenue.withColumn("mx", mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .drop("mx")
+    )
+    return s.join(F.broadcast(top), s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
