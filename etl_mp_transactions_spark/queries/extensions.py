@@ -1,0 +1,106 @@
+"""Modern-Spark extension surfaces (§2.8): the VARIANT semi-structured
+type and Python UDTFs (user-defined *table* functions).
+
+Both are Spark-4 API families a user migrating off the reference would
+expect the engine to speak: VARIANT is the open-ended-JSON column type
+(parse once, extract typed paths lazily — the shredded successor to
+get_json_object string re-parsing), and UDTFs are the row→rows
+extension point (the reference's plugin transforms, SURVEY §2.8, when
+one input row fans out to many).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+@query(
+    "variant_json_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+           min(json_extract(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_json_stats(spark, sf_dir):
+    """VARIANT ingestion: parse the free-form props JSON into a
+    VARIANT column once, then extract a typed path with
+    try_variant_get. Unlike get_json_object (string re-parse per
+    extraction), VARIANT parses at ingest into a binary form and
+    each path extraction is a cheap traversal — the right shape when
+    one JSON column feeds many downstream extractions. The agg after
+    extraction is an ordinary hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "udtf_trigram_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    )
+    SELECT doc_id,
+           (length(l) - 2)::BIGINT AS n_grams,
+           length(list_distinct(list_transform(
+             list_zip(l[1:length(l)-2], l[2:length(l)-1], l[3:length(l)]),
+             z -> z[1] || ' ' || z[2] || ' ' || z[3])))::BIGINT
+             AS n_distinct_grams
+    FROM toks WHERE length(l) >= 3
+    """,
+)
+def udtf_trigram_stats(spark, sf_dir):
+    """Python UDTF (§2.8 row→rows extension point): an Arrow-optimized
+    table function emitting per-document trigram stats, invoked via
+    SQL LATERAL — the API a plugin author uses when a transform fans
+    one row out to N and can't be a scalar UDF. The JVM-only
+    expression twin exists (text_top_bigrams builds n-grams with
+    slice+zip_with); this entry covers the extension *API*: batch-
+    bounded Arrow transfer, typed return schema, lateral
+    correlation. Emitting the aggregate (not every gram) keeps the
+    Python→JVM transfer to one row per doc."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_grams: long, n_distinct_grams: long", useArrow=True)
+    class TrigramStats:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").lower().split() if t]
+            if len(toks) < 3:
+                return
+            grams = [
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            ]
+            yield len(grams), len(set(grams))
+
+    name = f"trigram_stats_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, TrigramStats)
+    docs = load_table(spark, sf_dir, "documents")
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.n_grams, t.n_distinct_grams
+        FROM {view} AS d, LATERAL {name}(d.text) AS t
+        """
+    )

@@ -77,6 +77,7 @@ def _load_all() -> None:
         file_sources,
         breadth2,
         breadth3,
+        extensions,
     )
 
     _LOADED = True
