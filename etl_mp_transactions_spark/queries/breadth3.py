@@ -31,10 +31,10 @@ from etl_mp_transactions_spark.sources.tables import load_table
       FROM daily GROUP BY 1
     ),
     cal AS (
-      SELECT s.event_type, s.lo + to_days(u.i::INT) AS d
+      SELECT s.event_type, (s.lo + to_days(u.i::INT))::DATE AS d
       FROM spans s, LATERAL (SELECT unnest(range(0, s.span + 1)) AS i) u
     )
-    SELECT cal.event_type, cal.d,
+    SELECT cal.event_type, strftime(cal.d, '%Y-%m-%d') AS d,
            coalesce(daily.n, 0) AS n,
            coalesce(daily.total_value, 0.0) AS total_value
     FROM cal LEFT JOIN daily USING (event_type, d)
@@ -66,9 +66,11 @@ def timeseries_gapfill(spark, sf_dir):
     )
     return (
         cal.join(F.broadcast(daily), ["event_type", "d"], "left")
+        # DATE rendered as ISO string: date-typed outputs compare
+        # unstably across engines' pandas exports (repo convention)
         .select(
             "event_type",
-            "d",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
             F.coalesce("n", F.lit(0)).alias("n"),
             F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         )

@@ -198,3 +198,52 @@ def test_sparse_tfidf_no_python_udf(spark, sf_dir):
 
     plan = _plan(queries()["j2_tfidf_exact_pairs"](spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.tpch_breadth import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    # every Q6 predicate must reach the parquet scan
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") :][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_gapfill_fact_not_exploded(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.breadth3 import timeseries_gapfill
+
+    plan = _plan(timeseries_gapfill(spark, sf_dir))
+    # the explode feeds off the aggregated spans dim, never the raw
+    # fact scan: Generate must sit above an aggregate, and the fill
+    # join must be broadcast (no shuffle of the calendar)
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" in plan
+    gen_pos = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen_pos:], "explode must be fed by the spans agg"
+
+
+def test_interval_concurrency_single_exchange_kind(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.breadth3 import interval_concurrency
+
+    plan = _plan(interval_concurrency(spark, sf_dir))
+    # sweep-line: no join at all (the naive form self-joins intervals)
+    assert "Join" not in plan
+    # all exchanges hash on event_type only — union + window + agg
+    # share the one partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bigrams_topk_take_ordered(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.breadth3 import text_top_bigrams
+
+    plan = _plan(text_top_bigrams(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_single_lineitem_scan(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.tpch_breadth import q15_top_supplier
+
+    plan = _plan(q15_top_supplier(spark, sf_dir))
+    assert plan.count("FileScan parquet [l_") == 1
