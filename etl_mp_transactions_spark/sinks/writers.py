@@ -59,3 +59,49 @@ def write_json_messages(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).option("maxRecordsPerFile", 500).text(path) if (
         df.columns == ["message"]
     ) else df.write.mode(mode).json(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> int:
+    """Small-file compaction — the maintenance op every long-running
+    ingest needs (streaming/per-file micro-batches accrete one file
+    per trigger; thousands of KB-files make listing and scan task
+    startup the bottleneck long before I/O does).
+
+    Rewrites the directory into ceil(total_bytes / target) files via a
+    round-robin repartition (no shuffle key — pure size balancing; a
+    sorted layout would use repartitionByRange instead). The rewrite
+    goes to a staging dir first, then swaps — readers never observe a
+    half-compacted table. Returns the new file count, or 0 if the
+    directory is already compact.
+
+    At scale this runs per-partition (compact yesterday's partition,
+    never the live one) so the rewrite unit is bounded and the swap is
+    one partition directory at a time."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if len(files) < min_files_to_compact:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    if n_out >= len(files):
+        return 0
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact-staging"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".compact-old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_out
