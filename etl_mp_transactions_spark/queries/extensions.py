@@ -104,3 +104,40 @@ def udtf_trigram_stats(spark, sf_dir):
         FROM {view} AS d, LATERAL {name}(d.text) AS t
         """
     )
+
+
+@query(
+    "approx_topk_bounds",
+    r"""
+    WITH t AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS n, TRUE AS sketch_exact
+    FROM t GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 5
+    """,
+)
+def approx_topk_bounds(spark, sf_dir):
+    """Frequent-items sketch (approx_top_k) with its claim verified
+    in-result, approx_distinct_bounds-style: the sketch's top-5 terms
+    are joined back to the exact counts and `sketch_exact` pins that
+    the sketch count equals the exact count (guaranteed here because
+    the vocabulary fits the sketch's tracked capacity — the regime
+    where DataSketches frequent-items is exact). At 100 TB vocab ≫
+    capacity: counts become (count, error-bound) pairs and this flag
+    would assert the bound instead; the sketch stays one mergeable
+    partial per partition vs the exact path's full token shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = toks.agg(F.expr("approx_top_k(tok, 5)").alias("t")).select(
+        F.explode("t").alias("e")
+    ).select(F.col("e.item").alias("tok"), F.col("e.count").alias("sketch_n"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return (
+        exact.join(F.broadcast(sk), "tok")
+        .select("tok", "n", (F.col("sketch_n") == F.col("n")).alias("sketch_exact"))
+    )
