@@ -329,3 +329,43 @@ def value_histogram(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "epoch_shuffle_order",
+    """
+    WITH keyed AS (
+      SELECT doc_id, md5('7-' || doc_id::VARCHAR) AS k,
+             ('0x' || substr(md5('7-' || doc_id::VARCHAR), 1, 8))::BIGINT % 16
+               AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+    FROM keyed
+    """,
+)
+def epoch_shuffle_order(spark, sf_dir):
+    """Deterministic epoch shuffle: training-data loaders need a
+    reproducible pseudo-random order per epoch — md5(seed || doc_id)
+    as the sort key gives the same permutation on any engine/cluster
+    size (unlike rand(), whose stream is partitioning-dependent).
+
+    The permutation is materialized as (shard, pos): shard from the
+    key prefix, position by a PER-SHARD window — no global row_number
+    (which would serialize through one partition). Readers consume
+    shards in index order; changing the seed re-deals both shard
+    membership and intra-shard order. One window shuffle on shard."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("7-"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        k.alias("k"),
+        (F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % 16).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
