@@ -247,3 +247,44 @@ def test_q15_single_lineitem_scan(spark, sf_dir):
 
     plan = _plan(q15_top_supplier(spark, sf_dir))
     assert plan.count("FileScan parquet [l_") == 1
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join: a 95%-hot key on the probe side must be split
+    into subpartitions at runtime (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed in the FINAL adaptive plan) — the engine's
+    no-manual-salt answer to skewed joins; manual salting (skew.py)
+    remains for aggregations, where AQE does not rebalance."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 50 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+        j = left.join(right, "k")
+        j.collect()  # AQE finalizes the plan only on execution
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
