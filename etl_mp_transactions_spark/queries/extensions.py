@@ -141,3 +141,51 @@ def approx_topk_bounds(spark, sf_dir):
         exact.join(F.broadcast(sk), "tok")
         .select("tok", "n", (F.col("sketch_n") == F.col("n")).alias("sketch_exact"))
     )
+
+
+@query(
+    "recursive_hierarchy_rollup",
+    """
+    WITH RECURSIVE walk(custkey, acctbal, anc, depth) AS (
+      SELECT c_custkey, c_acctbal, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, acctbal, anc // 10, depth + 1
+      FROM walk WHERE anc >= 10
+    )
+    SELECT anc AS root, depth, count(*) AS n,
+           CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM walk WHERE anc < 10
+    GROUP BY 1, 2
+    """,
+)
+def recursive_hierarchy_rollup(spark, sf_dir):
+    """Native recursive CTE (§2.5 modern-SQL surface, Spark 4):
+    hierarchical rollup over a synthetic decimal-digit forest
+    (parent(k) = k div 10) — each customer walks to its single-digit
+    root, then (root, depth) levels aggregate counts and balances.
+    The recursion is ACYCLIC and depth-bounded by key width (≤7
+    levels), which is exactly the regime Spark's UNION ALL-only
+    recursion supports: each iteration is one self-join step and the
+    fixpoint is reached when no row has anc >= 10. Cyclic closures
+    (dedup_components) deliberately stay on the iterative
+    pointer-jumping operator — UNION ALL recursion cannot terminate
+    on cycles; the two entries document the boundary."""
+    c = load_table(spark, sf_dir, "customer")
+    view = f"cust_{uuid.uuid4().hex[:8]}"
+    c.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(custkey, acctbal, anc, depth) AS (
+          SELECT c_custkey, c_acctbal, c_custkey, 0 FROM {view}
+          UNION ALL
+          SELECT custkey, acctbal, anc div 10, depth + 1
+          FROM walk WHERE anc >= 10
+        )
+        SELECT anc AS root, depth, count(*) AS n,
+               CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_balance
+        FROM walk WHERE anc < 10
+        GROUP BY 1, 2
+        """
+    )

@@ -288,3 +288,29 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe: pipeline quality metrics (row count, null-date
+    count) accumulated DURING the write — no second scan. The
+    production shape for 'emit row-quality counters with every batch'
+    (the reference logged these from its Python loop, one pass there
+    too; observe keeps the single pass at cluster scale)."""
+    from pyspark.sql import Observation
+
+    from etl_mp_transactions_spark.operators.silver import silver_transactions
+    from etl_mp_transactions_spark.sources.bronze import build_bronze
+
+    silver = silver_transactions(build_bronze(spark, sf_dir))
+    obs = Observation("quality")
+    observed = silver.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.when(F.try_to_date("transaction_date").isNull(), 1).otherwise(0)
+        ).alias("unparseable_dates"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["rows"] == silver.count()
+    assert 0 <= m["unparseable_dates"] <= m["rows"]
