@@ -35,10 +35,12 @@ from etl_mp_transactions_spark.sources.tables import load_table
     )
     SELECT l_returnflag, n,
            sx / n AS mean_qty,
-           sqrt(greatest((sxx - sx * sx / n) / n, 0)) AS stddev_pop_qty,
-           (sxy - sx * sy / n)
+           round(sqrt(greatest((sxx - sx * sx / n) / n, 0)), 12)
+             AS stddev_pop_qty,
+           round((sxy - sx * sy / n)
              / (sqrt(greatest(sxx - sx * sx / n, 0))
-                * sqrt(greatest(syy - sy * sy / n, 0))) AS corr_qty_price
+                * sqrt(greatest(syy - sy * sy / n, 0))), 12)
+             AS corr_qty_price
     FROM s
     """,
 )
@@ -62,13 +64,20 @@ def stats_via_sums(spark, sf_dir):
         "l_returnflag",
         "n",
         (sx / n).alias("mean_qty"),
-        F.sqrt(F.greatest((sxx - sx * sx / n) / n, F.lit(0.0))).alias("stddev_pop_qty"),
-        (
+        # round(12): the moment sums are bit-exact on both engines, but
+        # the derived sqrt/ratio drifts 1 ulp at some SFs (engine
+        # float-evaluation internals) — 1e-12 is far above that noise
+        # and far below any semantic tolerance for corr/stddev
+        F.round(
+            F.sqrt(F.greatest((sxx - sx * sx / n) / n, F.lit(0.0))), 12
+        ).alias("stddev_pop_qty"),
+        F.round(
             (sxy - sx * sy / n)
             / (
                 F.sqrt(F.greatest(sxx - sx * sx / n, F.lit(0.0)))
                 * F.sqrt(F.greatest(syy - sy * sy / n, F.lit(0.0)))
-            )
+            ),
+            12,
         ).alias("corr_qty_price"),
     )
 
