@@ -294,3 +294,77 @@ def pii_redaction(spark, sf_dir):
         n_red.alias("n_redactions"),
         pseudo.alias("pseudonym"),
     )
+
+
+@query(
+    "cluster_representatives",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(text, '\\s+')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a
+      JOIN toks b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.tokens, b.tokens))::DOUBLE
+              / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.9
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    ),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component, n_chars
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, doc_id
+      ) AS rn
+      FROM labeled
+    ) WHERE rn = 1
+    """,
+)
+def cluster_representatives(spark, sf_dir):
+    """The last stage of the dedup story: pairs → transitive clusters
+    → ONE kept document per cluster (longest doc wins, doc_id breaks
+    ties) — what a curation pipeline actually emits downstream.
+    Composition: ngram_jaccard_pairs → connected_components
+    (pointer-jumping) → per-component argmax window. The argmax is
+    one window shuffle on the component key; cluster sizes are
+    near-dup group sizes (small), so no skew concern."""
+    from pyspark.sql import Window
+
+    from etl_mp_transactions_spark.operators import textdedup
+    from etl_mp_transactions_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = textdedup.ngram_jaccard_pairs(docs, threshold=0.9).select(
+        "doc_a", "doc_b"
+    )
+    labeled = connected_components(docs, edges).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "n_chars")
+    )
