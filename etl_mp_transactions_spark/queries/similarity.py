@@ -73,7 +73,7 @@ _TFIDF_COS = """CAST(p.dot AS DOUBLE)
                 AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT p.doc_a, p.doc_b, {_TFIDF_COS} AS tfidf_cosine
+    SELECT p.doc_a, p.doc_b, round({_TFIDF_COS}, 12) AS tfidf_cosine
     FROM p
     JOIN s sa ON sa.doc_id = p.doc_a
     JOIN s sb ON sb.doc_id = p.doc_b
@@ -90,7 +90,12 @@ def j2_tfidf_exact_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     scored = anomaly.tfidf_pair_scores_sparse(docs)
-    return scored.filter(F.col("tfidf_cosine") >= 0.9)
+    # filter on the raw score; round only the *reported* value — the
+    # closed-form float expr drifts 1 ulp at some SFs (same class and
+    # fix as stats_via_sums)
+    return scored.filter(F.col("tfidf_cosine") >= 0.9).withColumn(
+        "tfidf_cosine", F.round("tfidf_cosine", 12)
+    )
 
 
 @query(
