@@ -13,13 +13,12 @@ import os
 
 from pyspark.sql import functions as F
 
-from etl_mp_transactions_spark.sources.tables import load_table
+from etl_mp_transactions_spark.sources.tables import SCHEMAS, load_table
 from etl_mp_transactions_spark.streaming.filesource import (
     run_available_now_to_parquet,
     stage_events_as_files,
     stream_files_available_now,
 )
-from etl_mp_transactions_spark.sources.tables import SCHEMAS
 
 
 def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
