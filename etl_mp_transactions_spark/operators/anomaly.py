@@ -211,18 +211,25 @@ def tfidf_pair_scores_sparse(docs: DataFrame, block_col: str = "source") -> Data
     equivalence with the literal formula is asserted to 1e-9 in
     tests/test_anomaly.py (float association differs, values agree).
     """
+    # split-on-\W+ then length>=2 yields exactly the \b\w\w+\b token
+    # multiset (maximal >=2-char word-char runs) at ~3x the throughput
+    # of regexp_extract_all with boundary assertions; equivalence is
+    # pinned by tests/test_anomaly.py and the DuckDB oracle, which
+    # still tokenizes with the literal sklearn pattern.
     tf = (
         docs.select(
             "doc_id",
             block_col,
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit(r"\b\w\w+\b"), F.lit(0)
-                )
-            ).alias("token"),
+            F.explode(F.split(F.lower(F.col("text")), r"\W+")).alias("token"),
         )
+        .filter(F.length("token") >= 2)
         .groupBy("doc_id", block_col, "token")
         .agg(F.count("*").alias("tf"))
+        # tf feeds three consumers (both join sides + the per-doc norm);
+        # without this Spark re-tokenizes the corpus three times. At
+        # scale the cache is distinct (doc, token) pairs — far smaller
+        # than the corpus — and spills to disk if needed.
+        .persist()
     )
     s = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("s2"))
 
