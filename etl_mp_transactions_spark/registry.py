@@ -73,6 +73,7 @@ def _load_all() -> None:
         curation,
         asof_q,
         tpch_breadth,
+        tpch_full,
         training_ops,
         file_sources,
         breadth2,
