@@ -1,0 +1,226 @@
+"""Training-data curation batch 5 (SURVEY.md §2.9): corpus-fit
+n-gram language-model quality scoring, temperature-weighted source
+mixture sampling, and space-filling-curve layout keys.
+
+All three are LLM-pipeline staples the reference lacks (its only
+text scoring is the per-pair TF-IDF of src/ai.py:21-25); each is
+expressed relationally so the DuckDB oracle checks exact values.
+
+Float policy: LM log-probs are per-distinct-gram ``ln`` terms
+multiplied by exact int64 counts and summed — summation order differs
+across engines/partitionings, so the *reported* average is rounded to
+9 dp on both sides (same class as stats_via_sums); all counts stay
+BIGINT end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+def _word_bigrams(text_col: Column) -> Column:
+    """All adjacent whitespace-token bigrams (occurrences, NOT
+    distinct — LM counts need the multiset), as 'w1 w2' strings."""
+    words = F.split(text_col, r"\s+")
+    glen = F.greatest(F.size(words) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(words, 1, glen),
+        F.slice(words, 2, glen),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+@query(
+    "ngram_lm_quality",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS words
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, g.gram AS gram, count(*)::BIGINT AS c
+      FROM (SELECT doc_id,
+                   list_transform(generate_series(1, len(words) - 1),
+                                  i -> words[i] || ' ' || words[i + 1])
+                     AS grams
+            FROM toks), unnest(grams) AS g(gram)
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT gram, split_part(gram, ' ', 1) AS w1, sum(c)::BIGINT AS cg
+      FROM occ GROUP BY 1, 2
+    ),
+    ctx AS (SELECT w1, sum(cg)::BIGINT AS cw FROM model GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT u.token)::BIGINT AS vocab
+      FROM toks, unnest(words) AS u(token)
+    )
+    SELECT o.doc_id,
+           sum(o.c)::BIGINT AS n_bigrams,
+           round(sum(o.c * ln((m.cg + 1)::DOUBLE / (x.cw + v.vocab)))
+                 / sum(o.c), 9) AS avg_logprob
+    FROM occ o
+    JOIN model m USING (gram)
+    JOIN ctx x ON m.w1 = x.w1
+    CROSS JOIN v
+    GROUP BY o.doc_id
+    """,
+)
+def ngram_lm_quality(spark, sf_dir):
+    """Perplexity-proxy quality score: fit a bigram LM on the corpus
+    itself (add-one smoothing, P(w2|w1) = (C(w1 w2)+1)/(C(w1·)+V))
+    and score each document by its mean bigram log-probability —
+    gibberish/boilerplate scores far below fluent text. The KenLM
+    step of production pipelines, reduced to exact relational algebra.
+
+    Scale shape: one shuffle to count (doc, gram) occurrences, one
+    gram-keyed agg for the model (vocab²-bounded, ≪ corpus), a
+    broadcast-size left-context table, and a scalar-vocab broadcast
+    crossJoin. The scoring join is gram-partitioned — corpus-linear,
+    and a hot gram contributes one model row, not a pair blowup."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id", F.explode(_word_bigrams(F.col("text"))).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    model = occ.groupBy("gram").agg(
+        F.sum("c").alias("cg")
+    ).withColumn("w1", F.substring_index(F.col("gram"), " ", 1))
+    ctx = model.groupBy("w1").agg(F.sum("cg").alias("cw"))
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        )
+        .agg(F.count_distinct("token").alias("vocab"))
+    )
+    term = F.col("c") * F.log(
+        (F.col("cg") + 1).cast("double") / (F.col("cw") + F.col("vocab"))
+    )
+    return (
+        occ.join(model.select("gram", "cg", "w1"), "gram")
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(F.sum(term) / F.sum("c"), 9).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "source_temperature_mix",
+    """
+    WITH n AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+    ),
+    w AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wgt FROM n),
+    z AS (SELECT sum(wgt) AS z FROM w),
+    r AS (
+      SELECT w.source, w.n_docs,
+             least(1.0, 200.0 * (w.wgt / z.z) / w.n_docs) AS rate
+      FROM w CROSS JOIN z
+    )
+    SELECT d.doc_id, d.source, round(r.rate, 12) AS sampling_rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix-seed-1'), 1, 8))::BIGINT
+          / 4294967296.0 < r.rate
+    """,
+)
+def source_temperature_mix(spark, sf_dir):
+    """Temperature-weighted source mixture (T=0.5, target 200 docs):
+    per-source keep rate ∝ n_s^T / n_s, so small sources are
+    up-weighted relative to their share — the standard multilingual /
+    multi-source rebalancing step. Membership is a salted content
+    hash (reproducible across runs, engines, partitionings), never
+    rand().
+
+    Scale: the rate table is one tiny per-source agg broadcast back;
+    the keep decision is map-only. The hash granularity (2^-32) is
+    coarse enough that the float rate's 1-ulp cross-engine drift
+    cannot flip a row."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = n.withColumn("wgt", F.sqrt(F.col("n_docs").cast("double")))
+    z = w.agg(F.sum("wgt").alias("z"))
+    r = (
+        w.crossJoin(F.broadcast(z))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0), F.lit(200.0) * (F.col("wgt") / F.col("z")) / F.col("n_docs")
+            ),
+        )
+        .select("source", "rate")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix-seed-1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(r), "source")
+        .filter(frac < F.col("rate"))
+        .select("doc_id", "source", F.round("rate", 12).alias("sampling_rate"))
+    )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton interleave of two `bits`-bit columns (x even positions,
+    y odd) — statically unrolled so the whole key is one codegen'd
+    expression, no higher-order functions."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "zorder_curve_key",
+    """
+    SELECT event_id,
+           user_id % 1024 AS x,
+           event_id % 1024 AS y,
+           list_sum(list_transform(generate_series(0, 9),
+             i -> (((user_id % 1024 >> i) & 1) << (2 * i))
+                + (((event_id % 1024 >> i) & 1) << (2 * i + 1))))::BIGINT
+             AS zkey
+    FROM events
+    """,
+)
+def zorder_curve_key(spark, sf_dir):
+    """Z-order (Morton) curve key over two dimensions — the layout
+    primitive behind multi-column data clustering: range-partitioning
+    and sorting by the interleaved key keeps files narrow in BOTH
+    dimensions at once, so min/max file pruning works for predicates
+    on either column (tests/test_scale_features.py measures the
+    locality on real files). Pure bit arithmetic, map-only, identical
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 1024).cast("bigint")
+    y = (F.col("event_id") % 1024).cast("bigint")
+    zkey = zorder_key(x, y, bits=10)
+    return ev.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        zkey.cast("bigint").alias("zkey"),
+    )

@@ -75,6 +75,7 @@ def _load_all() -> None:
         tpch_breadth,
         tpch_full,
         training_ops,
+        training_ops2,
         file_sources,
         breadth2,
         breadth3,
