@@ -230,3 +230,54 @@ def r7_stream_upsert(spark, sf_dir):
         F.col("event_type").alias("last_type"),
         F.col("value").cast("double").alias("last_value"),
     )
+
+
+@query(
+    "r8_stream_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def r8_stream_session(spark, sf_dir):
+    """R-ext streaming session windows with a FULL oracle: events
+    streamed as 4 files through a watermarked session_window
+    aggregation (AvailableNow, complete mode — finite run re-emits
+    every merged session), compared against the batch gaps-and-islands
+    sessionization. Cross-micro-batch session merging is the property
+    under test: a user's session split across files must come out as
+    one row."""
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        stage_events_as_files,
+        stream_session_counts_run,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"sg_stream_sess_{sf_tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    stage = os.path.join(work, "in")
+    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    return stream_session_counts_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        out_table=f"r8_sess_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )

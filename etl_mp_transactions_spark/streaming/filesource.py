@@ -139,6 +139,50 @@ def stream_windowed_counts_run(
     return spark.table(out_table)
 
 
+def stream_session_counts_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_session_out",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Watermarked session-window aggregation over the event stream —
+    the streaming twin of the batch `window_session` query (same
+    F.session_window expression; the state store merges sessions that
+    span micro-batch boundaries).
+
+    In complete mode a finite AvailableNow run emits every merged
+    session, so the result equals batch sessionization exactly — the
+    oracle-checked mode. Append mode (watermark-finalized sessions
+    only) is the production shape; sessions still open at end-of-
+    stream are withheld there, so it is exercised in tests, not the
+    oracle entry."""
+    stream = stream_files_available_now(spark, src_dir, schema=_events_schema())
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
 def stream_upsert_latest_run(
     spark: SparkSession,
     src_dir: str,
