@@ -80,6 +80,7 @@ def _load_all() -> None:
         breadth2,
         breadth3,
         extensions,
+        incremental,
     )
 
     _LOADED = True
