@@ -69,8 +69,14 @@ def incremental_mv_refresh(spark, sf_dir):
             )
         )
 
+    import uuid
+
+    # run-keyed dir: concurrent invocations at the same SF (driver
+    # correctness + bench can overlap) must not race on shared state
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    state_dir = os.path.join(tempfile.gettempdir(), f"sg_mv_state_{sf_tag}")
+    state_dir = os.path.join(
+        tempfile.gettempdir(), f"sg_mv_state_{sf_tag}_{uuid.uuid4().hex[:8]}"
+    )
     # build + persist the historical state (one-time cost in a real
     # deployment; re-staged per run here so the query is self-contained)
     partials(o.filter(F.col("o_orderdate") < cutoff)).write.mode(

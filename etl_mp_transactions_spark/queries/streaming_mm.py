@@ -233,6 +233,50 @@ def r7_stream_upsert(spark, sf_dir):
 
 
 @query(
+    "r9_stream_continuous_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def r9_stream_continuous_agg(spark, sf_dir):
+    """Continuous aggregate with a FULL oracle: events streamed one
+    file per micro-batch; each batch persists its partial (count +
+    exact-cents sum per hour/type) under a batch-id-keyed path —
+    idempotent under replay, so exactly-once without sink
+    transactions — and the readable view merges the partials. Must
+    equal the one-shot batch aggregation exactly; cents stay BIGINT
+    until the final render so merge order cannot drift a cent."""
+    import shutil
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        stage_events_as_files,
+        stream_continuous_agg_run,
+    )
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"sg_stream_cagg_{sf_tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    stage = os.path.join(work, "in")
+    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    out = stream_continuous_agg_run(
+        spark, stage, os.path.join(work, "ckpt"), os.path.join(work, "state")
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
     "r8_stream_session",
     """
     WITH flagged AS (

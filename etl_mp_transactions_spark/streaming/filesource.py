@@ -183,6 +183,70 @@ def stream_session_counts_run(
     return spark.table(out_table)
 
 
+def stream_continuous_agg_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Continuous aggregate (hypertable-rollup contract): each
+    micro-batch writes its *partial* aggregate (count + exact-cents
+    sum per (hour, event_type)) to a path keyed by the batch id; the
+    readable view merges all batch partials with one group-by.
+
+    Exactly-once without sink transactions: aggregate merges are NOT
+    idempotent under foreachBatch replay (a re-run batch would
+    double-count if merged in place), but an overwrite keyed by
+    batch_id is — replaying batch b rewrites ``b=<id>`` with identical
+    content instead of adding to it. Merge cost at read ∝ number of
+    batch partials × group cardinality (kilobytes each); a periodic
+    compaction folds old partials into one (same algebra, same
+    guarantee).
+
+    The batch twin is a plain groupBy over all events — equality is
+    the oracle statement (streaming partial-merge == batch)."""
+    stream = stream_files_available_now(
+        spark,
+        src_dir,
+        schema=_events_schema(),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def write_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "value_cents"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"b={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_partial)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", state_dir)
+        .parquet(os.path.join(state_dir, "b=*"))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            (F.sum("value_cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
 def stream_upsert_latest_run(
     spark: SparkSession,
     src_dir: str,

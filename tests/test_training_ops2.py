@@ -1,0 +1,88 @@
+"""Units for curation batch 5 + incremental surfaces: bigram-LM
+scores against hand-computed values, temperature-mix rate algebra,
+and continuous-aggregate replay safety."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_ngram_lm_hand_computed(spark, tmp_path, monkeypatch):
+    """3-doc corpus small enough to fit the model in your head:
+    corpus bigrams: 'a b' ×2 (docs 1,2), 'b a' ×1 (doc 2), 'c c' ×2
+    (doc 3, twice). V = 3 distinct unigrams {a, b, c}.
+    C(a·)=2, C(b·)=1, C(c·)=2.
+    doc1 = 'a b'      → ln((2+1)/(2+3)) = ln(3/5)
+    doc3 = 'c c c'    → 2·ln((2+1)/(2+3)) / 2 = ln(3/5)
+    doc2 = 'a b a'    → (ln(3/5) + ln((1+1)/(1+3))) / 2
+    """
+    from etl_mp_transactions_spark.queries.training_ops2 import ngram_lm_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "en", "src0", 3),
+            (2, "a b a", "en", "src0", 5),
+            (3, "c c c", "en", "src0", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = os.path.join(str(tmp_path), "documents.parquet")
+    docs.write.parquet(src)
+    out = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in ngram_lm_quality(spark, str(tmp_path)).collect()
+    }
+    ln35 = math.log(3 / 5)
+    assert out[1] == (1, round(ln35, 9))
+    assert out[3] == (2, round(ln35, 9))
+    assert out[2][0] == 2
+    assert abs(out[2][1] - (ln35 + math.log(2 / 4)) / 2) < 1e-9
+
+
+def test_temperature_mix_rates(spark, sf_dir):
+    """Rate algebra: rate_s = min(1, 200·sqrt(n_s)/Z/n_s) — small
+    sources get strictly higher keep rates; per-source keep counts
+    land within binomial range of rate·n."""
+    from etl_mp_transactions_spark.queries.training_ops2 import (
+        source_temperature_mix,
+    )
+    from etl_mp_transactions_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    z = sum(math.sqrt(v) for v in n.values())
+    kept = source_temperature_mix(spark, sf_dir).collect()
+    rates = {r.source: r.sampling_rate for r in kept}
+    for s, rate in rates.items():
+        expect = min(1.0, 200.0 * math.sqrt(n[s]) / z / n[s])
+        assert abs(rate - expect) < 1e-9, (s, rate, expect)
+    # smaller source → weakly larger rate
+    by_size = sorted(n, key=n.get)
+    for a, b in zip(by_size, by_size[1:]):
+        if a in rates and b in rates:
+            assert rates[a] >= rates[b] - 1e-12
+
+
+def test_continuous_agg_replay_adds_nothing(spark, sf_dir, tmp_path):
+    """Re-running the continuous aggregate with the same checkpoint
+    (no new files) processes zero batches and leaves the merged view
+    unchanged — and the state dir holds one partial per micro-batch,
+    the replay-idempotence unit (overwrite-by-batch-id)."""
+    from etl_mp_transactions_spark.streaming.filesource import (
+        stage_events_as_files,
+        stream_continuous_agg_run,
+    )
+
+    stage = os.path.join(str(tmp_path), "in")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    state = os.path.join(str(tmp_path), "state")
+    stage_events_as_files(spark, sf_dir, stage, n_files=3)
+    first = stream_continuous_agg_run(spark, stage, ckpt, state).collect()
+    batches = [d for d in os.listdir(state) if d.startswith("b=")]
+    assert len(batches) == 3, batches
+    second = stream_continuous_agg_run(spark, stage, ckpt, state).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert len([d for d in os.listdir(state) if d.startswith("b=")]) == 3
