@@ -148,3 +148,27 @@ def test_zorder_key_bits(spark, x, y, expect):
         .collect()[0]
     )
     assert row.z == expect
+
+
+def test_tpch_full_plan_shapes(spark, sf_dir):
+    """TPC-H completion batch physical pins: no Cartesian/nested-loop
+    joins anywhere except Q11's single-row scalar-total broadcast;
+    big-side shuffles stay at the documented counts (partsupp proxy =
+    one exchange; extra exchanges only where a second agg/window key
+    change is inherent). Dims always broadcast."""
+    from etl_mp_transactions_spark.queries import tpch_full
+
+    budgets = {  # (max hash exchanges, nested-loop joins allowed)
+        tpch_full.q2_min_cost_supplier: (2, 0),
+        tpch_full.q9_product_profit: (2, 0),
+        tpch_full.q11_important_stock: (4, 1),  # scalar total crossJoin
+        tpch_full.q16_supplier_cnt: (3, 0),
+        tpch_full.q20_excess_stock_suppliers: (3, 0),
+    }
+    for fn, (max_ex, nl_allowed) in budgets.items():
+        plan = _plan(fn(spark, sf_dir))
+        ex = plan.count("Exchange hashpartitioning")
+        nl = plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin")
+        assert ex <= max_ex, (fn.__name__, ex, plan[:500])
+        assert nl == nl_allowed, (fn.__name__, nl)
+        assert "BroadcastHashJoin" in plan, fn.__name__
