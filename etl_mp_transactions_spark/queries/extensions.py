@@ -189,3 +189,44 @@ def recursive_hierarchy_rollup(spark, sf_dir):
         GROUP BY 1, 2
         """
     )
+
+
+@query(
+    "sql_frontend_mix",
+    """
+    SELECT l.l_returnflag, l.l_linestatus,
+           count(*)::BIGINT AS n_lines,
+           count(DISTINCT o.o_custkey)::BIGINT AS n_customers,
+           SUM(CAST(ROUND(l.l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS sum_price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def sql_frontend_mix(spark, sf_dir):
+    """The ANSI-SQL front end as a first-class entry point: tables
+    registered as temp views, the query submitted as SQL text through
+    ``spark.sql`` — same Catalyst plan, pruning, and broadcast
+    behavior as the DataFrame API (they converge on one logical
+    plan). All sums in exact BIGINT units so the text can be
+    near-identical on both engines. A user of the reference's
+    SQL-embedded style (etl/extraction/bigquery.py:19-46) can run SQL
+    strings directly against this engine."""
+    for t in ("lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlfe_{t}")
+    return spark.sql(
+        """
+        SELECT l.l_returnflag, l.l_linestatus,
+               count(*) AS n_lines,
+               count(DISTINCT o.o_custkey) AS n_customers,
+               SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS sum_price_cents
+        FROM sqlfe_lineitem l JOIN sqlfe_orders o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP_NTZ '1997-06-01 00:00:00'
+        GROUP BY 1, 2
+        """
+    )
