@@ -151,3 +151,74 @@ def hll_sketch_rollup(spark, sf_dir):
             ).alias("within_5pct"),
         )
     )
+
+
+@query(
+    "dq_expectations",
+    """
+    SELECT 'orderkey_unique' AS check_name,
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT AS n_violations
+    UNION ALL
+    SELECT 'custkey_not_null',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'custkey_fk_customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+    UNION ALL
+    SELECT 'status_accepted_values',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F', 'O', 'P'))::BIGINT
+    UNION ALL
+    SELECT 'totalprice_non_negative',
+           (SELECT count(*) FROM orders WHERE o_totalprice < 0)::BIGINT
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectation suite (the dbt-test / Great-
+    Expectations shape): uniqueness, not-null, referential integrity,
+    accepted values, and range checks over `orders`, emitted as one
+    (check_name, n_violations) audit table — the contract gate a
+    pipeline runs before publishing a partition.
+
+    Scale: each check is the cheapest plan for its class — the unique
+    check is one agg on the key (count>1 groups), the FK check a
+    broadcast left-anti against the dim, the rest map-side conditional
+    sums fused into ONE scan via sum(CASE) so three row-level checks
+    cost a single pass. Violation counts (not booleans) so the audit
+    quantifies damage; zero rows is never silently conflated with
+    'check did not run'."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    dupes = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("orderkey_unique").alias("check_name"), "n_violations")
+    )
+    fk = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(F.lit("custkey_fk_customer").alias("check_name"), "n_violations")
+    )
+    # three row-level checks in one scan: conditional sums
+    rowchecks = o.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nn"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("av"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("rng"),
+    )
+    row_long = rowchecks.selectExpr(
+        """stack(3,
+             'custkey_not_null', nn,
+             'status_accepted_values', av,
+             'totalprice_non_negative', rng) AS (check_name, n_violations)"""
+    ).select("check_name", F.col("n_violations").cast("long"))
+    return dupes.unionByName(row_long).unionByName(fk)

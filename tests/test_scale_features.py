@@ -172,3 +172,33 @@ def test_tpch_full_plan_shapes(spark, sf_dir):
         assert ex <= max_ex, (fn.__name__, ex, plan[:500])
         assert nl == nl_allowed, (fn.__name__, nl)
         assert "BroadcastHashJoin" in plan, fn.__name__
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic: overwriting a partitioned sink
+    replaces ONLY the partitions present in the incoming batch — the
+    idempotent-backfill contract (re-run one day without nuking the
+    table). Static mode would truncate every partition first."""
+    out = os.path.join(str(tmp_path), "dyn")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").parquet(out)
+    days = [r.day for r in spark.read.parquet(out).select("day").distinct().collect()]
+    assert len(days) > 1
+    target = sorted(days)[0]
+    before_other = spark.read.parquet(out).filter(F.col("day") != target).count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill one day with a modified slice (half the rows)
+        ev.filter((F.col("day") == target) & (F.col("event_id") % 2 == 0)).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(out)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("day") != target).count() == before_other
+    expect_target = ev.filter(
+        (F.col("day") == target) & (F.col("event_id") % 2 == 0)
+    ).count()
+    assert after.filter(F.col("day") == target).count() == expect_target
