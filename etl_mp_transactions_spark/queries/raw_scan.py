@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.registry import query
-from etl_mp_transactions_spark.sources.bronze import build_bronze
+from etl_mp_transactions_spark.sources.bronze import staged_bronze
 
 
 @query(
@@ -31,7 +31,7 @@ from etl_mp_transactions_spark.sources.bronze import build_bronze
 )
 def s2_raw_scan(spark, sf_dir):
     """2-level flatten + 7-column projection (no metadata read)."""
-    bronze = build_bronze(spark, sf_dir)
+    bronze = staged_bronze(spark, sf_dir)
     p = bronze.select("company_id", F.explode("payload").alias("p"))
     lines = p.select(
         "company_id",

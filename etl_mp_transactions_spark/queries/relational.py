@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.operators.silver import silver_transactions
 from etl_mp_transactions_spark.registry import query
-from etl_mp_transactions_spark.sources.bronze import build_bronze
+from etl_mp_transactions_spark.sources.bronze import staged_bronze
 from etl_mp_transactions_spark.sources.tables import load_table
 
 # Shared SQL fragments for the bronze fixture's deterministic fields —
@@ -77,9 +77,11 @@ FROM flat
 @query("flagship_silver", _FLAGSHIP_ORACLE)
 def flagship_silver(spark, sf_dir):
     """S1+P1+P2+F1+J3+A2+C1+C2+C3 in one DAG (SURVEY.md §7 step 2):
-    nested bronze → flat typed silver. Shuffle-free after the fixture
-    nesting; the whole transform fuses into one codegen span."""
-    bronze = build_bronze(spark, sf_dir)
+    staged nested bronze parquet → flat typed silver. Shuffle-free
+    END-TO-END: the fixture arrives pre-nested (staged_bronze, as real
+    bronze would), so the whole query is scan → explode → project in
+    one codegen span — the honest shape of the production path."""
+    bronze = staged_bronze(spark, sf_dir)
     return silver_transactions(bronze, metadata_as_kv_string=True)
 
 

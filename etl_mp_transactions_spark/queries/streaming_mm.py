@@ -53,20 +53,27 @@ def r1_stream_dedup(spark, sf_dir):
     import uuid
 
     from etl_mp_transactions_spark.streaming.filesource import (
-        stage_events_as_files,
+        staged_events_cached,
         stream_dedup_run,
     )
 
     # fixed per-sf workdir, wiped at entry: repeated gate/bench runs
     # reuse one footprint instead of leaking a staging copy per call
     # (the returned DataFrame reads from this dir, so it must outlive
-    # the call — bounded reuse, not post-hoc deletion)
+    # the call — bounded reuse, not post-hoc deletion). The stage is
+    # file-copied from the immutable machine-level cache (this query
+    # mutates its stage with a replay file, so it needs a private copy;
+    # the copy is OS file I/O, not a Spark job).
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     work = os.path.join(tempfile.gettempdir(), f"sg_stream_{sf_tag}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     stage = os.path.join(work, "in")
-    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    cache = staged_events_cached(spark, sf_dir, n_files=4)
+    os.makedirs(stage, exist_ok=True)
+    for f in os.listdir(cache):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(cache, f), os.path.join(stage, f))
     # duplicate one input file → replayed notification
     part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
     shutil.copy(
@@ -167,7 +174,7 @@ def r6_stream_tumbling(spark, sf_dir):
     import uuid
 
     from etl_mp_transactions_spark.streaming.filesource import (
-        stage_events_as_files,
+        staged_events_cached,
         stream_windowed_counts_run,
     )
 
@@ -175,8 +182,7 @@ def r6_stream_tumbling(spark, sf_dir):
     work = os.path.join(tempfile.gettempdir(), f"sg_stream_win_{sf_tag}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
-    stage = os.path.join(work, "in")
-    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
     return stream_windowed_counts_run(
         spark,
         stage,
@@ -210,7 +216,7 @@ def r7_stream_upsert(spark, sf_dir):
     import shutil
 
     from etl_mp_transactions_spark.streaming.filesource import (
-        stage_events_as_files,
+        staged_events_cached,
         stream_upsert_latest_run,
     )
 
@@ -218,8 +224,7 @@ def r7_stream_upsert(spark, sf_dir):
     work = os.path.join(tempfile.gettempdir(), f"sg_stream_ups_{sf_tag}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
-    stage = os.path.join(work, "in")
-    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
     out = stream_upsert_latest_run(
         spark, stage, os.path.join(work, "ckpt"), os.path.join(work, "state")
     )
@@ -255,7 +260,7 @@ def r9_stream_continuous_agg(spark, sf_dir):
     import shutil
 
     from etl_mp_transactions_spark.streaming.filesource import (
-        stage_events_as_files,
+        staged_events_cached,
         stream_continuous_agg_run,
     )
 
@@ -263,8 +268,7 @@ def r9_stream_continuous_agg(spark, sf_dir):
     work = os.path.join(tempfile.gettempdir(), f"sg_stream_cagg_{sf_tag}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
-    stage = os.path.join(work, "in")
-    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
     out = stream_continuous_agg_run(
         spark, stage, os.path.join(work, "ckpt"), os.path.join(work, "state")
     )
@@ -308,7 +312,7 @@ def r8_stream_session(spark, sf_dir):
     import uuid
 
     from etl_mp_transactions_spark.streaming.filesource import (
-        stage_events_as_files,
+        staged_events_cached,
         stream_session_counts_run,
     )
 
@@ -316,8 +320,7 @@ def r8_stream_session(spark, sf_dir):
     work = os.path.join(tempfile.gettempdir(), f"sg_stream_sess_{sf_tag}")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
-    stage = os.path.join(work, "in")
-    stage_events_as_files(spark, sf_dir, stage, n_files=4)
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
     return stream_session_counts_run(
         spark,
         stage,

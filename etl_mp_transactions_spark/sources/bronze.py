@@ -113,6 +113,51 @@ def build_bronze(
     return bronze
 
 
+# bump when the fixture derivation above changes — the staged parquet
+# cache below is keyed by it
+_BRONZE_FIXTURE_VERSION = "v1"
+
+
+def staged_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bronze fixture as a *staged nested parquet* — the realistic
+    input shape (at 100 TB bronze arrives already nested from the
+    source; nobody re-derives it per query). Built once per
+    (SF, fixture-version) on this machine, then every consumer —
+    flagship silver, s2 raw scan, the driver's repeated correctness
+    runs, bench — is a pure scan→flatten pipeline with the nesting
+    shuffle paid zero times, not once per query run.
+
+    Concurrency-safe publish: build into a uuid-keyed temp dir, then
+    atomically rename into place; a concurrent loser just reads the
+    winner's copy. Content is a pure function of (orders, lineitem),
+    so any published copy is identical."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_bronze_{_BRONZE_FIXTURE_VERSION}_{sf_tag}",
+    )
+    marker = os.path.join(target, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{target}.build-{uuid.uuid4().hex[:8]}"
+        build_bronze(spark, sf_dir).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, target)
+        except OSError:
+            # lost the publish race (or a partial dir exists): keep the
+            # winner if it is complete, else replace it
+            if os.path.exists(marker):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(staging, target)
+    return spark.read.parquet(target)
+
+
 def _company_id():
     return F.concat(F.lit("comp-"), (F.col("o_custkey") % 10).cast("string"))
 

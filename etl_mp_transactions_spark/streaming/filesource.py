@@ -337,3 +337,41 @@ def stage_events_as_files(
     ev = load_table(spark, sf_dir, "events")
     ev.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
     return stage_dir
+
+
+# bump when the staging layout above changes (cache key below)
+_EVENTS_STAGE_VERSION = "v1"
+
+
+def staged_events_cached(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Immutable staged copy of the events table, built once per
+    (SF, n_files, version) on this machine with an atomic-rename
+    publish — streaming queries stream FROM here (or file-copy from
+    here when they need a private mutable stage), so repeated
+    gate/bench runs pay the staging Spark job zero times instead of
+    once per query run. Content is a pure function of the source
+    table, so any published copy is identical."""
+    import shutil
+    import tempfile
+    import uuid
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_events_stage_{_EVENTS_STAGE_VERSION}_{sf_tag}_{n_files}",
+    )
+    marker = os.path.join(target, "_SUCCESS")
+    if not os.path.exists(marker):
+        staging = f"{target}.build-{uuid.uuid4().hex[:8]}"
+        stage_events_as_files(spark, sf_dir, staging, n_files=n_files)
+        try:
+            os.rename(staging, target)
+        except OSError:
+            if os.path.exists(marker):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(staging, target)
+    return target
