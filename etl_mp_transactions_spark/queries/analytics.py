@@ -1,0 +1,161 @@
+"""Product-analytics breadth: grouped closed-form regression, funnel
+conversion, cohort retention — the reporting shapes every
+events-table consumer runs, expressed with exact integer moments so
+the DuckDB oracle matches bit-for-bit.
+
+Float policy: every sum is an exact BIGINT moment (cents, counts,
+day numbers); the one float expression per query happens once, after
+aggregation, identically in both engines (same class as
+stats_via_sums). No rounding gymnastics needed because no
+order-dependent double accumulation exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+@query(
+    "grouped_linreg",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*)::BIGINT AS n,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sy,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sxx,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100 AS slope,
+           (CAST(sy AS DOUBLE) / n
+            - CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * sx / n) / 100
+             AS intercept
+    FROM m
+    """,
+)
+def grouped_linreg(spark, sf_dir):
+    """Per-group OLS fit (price ~ quantity per return flag) from
+    closed-form moments: one partial+final agg collects the five
+    BIGINT sums (n, Σx, Σy, Σx², Σxy), the slope/intercept division
+    happens once per group after aggregation. The grouped-ML-lite
+    shape (regression per segment) without any Python: exact,
+    order-independent, one shuffle on the group key. Spark's built-in
+    regr_slope accumulates doubles (order-dependent at cluster scale);
+    the integer-moment form is deterministic by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (slope / 100).alias("slope"),
+        (intercept / 100).alias("intercept"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END)::BIGINT AS n_view,
+           count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 END)::BIGINT AS n_click_after_view,
+           count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                      THEN 1 END)::BIGINT AS n_purchase_after_click
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): users counted at each
+    step only if their FIRST occurrence of the step follows their
+    first occurrence of the previous one — the strict-ordering funnel
+    (a click before any view does not convert). One shuffle on
+    user_id collapses each user to a 3-timestamp row; the funnel
+    logic is then a width-3 conditional count, not a self-join per
+    step (the naive k-step funnel is k-1 joins; this is none)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(stage1, 1)).alias("n_view"),
+        F.count(F.when(stage2, 1)).alias("n_click_after_view"),
+        F.count(F.when(stage3, 1)).alias("n_purchase_after_click"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firstday AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', f.cohort_day, CAST(e.ts AS DATE))::BIGINT
+             AS day_offset,
+           count(DISTINCT e.user_id)::BIGINT AS active_users
+    FROM events e JOIN firstday f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day,
+    activity counted per (cohort, day-offset) — the table behind every
+    retention curve. Two shuffles: one user-keyed agg for cohort
+    assignment (broadcast back — the cohort map is |users|, far
+    smaller than events), one (cohort, offset) distinct-count.
+    day_offset arithmetic is integer date math, engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(firstday, "user_id")
+        .groupBy(
+            # ISO string render: cross-engine date dtypes disagree in
+            # pandas space (date vs datetime64) — same fix as gapfill
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("bigint").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

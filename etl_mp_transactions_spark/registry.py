@@ -81,6 +81,7 @@ def _load_all() -> None:
         breadth3,
         extensions,
         incremental,
+        analytics,
     )
 
     _LOADED = True
