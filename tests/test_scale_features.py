@@ -202,3 +202,33 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
         (F.col("day") == target) & (F.col("event_id") % 2 == 0)
     ).count()
     assert after.filter(F.col("day") == target).count() == expect_target
+
+
+def test_new_batch_plan_shapes(spark, sf_dir):
+    """Round-4 analytics/curation plan pins: funnel and OLS are one
+    partial+final agg (single hash exchange); the temperature mix
+    joins docs against a broadcast rate table (no doc-side shuffle);
+    the LM scorer and DQ audit never degenerate to nested loops."""
+    from etl_mp_transactions_spark.queries.analytics import (
+        funnel_conversion,
+        grouped_linreg,
+    )
+    from etl_mp_transactions_spark.queries.incremental import dq_expectations
+    from etl_mp_transactions_spark.queries.training_ops2 import (
+        ngram_lm_quality,
+        source_temperature_mix,
+    )
+
+    p = _plan(funnel_conversion(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p[:400]
+
+    p = _plan(grouped_linreg(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p[:400]
+
+    p = _plan(source_temperature_mix(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    for fn in (ngram_lm_quality, dq_expectations):
+        p = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, fn.__name__
