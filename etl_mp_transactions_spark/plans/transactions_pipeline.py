@@ -117,3 +117,15 @@ def build_pipeline(**runtime) -> BoundPipeline:
     """runtime: bronze_path, silver_path, messages_path, seen_path
     (optional), partitions (optional F1 binding)."""
     return BoundPipeline(runtime)
+
+
+def to_silver_kv(df: DataFrame, params: dict) -> DataFrame:
+    """to_silver with the oracle-canonical metadata rendering (sorted
+    'k=v;…' string) — the stage the driver-checked declarative entry
+    uses so its output is comparable to flagship_silver's oracle."""
+    return silver_transactions(
+        df, partitions=params.get("partitions"), metadata_as_kv_string=True
+    )
+
+
+to_silver_kv.wants_params = True

@@ -393,3 +393,34 @@ def j3_explode_outer(spark, sf_dir):
         F.col("x.l_linenumber").alias("l_linenumber"),
         F.col("x.l_extendedprice").alias("l_extendedprice"),
     )
+
+
+@query("declarative_pipeline_silver", _FLAGSHIP_ORACLE)
+def declarative_pipeline_silver(spark, sf_dir):
+    """§2.8: the theetl-analog declarative pipeline spec driven
+    through the correctness gate — stages referenced by dotted name
+    (the reference's YAML plugin contract, theetl/etl.py:24-105),
+    resolved at run time, composed lazily into ONE logical plan. Must
+    equal flagship_silver exactly: declarative wiring is plan syntax,
+    not a different engine path. The full load-bearing pipeline
+    (sinks, seen-keys dedup) is exercised in
+    tests/test_transactions_pipeline.py; this entry pins the
+    extraction→transformation composition."""
+    from etl_mp_transactions_spark.plans.pipeline import Pipeline, PipelineSpec
+    from etl_mp_transactions_spark.sources.bronze import staged_bronze_path
+
+    bronze_path = staged_bronze_path(spark, sf_dir)
+    spec = PipelineSpec.from_config(
+        {
+            "transactions_gate": {
+                "extraction": "etl_mp_transactions_spark.plans."
+                "transactions_pipeline.extract_bronze",
+                "transformations": [
+                    "etl_mp_transactions_spark.plans."
+                    "transactions_pipeline.to_silver_kv",
+                ],
+            }
+        },
+        "transactions_gate",
+    )
+    return Pipeline(spec).dataframe(spark, {"bronze_path": bronze_path})

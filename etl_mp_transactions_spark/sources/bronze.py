@@ -131,6 +131,13 @@ def staged_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomically rename into place; a concurrent loser just reads the
     winner's copy. Content is a pure function of (orders, lineitem),
     so any published copy is identical."""
+    return spark.read.parquet(staged_bronze_path(spark, sf_dir))
+
+
+def staged_bronze_path(spark: SparkSession, sf_dir: str) -> str:
+    """Publish (if absent) and return the staged bronze parquet path —
+    for consumers that need the path itself (the declarative pipeline
+    spec binds it as the extraction param)."""
     import os
     import shutil
     import tempfile
@@ -155,7 +162,7 @@ def staged_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 shutil.rmtree(target, ignore_errors=True)
                 os.rename(staging, target)
-    return spark.read.parquet(target)
+    return target
 
 
 def _company_id():
