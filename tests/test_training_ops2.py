@@ -86,3 +86,22 @@ def test_continuous_agg_replay_adds_nothing(spark, sf_dir, tmp_path):
     second = stream_continuous_agg_run(spark, stage, ckpt, state).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
     assert len([d for d in os.listdir(state) if d.startswith("b=")]) == 3
+
+
+def test_lm_quality_partition_invariant(spark, sf_dir):
+    """The rounded LM score must not depend on physical parallelism:
+    double-sum order varies with shuffle partitioning, and the 9-dp
+    round is the documented absorber. Run the same query under two
+    partition counts and require identical output — the determinism
+    contract every float-emitting query in the registry claims."""
+    from etl_mp_transactions_spark.queries.training_ops2 import ngram_lm_quality
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, ngram_lm_quality(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, ngram_lm_quality(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
