@@ -105,3 +105,44 @@ def test_lm_quality_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_stream_session_append_subset(spark, sf_dir, tmp_path):
+    """Append-mode session windows (the unbounded production shape)
+    emit only watermark-finalized sessions — every emitted row must
+    match the batch sessionization exactly (same user/start/count),
+    with no duplicates; sessions still open at end-of-stream are
+    withheld, so the emitted set is a subset."""
+    from pyspark.sql import functions as F
+
+    from etl_mp_transactions_spark.sources.tables import load_table
+    from etl_mp_transactions_spark.streaming.filesource import (
+        staged_events_cached,
+        stream_session_counts_run,
+    )
+
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
+    out = stream_session_counts_run(
+        spark,
+        stage,
+        os.path.join(str(tmp_path), "ckpt"),
+        out_table="r8_append_test",
+        output_mode="append",
+    ).collect()
+    assert len(out) > 0
+    keys = [(r.user_id, r.session_start, r.n_events) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate sessions emitted"
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert set(keys) <= batch, "append emitted a session batch disagrees with"
