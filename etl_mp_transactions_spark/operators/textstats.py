@@ -261,3 +261,74 @@ def word_ngrams(docs: DataFrame, n: int, text_col: str = "text") -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return F.array_distinct(acc)
+
+
+def winnow_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint (the MOSS rolling-hash scheme) over WORD
+    k-shingles: hash every k-word shingle of the normalized text, keep
+    the minimum hash of each sliding window of `window` shingles — the
+    selected set provably shares members for any sufficiently long
+    common word run between documents, which whole-doc hashing cannot
+    do. Word shingles (not char grams) keep the hash count ~10x lower
+    at identical guarantee granularity — the at-scale choice.
+
+    Pure expressions, map-only, no shuffle, no Python. Emits per doc:
+    `n_selected` (distinct winnowed hashes) and `fp_digest` (md5 of
+    the sorted selected set) — join-friendly and oracle-exact. Docs
+    shorter than k words select nothing (digest of '').
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+    )
+    words = F.split(norm, " ")
+
+    def _seq_1_to(n):
+        # sequence(1, 0) DESCENDS in Spark (step defaults to -1 when
+        # stop < start) while DuckDB's generate_series returns empty —
+        # guard short docs explicitly so both engines agree
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    shingles = F.zip_with(
+        F.zip_with(
+            F.slice(words, 1, F.greatest(F.size(words) - (k - 1), F.lit(0))),
+            F.slice(words, 2, F.greatest(F.size(words) - (k - 1), F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(words, 3, F.greatest(F.size(words) - (k - 1), F.lit(0))),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    # each step lands in a REAL column before the next lambda uses it:
+    # nested higher-order functions get no common-subexpression
+    # elimination, so inlining `hashes` into the window lambda would
+    # recompute every shingle hash per window — O(n^2) md5 per row
+    hashed = docs.withColumn(
+        "_wf_hashes",
+        F.transform(
+            shingles,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+        ),
+    )
+    h = F.col("_wf_hashes")
+    minima = F.transform(
+        _seq_1_to(F.size(h) - (window - 1)),
+        lambda j: F.array_min(F.slice(h, j, window)),
+    )
+    winnowed = hashed.withColumn(
+        "_wf_sel", F.array_sort(F.array_distinct(minima))
+    )
+    sel = F.col("_wf_sel")
+    return (
+        winnowed.withColumn("n_selected", F.size(sel).cast("bigint"))
+        .withColumn(
+            "fp_digest",
+            F.md5(F.array_join(F.transform(sel, lambda x: x.cast("string")), ",")),
+        )
+        .drop("_wf_hashes", "_wf_sel")
+    )

@@ -224,3 +224,44 @@ def zorder_curve_key(spark, sf_dir):
         y.alias("y"),
         zkey.cast("bigint").alias("zkey"),
     )
+
+
+@query(
+    "text_winnowing",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 2),
+               i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT)
+               AS hashes
+      FROM n
+    ),
+    m AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(generate_series(1, len(hashes) - 3),
+                 j -> list_min(hashes[j:j+3])))) AS sel
+      FROM h
+    )
+    SELECT doc_id, len(sel)::BIGINT AS n_selected,
+           md5(array_to_string(sel, ',')) AS fp_digest
+    FROM m
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Winnowing rolling-hash fingerprint (MOSS): word 3-shingle
+    hashes, window-4 minima, sorted-distinct selection digest — the
+    fingerprint family's substring-robust member (two docs sharing a
+    long substring share selected hashes; whole-doc md5 shares
+    nothing). Map-only expressions; see operators/textstats.
+    winnow_fingerprint for the guarantee."""
+    from etl_mp_transactions_spark.operators.textstats import winnow_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprint(docs).select("doc_id", "n_selected", "fp_digest")

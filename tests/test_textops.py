@@ -130,3 +130,63 @@ def test_minhash_band_bucket_cap_bounds_adversarial_corpus(spark):
     got_u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
     # the cap only drops candidates, never invents them
     assert got_c <= got_u
+
+
+def test_winnowing_shares_hashes_on_common_run(spark):
+    """The winnowing guarantee: two documents sharing a long word run
+    share at least one selected hash; unrelated documents share none
+    (with overwhelming probability at 32-bit hashes)."""
+    from etl_mp_transactions_spark.operators.textstats import winnow_fingerprint
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {common} closing remark"),
+            (2, f"{common} totally different tail content follows now"),
+            (3, "unrelated text about database engines and shuffles forever"),
+        ],
+        "doc_id long, text string",
+    )
+    # inspect the internal selected sets via the public columns: equal
+    # fp_digest is too strong (tails differ), so re-derive the sets
+    from pyspark.sql import functions as F
+
+    sel = (
+        winnow_fingerprint(docs)
+        .select("doc_id", "n_selected", "fp_digest")
+        .collect()
+    )
+    assert all(r.n_selected > 0 for r in sel)
+
+    # set-level assertion through a self-join on exploded minima:
+    # recompute with the operator's internals exposed
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "))
+    words = F.split(norm, " ")
+    n3 = F.greatest(F.size(words) - 2, F.lit(0))
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(words, 1, n3), F.slice(words, 2, n3),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        F.slice(words, 3, n3),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    hashes = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                sh, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+            )
+        ).alias("h"),
+    )
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy("a.doc_id", "b.doc_id")
+        .count()
+        .collect()
+    )
+    got = {(r[0], r[1]) for r in shared}
+    assert (1, 2) in got          # common run -> shared shingle hashes
+    assert (1, 3) not in got and (2, 3) not in got
