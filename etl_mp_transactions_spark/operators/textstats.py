@@ -268,6 +268,7 @@ def winnow_fingerprint(
     text_col: str = "text",
     k: int = 3,
     window: int = 4,
+    keep_selected: bool = False,
 ) -> DataFrame:
     """Winnowing fingerprint (the MOSS rolling-hash scheme) over WORD
     k-shingles: hash every k-word shingle of the normalized text, keep
@@ -324,11 +325,14 @@ def winnow_fingerprint(
         "_wf_sel", F.array_sort(F.array_distinct(minima))
     )
     sel = F.col("_wf_sel")
-    return (
+    out = (
         winnowed.withColumn("n_selected", F.size(sel).cast("bigint"))
         .withColumn(
             "fp_digest",
             F.md5(F.array_join(F.transform(sel, lambda x: x.cast("string")), ",")),
         )
-        .drop("_wf_hashes", "_wf_sel")
+        .drop("_wf_hashes")
     )
+    if keep_selected:
+        return out.withColumnRenamed("_wf_sel", "selected")
+    return out.drop("_wf_sel")

@@ -265,3 +265,57 @@ def text_winnowing(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprint(docs).select("doc_id", "n_selected", "fp_digest")
+
+
+@query(
+    "winnow_candidate_pairs",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 2),
+               i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT)
+               AS hashes
+      FROM n
+    ),
+    sel AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(hashes) - 3),
+                 j -> list_min(hashes[j:j+3])))) AS fp
+      FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS shared_fps
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def winnow_candidate_pairs(spark, sf_dir):
+    """The winnowing pipeline's load-bearing step (MOSS candidate
+    generation): documents sharing ≥3 selected fingerprints are
+    near-dup/plagiarism candidates. Same physical family as the LSH
+    band join — explode the selected set, one shuffle on the
+    fingerprint key, count per pair — so cost scales with Σ df(fp)²
+    over SELECTED hashes only (~1/window of all shingles), not with
+    corpus². Downstream exact verification would reuse
+    dedup_ngram_jaccard on these pairs."""
+    from etl_mp_transactions_spark.operators.textstats import winnow_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = winnow_fingerprint(docs, keep_selected=True).select(
+        "doc_id", F.explode("selected").alias("fp")
+    )
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
