@@ -308,8 +308,12 @@ def winnow_candidate_pairs(spark, sf_dir):
     from etl_mp_transactions_spark.operators.textstats import winnow_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    sel = winnow_fingerprint(docs, keep_selected=True).select(
-        "doc_id", F.explode("selected").alias("fp")
+    sel = (
+        winnow_fingerprint(docs, keep_selected=True)
+        .select("doc_id", F.explode("selected").alias("fp"))
+        # both join sides read this — without persist the md5 shingle
+        # expression runs twice (same pattern as anomaly.py's tf cache)
+        .persist()
     )
     a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
     b = sel.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
