@@ -308,18 +308,55 @@ def winnow_candidate_pairs(spark, sf_dir):
     from etl_mp_transactions_spark.operators.textstats import winnow_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    sel = (
+    # distinct-signature collapse (the textdedup move): all pair-
+    # quadratic work runs on DISTINCT selected-sets, not docs — a
+    # dup-heavy corpus (the realistic one; this fixture included)
+    # collapses by orders of magnitude before the self-join, and
+    # identical-signature doc pairs skip the join entirely (they share
+    # exactly n_selected fingerprints by definition).
+    docsig = (
         winnow_fingerprint(docs, keep_selected=True)
-        .select("doc_id", F.explode("selected").alias("fp"))
-        # both join sides read this — without persist the md5 shingle
-        # expression runs twice (same pattern as anomaly.py's tf cache)
+        .select("doc_id", "fp_digest", "n_selected", "selected")
         .persist()
     )
-    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = sel.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    return (
-        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
+    sigs = (
+        docsig.groupBy("fp_digest")
+        .agg(F.first("selected").alias("selected"), F.first("n_selected").alias("n_selected"))
+    )
+    sig_sel = sigs.select(
+        F.col("fp_digest").alias("sig"), F.explode("selected").alias("fp")
+    )
+    sa = sig_sel.select(F.col("sig").alias("sig_a"), "fp")
+    sb = sig_sel.select(F.col("sig").alias("sig_b"), F.col("fp").alias("fp_b"))
+    sig_pairs = (
+        sa.join(sb, (F.col("fp") == F.col("fp_b")) & (F.col("sig_a") < F.col("sig_b")))
+        .groupBy("sig_a", "sig_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+    da = docsig.select(F.col("doc_id").alias("id_a"), F.col("fp_digest").alias("sig_a"))
+    db = docsig.select(F.col("doc_id").alias("id_b"), F.col("fp_digest").alias("sig_b"))
+    cross = (
+        sig_pairs.join(da, "sig_a")
+        .join(db, "sig_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "shared_fps",
+        )
+    )
+    intra = (
+        docsig.alias("x")
+        .join(
+            docsig.alias("y"),
+            (F.col("x.fp_digest") == F.col("y.fp_digest"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(F.col("x.n_selected") >= 3)
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.n_selected").alias("shared_fps"),
+        )
+    )
+    return cross.unionByName(intra)
