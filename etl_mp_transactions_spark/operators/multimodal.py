@@ -2,11 +2,16 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked stub (`decode_image` raises NotImplementedError; the
-deterministic fake used by `extract_features` is byte-level). What IS
-real and tested: the schema contract, the binary column plumbing, the
-mapInPandas batch shape, and the partitioning story.
+The container ships no codec libraries, so image decode is done by
+the from-spec pure-Python codecs in ``operators/imagecodec.py``
+(Netpbm PPM P6/P3 and 24-bit BI_RGB BMP — public formats, same
+approach as sources/avro_py.py took for Avro). `decode_image` sniffs
+the magic and returns (format, width, height, top-down RGB bytes);
+formats beyond those two (JPEG/PNG need entropy coders worth a
+library, not a re-implementation) raise ImageFormatError. The schema
+contract, binary column plumbing, mapInPandas batch shape, and
+partitioning story are exercised end-to-end by the oracle-checked
+``multimodal_*`` registry entries.
 
 Scale shape: media blobs are large — the asset table should store
 (uri, byte_range) pointers with small inline thumbnails rather than
@@ -78,13 +83,72 @@ def synthesize_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """STUB: real image decode requires a codec library not present in
-    this environment. The Spark-side contract (binary in, array/struct
-    out via mapInPandas) is exercised by extract_features below."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this container"
-    )
+def decode_image(content: bytes) -> tuple[str, int, int, bytes]:
+    """Decode an image container → (format, width, height, top-down
+    RGB bytes) via the from-spec PPM/BMP codecs (operators/
+    imagecodec.py). Raises ImageFormatError for anything else."""
+    from etl_mp_transactions_spark.operators.imagecodec import decode_image as _dec
+
+    return _dec(bytes(content))
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("pixel_hex", T.StringType()),
+    ]
+)
+
+
+def encode_decode_images(assets: DataFrame) -> DataFrame:
+    """Container encode → from-spec decode round trip over raw pixel
+    buffers: input rows (asset_id, fmt, width, height, raw) are
+    encoded into their container format (PPM P6 or 24bpp BMP) and
+    decoded back with `decode_image`. Output is what the DECODER
+    produced — so pinning it against an independently-computed oracle
+    verifies the decoder really inverts the container layout (BMP's
+    bottom-up BGR padded rows, PPM's header grammar), not just that
+    bytes passed through.
+
+    Scale: map-only mapInPandas, blobs never shuffle; per-asset Python
+    is the honest cost of a codec (a C library would slot into the
+    same batch loop)."""
+    from etl_mp_transactions_spark.operators import imagecodec as ic
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fmts, ws, hs, ns, hexes = [], [], [], [], [], []
+            for asset_id, fmt, w, h, raw in zip(
+                pdf["asset_id"], pdf["fmt"], pdf["width"], pdf["height"], pdf["raw"]
+            ):
+                raw = bytes(raw)
+                if fmt == "ppm":
+                    container = ic.encode_ppm(int(w), int(h), raw)
+                else:
+                    container = ic.encode_bmp24(int(w), int(h), raw)
+                dfmt, dw, dh, px = ic.decode_image(container)
+                ids.append(int(asset_id))
+                fmts.append(dfmt)
+                ws.append(dw)
+                hs.append(dh)
+                ns.append(len(px))
+                hexes.append(px.hex().upper())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "fmt": fmts,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_bytes": pd.array(ns, dtype="int32"),
+                    "pixel_hex": hexes,
+                }
+            )
+
+    return assets.mapInPandas(batches, DECODE_SCHEMA)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

@@ -15,7 +15,6 @@ this is the engine generalization its checksum seen-set (R1) hints at.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -69,14 +68,13 @@ def incremental_mv_refresh(spark, sf_dir):
             )
         )
 
-    import uuid
+    from etl_mp_transactions_spark.workdirs import run_dir
 
-    # run-keyed dir: concurrent invocations at the same SF (driver
-    # correctness + bench can overlap) must not race on shared state
-    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    state_dir = os.path.join(
-        tempfile.gettempdir(), f"sg_mv_state_{sf_tag}_{uuid.uuid4().hex[:8]}"
-    )
+    # private uuid-keyed run dir with age-based GC: concurrent
+    # invocations at the same SF (driver correctness + bench can
+    # overlap) must not race on shared state, and repeated sweeps must
+    # not leak one state dir per run (ADVICE r4)
+    state_dir = os.path.join(run_dir("mv_state"), "state")
     # build + persist the historical state (one-time cost in a real
     # deployment; re-staged per run here so the query is self-contained)
     partials(o.filter(F.col("o_orderdate") < cutoff)).write.mode(

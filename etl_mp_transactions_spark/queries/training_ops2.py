@@ -78,10 +78,13 @@ def ngram_lm_quality(spark, sf_dir):
     step of production pipelines, reduced to exact relational algebra.
 
     Scale shape: one shuffle to count (doc, gram) occurrences, one
-    gram-keyed agg for the model (vocab²-bounded, ≪ corpus), a
-    broadcast-size left-context table, and a scalar-vocab broadcast
-    crossJoin. The scoring join is gram-partitioned — corpus-linear,
-    and a hot gram contributes one model row, not a pair blowup."""
+    gram-keyed agg for the model (vocab²-bounded, ≪ corpus), and a
+    scalar-vocab broadcast crossJoin. The left-context table is
+    VOCABULARY-sized — it grows with the corpus, so it is NOT
+    broadcast-hinted (ADVICE r4): the ctx join runs as a hash join on
+    w1, co-partitionable with the model's gram→w1 derivation. The
+    scoring join is gram-partitioned — corpus-linear, and a hot gram
+    contributes one model row, not a pair blowup."""
     docs = load_table(spark, sf_dir, "documents")
     occ = (
         docs.select(
@@ -105,7 +108,7 @@ def ngram_lm_quality(spark, sf_dir):
     )
     return (
         occ.join(model.select("gram", "cg", "w1"), "gram")
-        .join(F.broadcast(ctx), "w1")
+        .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -314,10 +317,19 @@ def winnow_candidate_pairs(spark, sf_dir):
     # collapses by orders of magnitude before the self-join, and
     # identical-signature doc pairs skip the join entirely (they share
     # exactly n_selected fingerprints by definition).
+    # eager localCheckpoint, not .persist(): the selection is reused by
+    # five downstream branches, but a registry-level persist leaks
+    # cached blocks for the whole session (CacheManager holds DF cache
+    # entries until an explicit unpersist no caller can safely place).
+    # localCheckpoint materializes once into RDD blocks that the
+    # ContextCleaner frees when the result DataFrame is GC'd — same
+    # compute-once property, no session-lifetime footprint. (Local-
+    # checkpoint blocks are not fault-tolerant to executor loss; for
+    # this intra-query reuse a lost block just recomputes the query.)
     docsig = (
         winnow_fingerprint(docs, keep_selected=True)
         .select("doc_id", "fp_digest", "n_selected", "selected")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sigs = (
         docsig.groupBy("fp_digest")

@@ -81,8 +81,13 @@ def stream_dedup_run(
     (the R1 replay contract — tested in tests/test_streaming.py)."""
     stream = stream_files_available_now(spark, src_dir, schema=_events_schema())
     if within_watermark:
-        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-            [key]
+        # watermarks require TIMESTAMP (with-timezone); the source ts is
+        # timestamp_ntz and the session TZ is UTC, so the cast is
+        # instant-preserving (same as the windowed/session paths)
+        deduped = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark([key])
         )
     else:
         deduped = stream.dropDuplicates([key])

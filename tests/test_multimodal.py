@@ -1,5 +1,5 @@
 """Multimodal plumbing: binary columns, typed metadata, mapInPandas
-batch shape; the decode stub must be explicit, not silent."""
+batch shape; unsupported formats must fail loudly, not silently."""
 
 import pytest
 
@@ -31,6 +31,16 @@ def test_features_deterministic_and_consistent(spark):
         assert 0.0 <= f1[k]["byte_entropy"] <= 4.0  # log2(16) max
 
 
-def test_decode_stub_is_explicit():
-    with pytest.raises(NotImplementedError):
+def test_decode_routes_to_real_codecs():
+    from etl_mp_transactions_spark.operators.imagecodec import (
+        ImageFormatError,
+        encode_bmp24,
+        encode_ppm,
+    )
+
+    px = bytes(range(12))  # 2x2 RGB
+    assert multimodal.decode_image(encode_ppm(2, 2, px)) == ("ppm", 2, 2, px)
+    assert multimodal.decode_image(encode_bmp24(2, 2, px)) == ("bmp", 2, 2, px)
+    # unsupported containers fail loudly (no silent passthrough)
+    with pytest.raises(ImageFormatError):
         multimodal.decode_image(b"\x00\x01")

@@ -95,3 +95,29 @@ def test_upsert_replay_converges_to_same_state(spark, sf_dir, tmp_path):
         key=lambda r: r.user_id,
     )
     assert snap1 == snap2
+
+
+def test_dedup_within_watermark_branch(spark, sf_dir, tmp_path):
+    """The bounded-state dedup variant (dropDuplicatesWithinWatermark):
+    previously untested — its missing ntz->timestamp cast before the
+    watermark was an ADVICE-r4 latent failure. Duplicates arriving
+    within the watermark horizon must still be dropped."""
+    stage = str(tmp_path / "in")
+    stage_events_as_files(spark, sf_dir, stage, n_files=2)
+    n_distinct = (
+        load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(stage, part), os.path.join(stage, "replay.parquet"))
+    out = stream_dedup_run(
+        spark,
+        stage,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        within_watermark=True,
+    )
+    # all events in the fixture span < 1h per file batch relative to the
+    # max-seen watermark at the time each duplicate arrives, so the
+    # duplicated file contributes zero new event_ids
+    assert out.select("event_id").distinct().count() == n_distinct
+    assert out.count() == n_distinct
