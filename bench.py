@@ -63,16 +63,30 @@ def main() -> None:
 
     # full registry, headline set first (keeps their timings comparable
     # round-over-round), then every remaining query so regressions in
-    # non-headline operators are visible against the 2x guardrail
+    # non-headline operators are visible against the 2x guardrail.
+    # Headline queries run 3x and report the MEDIAN: BASELINE.md records
+    # a 27.8-35.4s noise band on identical code, so single-shot numbers
+    # made round-over-round deltas mostly noise; medians are signal.
+    # Non-headline queries stay single-shot (they feed the 2x guardrail,
+    # not the baseline comparison, and 3x the 100+ tail is minutes).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = registry.queries()
     order = HEADLINE + sorted(n for n in qs if n not in HEADLINE)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in order:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(n_runs if name in HEADLINE else 1):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]  # median (single run = itself)
+        if len(runs) > 1:
+            spread[name] = [runs[0], runs[-1]]
+        print(f"# {name}: {timings[name]}s {runs if len(runs) > 1 else ''}",
+              file=sys.stderr)
 
     import re
 
@@ -84,6 +98,8 @@ def main() -> None:
     full = {
         "full_registry_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
+        "headline_runs": n_runs,
+        "headline_min_max": spread,
         "queries": timings,
     }
     with open(
@@ -92,10 +108,12 @@ def main() -> None:
     ) as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     out = {
-        # headline total stays the headline metric (baseline-comparable)
+        # headline total stays the headline metric (baseline-comparable);
+        # per-query values are medians of n_runs since r5
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
+        "headline_runs": n_runs,
         "full_registry_total": full["full_registry_total"],
         "n_queries": len(timings),
         "queries": {n: timings[n] for n in HEADLINE},

@@ -77,10 +77,10 @@ def s3_avro_scan(spark, sf_dir):
 
     sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     # immutable machine-level fixture cache (atomic-rename publish, like
-    # sources/bronze.staged_bronze): the driver-side collect + pure-
-    # Python encode is fixture prep, paid once per (SF, machine), while
-    # the operator under test — the DataSource read path — runs fresh
-    # every call. Concurrent losers read the winner's identical copy.
+    # sources/bronze.staged_bronze): the per-partition pure-Python Avro
+    # encode is fixture prep, paid once per (SF, machine), while the
+    # operator under test — the DataSource read path — runs fresh every
+    # call. Concurrent losers read the winner's identical copy.
     target = os.path.join(tempfile.gettempdir(), f"sg_avro_v1_{sf_tag}")
 
     schema = {
@@ -100,18 +100,27 @@ def s3_avro_scan(spark, sf_dir):
 
         staging = f"{target}.build-{uuid.uuid4().hex[:8]}"
         os.makedirs(staging, exist_ok=True)
+        # distributed fixture write: each task encodes ITS partition to
+        # one container file (write-to-temp + atomic rename guards task
+        # retries) — no driver-side collect, so staging scales with SF
+        # like any other write. Local mode shares one FS; on a cluster
+        # `staging` would be shared storage, same code path.
+        n_files = 4
         ev = (
             load_table(spark, sf_dir, "events")
             .select("event_id", "user_id", "event_type", "ts")
-            .collect()
+            .repartition(n_files)
         )
-        n_files = 4
-        for i in range(n_files):
-            write_container(
-                os.path.join(staging, f"part-{i}.avro"),
-                schema,
-                (tuple(r) for j, r in enumerate(ev) if j % n_files == i),
-            )
+
+        def _write_part(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            tmp = os.path.join(staging, f".part-{pid}.{uuid.uuid4().hex[:8]}.tmp")
+            write_container(tmp, schema, (tuple(r) for r in rows))
+            os.rename(tmp, os.path.join(staging, f"part-{pid}.avro"))
+
+        ev.foreachPartition(_write_part)
         open(os.path.join(staging, "_DONE"), "w").close()
         try:
             os.rename(staging, target)

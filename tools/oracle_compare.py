@@ -6,11 +6,17 @@ and exact values (columns sorted by name, rows sorted by all columns).
 Exact equality here is *stricter* than any order-insensitive hash the
 driver could use — if this passes, the driver passes.
 
-Usage: python tools/oracle_compare.py [sf_dir] [query ...]
+Usage: python tools/oracle_compare.py [--out=FILE.json] [sf_dir] [query ...]
+
+With --out, writes a machine-readable per-query artifact in the
+driver's CORRECTNESS_r{N}.json schema ({rows_match, schema_match,
+hash_match, err} per query, plus rows/sec extras) so the non-driver-
+sampled queries are auditable without re-running Spark.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -69,8 +75,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    out_path = None
+    for a in list(args):
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -88,36 +100,62 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "err": None, "rows": None, "sec": None,
+        }
+        report[name] = rec
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            rec["err"] = f"spark: {ex}"[:500]
             failed.append(name)
             continue
+        rec["rows"] = len(spark_pdf)
         if name not in oracles:
+            rec["err"] = "no_oracle"
+            rec["sec"] = round(time.time() - t0, 2)
             print(
                 f"OK?  {name}: rows={len(spark_pdf)} (no oracle — rows-only)"
-                f" [{time.time()-t0:.1f}s]"
+                f" [{rec['sec']}s]"
             )
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            rec["err"] = f"duckdb: {ex}"[:500]
             failed.append(name)
             continue
         problems = compare(spark_pdf, duck_pdf)
+        rec["sec"] = round(time.time() - t0, 2)
+        rec["rows_match"] = not any(p.startswith("rowcount") for p in problems)
+        rec["schema_match"] = not any(p.startswith("columns") for p in problems)
+        # "hash_match" in the driver's sense (order-insensitive value
+        # hash); this gate checks exact per-cell equality — stricter
+        rec["hash_match"] = not problems
         if problems:
-            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            print(f"FAIL {name} [{rec['sec']}s]")
             for p in problems[:8]:
                 print(f"     {p}")
             failed.append(name)
         else:
-            print(f"PASS {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: rows={len(spark_pdf)} [{rec['sec']}s]")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(report),
+                 "n_failed": len(failed), "comparison": "exact_values",
+                 "queries": report},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"# wrote {out_path}")
     print(f"\n{len(qs) - len(failed)}/{len(qs)} ok; failed: {failed or 'none'}")
     return 1 if failed else 0
 
