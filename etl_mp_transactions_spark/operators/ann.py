@@ -326,24 +326,57 @@ def neardup_pairs(
     )
 
 
+BAND_SLOT_BITS = 8  # dims reserved per band (64-dim vecs / 8 bands)
+
+
+def adaptive_band_bits(n_rows: int, lo: int = 4, hi: int = BAND_SLOT_BITS) -> int:
+    """Bucket granularity that tracks corpus size: bits =
+    clamp(ceil(log2(n / 256)), lo, hi), i.e. target ~256 vectors per
+    band bucket. Fixed bits make banding quadratic — with r bits a
+    band's candidate count is ~n²/2^r, so 10x the corpus is 100x the
+    candidates; growing r with log2(n) holds per-bucket occupancy
+    (and per-vector candidate work) roughly constant. This is the
+    standard LSH capacity tuning, and it was invisible until the r5
+    measured sf1 run (74x wall-clock at 10x rows with fixed r=4).
+
+    The formula is deterministic and engine-portable (the oracle
+    computes the identical scalar in SQL); log2 ulp drift cannot flip
+    the ceil for any realistic integer n (the nearest non-power-of-2
+    count sits ~1/(n·ln2) away from an integer log2, astronomically
+    above 1-ulp)."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows, 1) / 256.0))))
+
+
 def neardup_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.45,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     n_bands: int = 8,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Hyperplane-banded near-dup: candidates collide in ≥1 sign-bit
-    band (band b = signs of components [b·n_bits, (b+1)·n_bits)), then
-    exact cosine verification. Precision 1 by construction; recall is
-    1−(1−p^r)^b with p = 1−arccos(threshold)/π — ~0.998 at the 0.9
-    near-dup regime this index is for, lower at loose thresholds (see
-    module docstring; use ``neardup_pairs`` for those).
+    band (band b = signs of components [b·SLOT, b·SLOT + n_bits)),
+    then exact cosine verification. Precision 1 by construction;
+    recall is 1−(1−p^r)^b with p = 1−arccos(threshold)/π — ~0.998 at
+    the 0.9 near-dup regime this index is for, lower at loose
+    thresholds (see module docstring; use ``neardup_pairs`` for
+    those).
+
+    ``n_bits=None`` sizes the band width to the corpus
+    (``adaptive_band_bits``): constant per-bucket occupancy as the
+    corpus grows, trading recall per band (more bands would buy it
+    back) for near-linear candidate counts — the 100 TB shape.
 
     Scale: one explode (b bands), one self-equi-join per band key, one
     pair dedup — the quadratic stage touches only same-bucket pairs,
     ~n²/2^r per band at uniform signs. No crossJoin anywhere.
     """
+    if n_bits is None:
+        # one count to size the index — metadata-cheap on parquet, and
+        # the resulting plan is static for the run
+        n_bits = adaptive_band_bits(embeddings.count())
     base = with_unit_prep(embeddings).select(
         F.col(id_col).alias("vec_id"), "_vec", "_norm", "embedding"
     )
@@ -352,7 +385,7 @@ def neardup_pairs_banded(
         F.posexplode(
             F.array(
                 *[
-                    sign_bucket("embedding", n_bits, offset=b * n_bits)
+                    sign_bucket("embedding", n_bits, offset=b * BAND_SLOT_BITS)
                     for b in range(n_bands)
                 ]
             )

@@ -33,11 +33,17 @@ from etl_mp_transactions_spark.sources.tables import load_table
       FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) / 100 AS slope,
+           CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                    - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+             / 100 AS slope,
            (CAST(sy AS DOUBLE) / n
-            - CAST(n * sxy - sx * sy AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE) * sx / n) / 100
+            - CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+                   - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0)) AS DOUBLE)
+              / CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)) AS DOUBLE)
+              * sx / n) / 100
              AS intercept
     FROM m
     """,
@@ -50,7 +56,17 @@ def grouped_linreg(spark, sf_dir):
     shape (regression per segment) without any Python: exact,
     order-independent, one shuffle on the group key. Spark's built-in
     regr_slope accumulates doubles (order-dependent at cluster scale);
-    the integer-moment form is deterministic by construction."""
+    the integer-moment form is deterministic by construction.
+
+    Overflow discipline (caught by the r5 measured sf1 run, not by
+    review): each MOMENT fits int64 comfortably, but the closed-form
+    combination n·Σxy − Σx·Σy squares the magnitude — at sf0.1 it sat
+    within 2x of 2^63 and at sf1 it overflowed. The cross-products
+    therefore run in DECIMAL(19,0)→(38,0) — exact integer arithmetic
+    to ~1e37, identical in both engines — with ONE cast to double at
+    the end. Headroom: moments themselves stay under 1e18 up to
+    ~sf500 per group; past that, widen the moment sums to
+    DECIMAL(38,0) too."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity")).cast("bigint")
     y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
@@ -61,8 +77,9 @@ def grouped_linreg(spark, sf_dir):
         F.sum(x * x).alias("sxx"),
         F.sum(x * y).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
     slope = num / den
     intercept = (
         F.col("sy").cast("double") / F.col("n")

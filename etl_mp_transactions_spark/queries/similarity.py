@@ -178,12 +178,14 @@ def embedding_neardup(spark, sf_dir):
     return pairs.select("vec_a", "vec_b")
 
 
-def _band_sql(b: int, n_bits: int = 4) -> str:
+def _band_sql(b: int, slot: int = 8) -> str:
+    """Full slot-width (8-bit) sign string for band b; the bands CTE
+    slices it to the corpus-adaptive bit count."""
     bits = " || ".join(
-        f"(CASE WHEN embedding[{b * n_bits + i + 1}] >= 0 THEN '1' ELSE '0' END)"
-        for i in range(n_bits)
+        f"(CASE WHEN embedding[{b * slot + i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(slot)
     )
-    return f"SELECT vec_id, {b} AS b, {bits} AS bkey FROM embeddings"
+    return f"SELECT vec_id, {b} AS b, {bits} AS sig8 FROM embeddings"
 
 
 _BANDS_SQL = "\n      UNION ALL ".join(_band_sql(b) for b in range(8))
@@ -192,8 +194,17 @@ _BANDS_SQL = "\n      UNION ALL ".join(_band_sql(b) for b in range(8))
 @query(
     "embedding_neardup_banded",
     f"""
-    WITH bands AS (
+    WITH params AS (
+      SELECT least(8, greatest(4,
+               CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+      FROM embeddings
+    ),
+    sigs AS (
       {_BANDS_SQL}
+    ),
+    bands AS (
+      SELECT vec_id, b, substr(sig8, 1, (SELECT bits FROM params)) AS bkey
+      FROM sigs
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -209,14 +220,21 @@ _BANDS_SQL = "\n      UNION ALL ".join(_band_sql(b) for b in range(8))
     """,
 )
 def embedding_neardup_banded(spark, sf_dir):
-    """Hyperplane-banded near-dup (8 bands × 4 sign bits, exact-verify
-    at cos ≥ 0.45): the sub-quadratic LSH index shape for the
-    high-similarity dedup regime. Banding is deterministic and
-    mirrored in the oracle, so candidates — and therefore results —
-    are bit-identical across engines; recall vs the exact join is
-    1−(1−p⁴)⁸ (≈0.998 at cos 0.9, where a real near-dup corpus
-    lives; measured vs `neardup_pairs` in tests/test_ann_scale.py)."""
+    """Hyperplane-banded near-dup (8 bands × corpus-adaptive sign
+    bits, exact-verify at cos ≥ 0.45): the sub-quadratic LSH index
+    shape for the high-similarity dedup regime. Band width grows with
+    log2(corpus) (operators/ann.adaptive_band_bits — the r5 fix for
+    measured 74x-at-10x-rows quadratic candidate growth at fixed
+    r=4), holding per-bucket occupancy roughly constant. Banding and
+    the bit-count formula are deterministic and mirrored in the
+    oracle (a SQL scalar computes the identical bits), so candidates
+    — and therefore results — are bit-identical across engines;
+    recall vs the exact join is 1−(1−p^r)⁸ (at the cos≈0.9 regime
+    this index is for: 0.998 at r=4, 0.93 at r=8 — buy it back with
+    more bands, not wider ones; measured vs `neardup_pairs` in
+    tests/test_ann_scale.py)."""
     pairs = ann.neardup_pairs_banded(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=4, n_bands=8
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45, n_bits=None,
+        n_bands=8,
     )
     return pairs.select("vec_a", "vec_b")

@@ -50,6 +50,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs THE whole engine in one JVM whose heap
+        # defaults to 1g — fine at sf≤0.1, OOM on sf1's nested-bronze
+        # build. Size it like a real executor (only effective when this
+        # factory creates the JVM; externally-created sessions keep
+        # their own sizing).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- adaptive execution: runtime re-plan, skew splitting ---
