@@ -407,3 +407,46 @@ def r9_stream_continuous_agg(spark, sf_dir):
         "n",
         "total_value",
     )
+
+
+@query(
+    "r10_stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def r10_stream_stream_join(spark, sf_dir):
+    """Stream-stream event-time interval join with a FULL oracle: the
+    click->purchase funnel join (streaming/joins.py) run as an
+    AvailableNow stream over the staged event files, compared against
+    the batch/SQL interval join — exact equality.
+
+    The watermark + both-sided time bound is the scale contract:
+    per-key state older than (watermark + window) expires, so state
+    is bounded by the window span, not the stream length. A single
+    AvailableNow pass consumes the bounded input in one micro-batch,
+    so the watermark bounds state without dropping anything — the
+    equality below is exact; late-arrival drop semantics across
+    micro-batches are exercised in tests/test_stream_join.py."""
+    from etl_mp_transactions_spark.sources.tables import SCHEMAS
+    from etl_mp_transactions_spark.streaming.filesource import staged_events_cached
+    from etl_mp_transactions_spark.streaming.joins import run_funnel_stream
+
+    work = run_dir("stream_ssj")
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
+    out = run_funnel_stream(
+        spark, stage, SCHEMAS["events"],
+        os.path.join(work, "ckpt"), os.path.join(work, "out"),
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
