@@ -86,6 +86,7 @@ def _load_all() -> None:
         extensions,
         incremental,
         analytics,
+        graph,
     )
 
     _LOADED = True
