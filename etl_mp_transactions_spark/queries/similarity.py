@@ -238,3 +238,85 @@ def embedding_neardup_banded(spark, sf_dir):
         n_bands=8,
     )
     return pairs.select("vec_a", "vec_b")
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE params AS (
+      SELECT least(8, greatest(4,
+               CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+      FROM embeddings
+    ),
+    sigs AS (
+      {_BANDS_SQL}
+    ),
+    bands AS (
+      SELECT vec_id, b, substr(sig8, 1, (SELECT bits FROM params)) AS bkey
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN embeddings va ON va.vec_id = c.vec_a
+      JOIN embeddings vb ON vb.vec_id = c.vec_b
+      WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])
+              >= 0.45
+    ),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION
+      SELECT vec_b AS a, vec_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS vec_id, least(a, min(b)) AS rep FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           coalesce(c.rep, e.vec_id) AS rep_id,
+           (coalesce(c.rep, e.vec_id) = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication over the embedding
+    corpus, end to end: LSH-banded candidate pairs (corpus-adaptive
+    sign-bit bands) → exact cosine verification (≥ 0.45) → transitive
+    closure (min-label propagation + pointer jumping) → keep ONE
+    representative per semantic cluster (min vec_id; singletons keep
+    themselves). Output is the full dedup decision table
+    (vec_id, rep_id, kept) a training pipeline joins against its
+    corpus to drop semantic near-duplicates.
+
+    The oracle replays the identical pipeline in SQL — adaptive-bits
+    scalar, band join, cosine verify, recursive-CTE reachability
+    closure — so cluster assignments and keep decisions are checked
+    exactly. Scale: pairs are band-bounded (see adaptive_band_bits),
+    closure is O(log n) rounds over edge-touching nodes only;
+    singletons (the overwhelming majority) never enter the loop."""
+    from pyspark.sql import functions as F
+
+    from etl_mp_transactions_spark.operators import ann
+    from etl_mp_transactions_spark.operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = ann.neardup_pairs_banded(emb, threshold=0.45, n_bits=None).select(
+        "vec_a", "vec_b"
+    )
+    comp = connected_components(
+        emb, pairs, node_col="vec_id", src_col="vec_a", dst_col="vec_b"
+    )
+    return comp.select(
+        "vec_id",
+        F.col("component").alias("rep_id"),
+        (F.col("component") == F.col("vec_id")).alias("kept"),
+    )
