@@ -176,3 +176,87 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "ewma_smoothing",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(day ORDER BY day) AS days,
+             list(cents ORDER BY day) AS cs,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+           strftime(days[u.t], '%Y-%m-%d') AS day,
+           cs[u.t] AS daily_cents,
+           list_reduce(ys[1:u.t],
+                       (a, x) -> a + 0.3::DOUBLE * (x - a)) AS ewma
+    FROM ser, unnest(generate_series(1, len(ys))) AS u(t)
+    """,
+)
+def ewma_smoothing(spark, sf_dir):
+    """Exponentially weighted moving average (alpha = 0.3) of daily
+    event value per type — the time-series smoothing/forecast-baseline
+    shape (SES one-step forecast = the last EWMA value).
+
+    Exactness: EWMA is a non-linear recursion no SQL window expresses,
+    and naive float accumulation is order-dependent. Here the daily
+    totals are exact BIGINT cents, the per-type day series is a
+    SORTED array, and each day's EWMA is a strict LEFT FOLD over the
+    prefix — seed = first element, step = a + 0.3*(x - a) — written
+    with the identical operation shape on both engines (Spark
+    F.aggregate, DuckDB list_reduce; both fold left-to-right over
+    IEEE doubles), so results are bit-identical with NO rounding
+    slack. The O(days²) prefix refold is bounded by the series length
+    (days per type), not the corpus.
+
+    Scale: one shuffle for the daily rollup, one for the per-type
+    collect; series length is calendar-bounded (the state a real
+    deployment would keep is just (last_ewma, last_day) per type —
+    the fold here exists to rebuild and VERIFY the whole series)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    ser = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("s")
+    )
+    ys = F.transform(F.col("s"), lambda x: x["cents"].cast("double"))
+    ser = ser.select(
+        "event_type",
+        F.transform(F.col("s"), lambda x: x["day"]).alias("days"),
+        F.transform(F.col("s"), lambda x: x["cents"]).alias("cs"),
+        ys.alias("ys"),
+    )
+    fold = lambda t: F.aggregate(  # noqa: E731
+        F.slice(F.col("ys"), F.lit(2), t - 1),
+        F.element_at(F.col("ys"), 1),
+        lambda a, x: a + F.lit(0.3) * (x - a),
+    )
+    idx = F.sequence(F.lit(1), F.size(F.col("ys")))
+    rows = ser.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                idx,
+                lambda t: F.struct(
+                    F.element_at(F.col("days"), t).alias("day"),
+                    F.element_at(F.col("cs"), t).alias("daily_cents"),
+                    fold(t).alias("ewma"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        "event_type",
+        F.date_format(F.col("r.day"), "yyyy-MM-dd").alias("day"),
+        F.col("r.daily_cents").alias("daily_cents"),
+        F.col("r.ewma").alias("ewma"),
+    )

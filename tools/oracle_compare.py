@@ -90,13 +90,17 @@ def main() -> int:
 
     spark = get_spark("oracle-compare")
     con = duckdb.connect()
+    import os as _os
+
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # generated scale data writes multi-file tables as directories
+        # (realistic layout; see tools/gen_scale_data.py ROWS_PER_FILE)
+        src = f"{p}/*.parquet" if _os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
