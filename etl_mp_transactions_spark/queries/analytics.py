@@ -260,3 +260,122 @@ def ewma_smoothing(spark, sf_dir):
         F.col("r.daily_cents").alias("daily_cents"),
         F.col("r.ewma").alias("ewma"),
     )
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, cents AS med_cents FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c) WHERE rn = (n + 1) // 2
+    ),
+    d AS (
+      SELECT c.event_type, c.event_id,
+             abs(c.cents - m.med_cents) AS dev
+      FROM c JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, dev AS mad_cents FROM (
+        SELECT event_type, dev, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, m.med_cents, md.mad_cents,
+           count(*)::BIGINT AS n,
+           SUM(CASE WHEN d.dev > 4.4478 * md.mad_cents
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def mad_outliers(spark, sf_dir):
+    """Robust outlier audit per event type: median + MAD (median
+    absolute deviation) with the 3-sigma-equivalent cutoff
+    (3 x 1.4826 x MAD) — the robust-statistics gate that, unlike
+    z-scores, is not dragged by the outliers it hunts.
+
+    Exactness: values live as BIGINT cents, both medians are exact
+    LOWER medians via ranked selection (deterministic event_id
+    tiebreak — the exact_median_window pattern), so deviations are
+    exact integers; the single float op (4.4478 x mad) runs on
+    identical operands in both engines. Two window shuffles on the
+    type key plus one final agg; the per-type sort parallelizes
+    across types (and would salt-and-merge for one giant type)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def lower_median(df, val_col, out_col):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wc))
+            .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+            .select("event_type", F.col(val_col).alias(out_col))
+        )
+
+    m = lower_median(c, "cents", "med_cents")
+    d = c.join(m, "event_type").select(
+        "event_type", "event_id",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    md = lower_median(d, "dev", "mad_cents")
+    return (
+        d.join(m, "event_type")
+        .join(md, "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(4.4478) * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+           count(*)::BIGINT AS n
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, $1000 account-balance band): every
+    equivalence class smaller than k is a re-identification risk the
+    privacy gate must generalize or suppress before the table ships
+    as training data — the structural complement to pii_redaction's
+    value-level scrubbing. One aggregation on the quasi-identifier
+    key; the float band division runs on identical operands in both
+    engines (2-decimal doubles / exact 1000)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("acctbal_band"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") < 5)
+    )
