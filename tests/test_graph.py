@@ -52,3 +52,34 @@ def test_pagerank_iterations_constant():
 
     assert N_ITER == 8
     assert _PAGERANK_SQL.count("it8") >= 1 and "it9" not in _PAGERANK_SQL
+
+
+def test_mad_outliers_handcrafted(spark, tmp_path):
+    """MAD gate on a known series: values 1..9 plus one wild point.
+    median=5(.5 area -> lower median semantics), MAD from exact cents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    tbl = pa.table({
+        "event_id": pa.array(range(10), pa.int64()),
+        "ts": pa.array([0] * 10, pa.timestamp("us")),
+        "user_id": pa.array([1] * 10, pa.int64()),
+        "event_type": ["a"] * 10,
+        "value": vals,
+        "props": ["{}"] * 10,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    from etl_mp_transactions_spark.queries.analytics import mad_outliers
+
+    row = mad_outliers(spark, str(d)).collect()[0]
+    # lower median of 10 sorted cents values = 5th = 500; deviations
+    # |c-500|: [400,300,200,100,0,100,200,300,400,99500] -> sorted
+    # lower median = 200; cutoff 4.4478*200=889.56 -> only the wild
+    # point (99500) exceeds it
+    assert row["med_cents"] == 500
+    assert row["mad_cents"] == 200
+    assert row["n"] == 10
+    assert row["n_outliers"] == 1
