@@ -134,3 +134,24 @@ def test_ivf_kmeans_mode_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.7, f"recall {recall:.2f}"
+
+
+def test_adaptive_band_bits_edges():
+    """Corpus-adaptive LSH band width: clamped, monotone, and stable
+    at exact power-of-two boundaries (where a log2 ulp could bite)."""
+    from etl_mp_transactions_spark.operators.ann import adaptive_band_bits
+
+    assert adaptive_band_bits(0) == 4
+    assert adaptive_band_bits(1) == 4
+    assert adaptive_band_bits(2_000) == 4      # sf0.1 corpus -> legacy width
+    assert adaptive_band_bits(20_000) == 7     # sf1 corpus
+    assert adaptive_band_bits(10**9) == 8      # clamped at slot width
+    # exact powers of two: ceil(log2(2^k)) must be k, not k+1
+    assert adaptive_band_bits(256 * 32) == 5
+    assert adaptive_band_bits(256 * 64) == 6
+    # monotone non-decreasing
+    prev = 0
+    for n in (10, 100, 1_000, 5_000, 50_000, 500_000, 5_000_000):
+        b = adaptive_band_bits(n)
+        assert b >= prev
+        prev = b
