@@ -1,0 +1,311 @@
+"""Corpus retrieval / statistics operators: BM25 relevance scoring,
+PMI collocation mining, and tokenizer-vocabulary coverage curves
+(SURVEY.md §2.9 training-pipeline extensions — the IR/statistics side
+of corpus curation; no reference counterpart, north-star additions).
+
+Exactness design (shared with stats.py / graph.py): every statistic is
+derived from exact BIGINT counts (tf, df, N, doc length, bigram
+counts); the only float operations are final ratios/logs applied to
+identical operands in the same expression shape in both engines, then
+rounded to 12 digits — far above 1-ulp engine noise, far below any
+semantic tolerance for a relevance score or a PMI value.
+
+Scale shape:
+- BM25 filters the exploded token stream to the literal query-term set
+  *before* any shuffle, so the per-(doc,term) aggregation state is
+  |terms|·|matching docs|, not corpus-sized; the df/idf side is
+  |terms| rows (broadcast); the doc-length side is one map-side
+  column. One corpus scan, two small shuffles.
+- PMI shuffles unigram and bigram counts on the word keys (uniform
+  hash keys); the count tables join on w1/w2 without broadcast —
+  vocabulary-sized tables must shuffle-join, not broadcast (the
+  ngram_lm_quality lesson, ADVICE r4). Scalar totals ride a
+  single-row broadcast (documented-acceptable class).
+- vocab_coverage runs one global window over the *vocabulary* (not
+  the corpus): Heaps' law makes |vocab| ≈ O(corpus^0.5), so the
+  single-partition rank is bounded; at true 100 TB scale swap it for
+  the two-phase range-partitioned cumulative sum (repartitionByRange
+  on (n DESC, word) + per-partition offsets) — same results, noted
+  here so the single window is a measured choice, not an oversight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+# Fixed retrieval query for the BM25 demo — literal in both engines.
+BM25_TERMS = ["hash", "join", "stream", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+def _tokens_expr():
+    """lower → split on whitespace → drop empties (the corpus-wide
+    tokenization contract shared with text.py / breadth3.py)."""
+    return F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+@query(
+    "bm25_scoring",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(l)::BIGINT AS dl FROM toks),
+    corpus AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(dl)::BIGINT AS sum_dl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(l) AS t FROM toks)
+      WHERE t IN ({_TERMS_SQL})
+      GROUP BY doc_id, t
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B}
+                     + {BM25_B} * dl.dl
+                       / (c.sum_dl::DOUBLE / c.n_docs))) AS s
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN corpus c
+    )
+    SELECT doc_id, round(sum(s), 12) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_scoring(spark, sf_dir):
+    """Okapi BM25 top-20 docs for a fixed query-term set.
+
+    Plan: one corpus scan → token explode filtered to the 4 literal
+    terms *inside the projection* (the post-explode filter keeps only
+    query-term rows, so the (doc,term) agg and everything downstream
+    is tiny) → broadcast the |terms|-row df table and the single-row
+    corpus stats → TakeOrderedAndProject for the top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens_expr().alias("l"))
+    dl = toks.select("doc_id", F.size("l").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("l").alias("term"))
+        .filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    s = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("raw"))
+        .orderBy(F.desc("raw"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("raw", 12).alias("bm25"))
+    )
+
+
+@query(
+    "pmi_collocations",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    uni AS (
+      SELECT t AS w, count(*)::BIGINT AS n
+      FROM (SELECT unnest(l) AS t FROM toks) GROUP BY t
+    ),
+    tot AS (
+      SELECT sum(n)::BIGINT AS n_uni,
+             (SELECT count(*) FROM (
+                SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)]))
+                FROM toks WHERE length(l) >= 2))::BIGINT AS n_bi
+      FROM uni
+    ),
+    bi AS (
+      SELECT z[1] AS w1, z[2] AS w2, count(*)::BIGINT AS n_xy
+      FROM (SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS z
+            FROM toks WHERE length(l) >= 2)
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT w1, w2, n_xy,
+           round(ln((n_xy::DOUBLE / t.n_bi)
+                    / ((u1.n::DOUBLE / t.n_uni)
+                       * (u2.n::DOUBLE / t.n_uni))), 12) AS pmi
+    FROM bi
+    JOIN uni u1 ON bi.w1 = u1.w
+    JOIN uni u2 ON bi.w2 = u2.w
+    CROSS JOIN tot t
+    ORDER BY ln((n_xy::DOUBLE / t.n_bi)
+                / ((u1.n::DOUBLE / t.n_uni)
+                   * (u2.n::DOUBLE / t.n_uni))) DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Top-20 pointwise-mutual-information word collocations
+    (min support 5) — the phrase-mining step of tokenizer/vocab
+    construction (word2phrase, NPMI collocation extraction).
+
+    Plan: one corpus scan builds unigram and bigram count tables
+    (uniform word-hash shuffle keys); bigrams shuffle-join the
+    vocabulary-sized unigram table on w1 then w2 — deliberately NOT
+    broadcast (vocab grows with the corpus; the ngram_lm_quality
+    lesson); scalar totals are a single-row broadcast. Top-k is
+    TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens_expr().alias("l"))
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = toks.filter(F.size("l") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.size("l") - 1),
+                F.slice("l", 2, F.size("l") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("z")
+    )
+    bi = (
+        pairs.select("z.w1", "z.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    tot = uni.agg(F.sum("n").alias("n_uni")).crossJoin(
+        pairs.agg(F.count("*").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    pmi = F.log(
+        (F.col("n_xy").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("n1").cast("double") / F.col("n_uni"))
+            * (F.col("n2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_xy", pmi.alias("raw"))
+        .orderBy(F.desc("raw"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "n_xy", F.round("raw", 12).alias("pmi"))
+    )
+
+
+VOCAB_KS = [5, 10, 20, 100, 1000]
+_KS_SQL = ", ".join(str(k) for k in VOCAB_KS)
+
+
+@query(
+    "vocab_coverage",
+    rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    uni AS (SELECT t AS w, count(*)::BIGINT AS n FROM toks GROUP BY t),
+    ranked AS (
+      SELECT w, n,
+             row_number() OVER (ORDER BY n DESC, w) AS rk,
+             sum(n) OVER (ORDER BY n DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::BIGINT AS cum_n,
+             sum(n) OVER ()::BIGINT AS total_n,
+             count(*) OVER ()::BIGINT AS vocab_size
+      FROM uni
+    )
+    SELECT rk AS k, cum_n, vocab_size,
+           round(cum_n::DOUBLE / total_n, 12) AS coverage
+    FROM ranked WHERE rk IN ({_KS_SQL}) OR rk = vocab_size
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage curve: for vocab sizes K on a
+    log-ish grid (plus the full-vocabulary row, coverage = 1.0), the
+    fraction of all corpus tokens covered by the K most frequent words
+    (the sizing curve behind choosing a tokenizer vocab / OOV budget).
+
+    The rank window is global but runs over the *vocabulary*, which
+    Heaps' law keeps sublinear in corpus size; the 100 TB shape is the
+    two-phase range-partitioned cumulative sum (module docstring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(_tokens_expr()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    w_ord = Window.orderBy(F.desc("n"), "w")
+    w_all = Window.partitionBy()
+    ranked = uni.select(
+        F.row_number().over(w_ord).alias("k"),
+        F.sum("n")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.sum("n").over(w_all).alias("total_n"),
+        F.count("*").over(w_all).alias("vocab_size"),
+    )
+    return ranked.filter(
+        F.col("k").isin(VOCAB_KS) | (F.col("k") == F.col("vocab_size"))
+    ).select(
+        "k",
+        "cum_n",
+        "vocab_size",
+        F.round(F.col("cum_n").cast("double") / F.col("total_n"), 12).alias(
+            "coverage"
+        ),
+    )

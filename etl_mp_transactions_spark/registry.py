@@ -87,6 +87,8 @@ def _load_all() -> None:
         incremental,
         analytics,
         graph,
+        graph2,
+        retrieval,
     )
 
     _LOADED = True
