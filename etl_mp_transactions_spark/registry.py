@@ -86,6 +86,7 @@ def _load_all() -> None:
         extensions,
         incremental,
         analytics,
+        analytics2,
         graph,
         graph2,
         retrieval,
