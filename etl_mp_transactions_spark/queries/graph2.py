@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.operators import graphops
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -129,40 +130,10 @@ def graph_triangle_count(spark, sf_dir):
     samp = co.filter(edge_hash % EDGE_SAMPLE_MOD == 0).localCheckpoint(
         eager=False
     )
-    deg = (
-        samp.select(F.col("s1").alias("n"))
-        .unionAll(samp.select(F.col("s2").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").alias("deg"))
-    )
-    d1 = deg.select(F.col("n").alias("s1"), F.col("deg").alias("deg1"))
-    d2 = deg.select(F.col("n").alias("s2"), F.col("deg").alias("deg2"))
-    lo = F.struct(F.col("deg1"), F.col("s1")) < F.struct(
-        F.col("deg2"), F.col("s2")
-    )
-    ori = (
-        samp.join(d1, "s1")
-        .join(d2, "s2")
-        .select(
-            F.when(lo, F.col("s1")).otherwise(F.col("s2")).alias("u"),
-            F.when(lo, F.col("s2")).otherwise(F.col("s1")).alias("v"),
-        )
-    )
-    e1 = ori.alias("e1")
-    e2 = ori.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
-    ).select(F.col("e1.v").alias("x"), F.col("e2.v").alias("y"))
-    closing = samp.select(F.col("s1").alias("x"), F.col("s2").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).agg(
-        F.count("*").alias("sampled_triangles")
-    )
-    n_samp = samp.agg(F.count("*").alias("sampled_edges"))
-    return n_samp.crossJoin(tri).select(
-        "sampled_edges",
-        "sampled_triangles",
-        (F.col("sampled_triangles") * (EDGE_SAMPLE_MOD**3)).alias(
+    return graphops.triangle_count(samp).select(
+        F.col("n_edges").alias("sampled_edges"),
+        F.col("n_triangles").alias("sampled_triangles"),
+        (F.col("n_triangles") * (EDGE_SAMPLE_MOD**3)).alias(
             "doulion_estimate"
         ),
     )
@@ -217,21 +188,4 @@ def bfs_shortest_path(spark, sf_dir):
         .unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    reached = spark.createDataFrame(
-        [(BFS_SOURCE, 0)], "node string, dist int"
-    )
-    frontier = reached
-    for k in range(1, BFS_MAX_DEPTH + 1):
-        expanded = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        frontier = expanded.join(reached, "node", "left_anti").select(
-            "node", F.lit(k).alias("dist")
-        )
-        # small per-round state; checkpoint keeps the lineage flat so
-        # round r doesn't recompute rounds 1..r-1
-        frontier = frontier.localCheckpoint(eager=True)
-        reached = reached.unionAll(frontier)
-    return reached.select("node", F.col("dist").cast("long").alias("dist"))
+    return graphops.bfs_distances(spark, edges, BFS_SOURCE, BFS_MAX_DEPTH)
