@@ -89,6 +89,7 @@ def _load_all() -> None:
         analytics2,
         graph,
         graph2,
+        linkage,
         retrieval,
     )
 
