@@ -90,6 +90,7 @@ def _load_all() -> None:
         graph,
         graph2,
         linkage,
+        mining,
         retrieval,
     )
 
