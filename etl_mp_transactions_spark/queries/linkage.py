@@ -111,7 +111,13 @@ def setsim_prefix_join(spark, sf_dir):
             ),
         )
     )
-    sh = d.select("doc_id", F.explode(shingles).alias("g"))
+    # the shingle table feeds four consumers (doc sizes, df, rarity
+    # rank, intersection verify): materialize once instead of paying
+    # the scan+explode four times — at scale this is the "shingle
+    # index" intermediate a real pipeline would persist
+    sh = d.select("doc_id", F.explode(shingles).alias("g")).localCheckpoint(
+        eager=False
+    )
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     df = sh.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
