@@ -1,0 +1,244 @@
+"""Behavioral analytics round 3: marketing attribution, community
+modularity, and A/B-test statistics (SURVEY.md §2.9 extensions).
+
+House exactness policy throughout: BIGINT counts / integer cents all
+the way down; each output cell's float ops are a fixed final formula
+on identical operands in both engines, rounded to 12 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+ATTRIB_WINDOW_MIN = 60  # look-back horizon for last-touch credit
+
+
+@query(
+    "attribution_last_touch",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING)
+    ),
+    credited AS (
+      SELECT CASE
+               WHEN prev_type IS NOT NULL
+                AND prev_type IN ('click', 'view')
+                AND ts - prev_ts <= INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+               THEN prev_type ELSE 'organic' END AS channel
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT channel, count(*)::BIGINT AS purchases
+    FROM credited GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credits the
+    immediately-preceding click/view of the same user if it happened
+    within {ATTRIB_WINDOW_MIN} minutes, else 'organic'. One lag window
+    shuffled on user_id (uniform key) — the attribution shape that at
+    100 TB replaces the classic sessionize-then-join double shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    credited = seq.select(
+        F.when(
+            F.col("prev_type").isNotNull()
+            & F.col("prev_type").isin("click", "view")
+            & (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("prev_ts").cast("timestamp").cast("long")
+                <= ATTRIB_WINDOW_MIN * 60
+            ),
+            F.col("prev_type"),
+        )
+        .otherwise(F.lit("organic"))
+        .alias("channel")
+    )
+    return credited.groupBy("channel").agg(
+        F.count("*").alias("purchases")
+    )
+
+
+@query(
+    "graph_modularity",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    comm AS (SELECT s_suppkey, s_nationkey AS c FROM supplier),
+    labeled AS (
+      SELECT c1.c AS ca, c2.c AS cb FROM pairs
+      JOIN comm c1 ON c1.s_suppkey = pairs.s1
+      JOIN comm c2 ON c2.s_suppkey = pairs.s2
+    ),
+    m AS (SELECT count(*)::BIGINT AS m FROM labeled),
+    intra AS (
+      SELECT ca AS c, count(*)::BIGINT AS e_in
+      FROM labeled WHERE ca = cb GROUP BY ca
+    ),
+    degsum AS (
+      SELECT c, count(*)::BIGINT AS d
+      FROM (SELECT ca AS c FROM labeled
+            UNION ALL SELECT cb AS c FROM labeled)
+      GROUP BY c
+    )
+    SELECT d.c AS community,
+           COALESCE(i.e_in, 0) AS intra_edges,
+           d.d AS degree_sum,
+           round(COALESCE(i.e_in, 0)::DOUBLE / m.m
+                 - (d.d::DOUBLE / (2 * m.m)) * (d.d::DOUBLE / (2 * m.m)),
+                 12) AS q_contrib
+    FROM degsum d LEFT JOIN intra i ON d.c = i.c CROSS JOIN m
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity contribution per community (communities =
+    supplier nations) over the supplier co-occurrence graph:
+    Q_c = e_c/m − (d_c/2m)². Exact edge/degree counts; per-community
+    float formula on identical operands. Edge build is the one real
+    shuffle (orderkey self-join); community labels join on the
+    supplier key (dimension-sized, broadcastable — but left as a
+    shuffle join since supplier count grows with SF)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .distinct()
+    )
+    comm = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("c")
+    )
+    c1 = comm.select(F.col("s_suppkey").alias("s1"), F.col("c").alias("ca"))
+    c2 = comm.select(F.col("s_suppkey").alias("s2"), F.col("c").alias("cb"))
+    labeled = pairs.join(c1, "s1").join(c2, "s2").select("ca", "cb")
+    labeled = labeled.localCheckpoint(eager=False)
+    m = labeled.agg(F.count("*").alias("m"))
+    intra = (
+        labeled.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    degsum = (
+        labeled.select(F.col("ca").alias("c"))
+        .unionAll(labeled.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("d"))
+    )
+    dm = F.col("d").cast("double") / (2 * F.col("m"))
+    return (
+        degsum.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("c").alias("community"),
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("intra_edges"),
+            F.col("d").alias("degree_sum"),
+            F.round(
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double")
+                / F.col("m")
+                - dm * dm,
+                12,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@query(
+    "ab_test_zscores",
+    """
+    WITH arms AS (
+      SELECT user_id % 2 AS variant,
+             count(*)::BIGINT AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS sxx
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        (SELECT n FROM arms WHERE variant = 0) AS n0,
+        (SELECT sx FROM arms WHERE variant = 0) AS sx0,
+        (SELECT sxx FROM arms WHERE variant = 0) AS sxx0,
+        (SELECT n FROM arms WHERE variant = 1) AS n1,
+        (SELECT sx FROM arms WHERE variant = 1) AS sx1,
+        (SELECT sxx FROM arms WHERE variant = 1) AS sxx1
+    )
+    SELECT n0, n1,
+           round(sx0 / n0 - sx1 / n1, 12) AS mean_diff_cents,
+           round((sx0 / n0 - sx1 / n1)
+                 / sqrt((sxx0 - sx0 * sx0 / n0) / (n0 * (n0 - 1))
+                        + (sxx1 - sx1 * sx1 / n1) / (n1 * (n1 - 1))),
+                 12) AS welch_z
+    FROM wide
+    """,
+)
+def ab_test_zscores(spark, sf_dir):
+    """Welch two-sample z on purchase value (integer cents) between
+    hash-assigned experiment arms (variant = user_id % 2 — the
+    deterministic assignment an experiment platform derives from a
+    salted user hash). Moments are exact BIGINT sums (the
+    stats_via_sums policy) collapsed map-side into 2 rows; mean/
+    variance/z are the final float formula on identical operands."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).cast("double").alias("sx"),
+        F.sum(cents * cents).cast("double").alias("sxx"),
+    )
+    a0 = arms.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"),
+        F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    a1 = arms.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"),
+        F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    wide = a0.crossJoin(a1)
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0 = F.col("sx0") / n0
+    m1 = F.col("sx1") / n1
+    se = F.sqrt(
+        (F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0)
+        / (n0 * (n0 - 1))
+        + (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1)
+        / (n1 * (n1 - 1))
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        F.round(m0 - m1, 12).alias("mean_diff_cents"),
+        F.round((m0 - m1) / se, 12).alias("welch_z"),
+    )

@@ -87,6 +87,7 @@ def _load_all() -> None:
         incremental,
         analytics,
         analytics2,
+        analytics3,
         embeddings2,
         graph,
         graph2,

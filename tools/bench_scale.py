@@ -10,6 +10,7 @@ A watchdog cancels a query's job group after --timeout seconds
 (default 1200) and records it as DNF rather than hanging the sweep.
 
 Usage: python tools/bench_scale.py <sf_dir> <out.json> [timeout_s]
+       [--only=name1,name2,...]   (sweep a subset, e.g. new queries)
 """
 
 from __future__ import annotations
@@ -27,9 +28,15 @@ from etl_mp_transactions_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = os.path.abspath(sys.argv[1])
-    out_path = sys.argv[2]
-    timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 1200.0
+    args = list(sys.argv[1:])
+    only: set[str] = set()
+    for a in list(args):
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
+    sf_dir = os.path.abspath(args[0])
+    out_path = args[1]
+    timeout_s = float(args[2]) if len(args) > 2 else 1200.0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # sf1 in one local JVM needs executor-sized heap (32 concurrent
     # tasks share it); overridable via SPARK_GRAFT_DRIVER_MEM
@@ -47,6 +54,8 @@ def main() -> int:
     sc = spark.sparkContext
     timings: dict[str, object] = {}
     for name in sorted(qs):
+        if only and name not in only:
+            continue
         group = f"scale-{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         cancelled = threading.Event()
