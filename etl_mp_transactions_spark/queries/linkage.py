@@ -9,10 +9,20 @@ fingerprint bands in training_ops2.py): order every 3-shingle by
 global rarity (document frequency asc), take each doc's prefix of
 p = n − ⌈θ·n⌉ + 1 rarest shingles, and only pairs sharing a *prefix*
 shingle can reach Jaccard ≥ θ (Chaudhuri et al. SSJoin / Xiao et al.
-PPJoin prefix-filter principle) — candidates then pass the standard
-length filter (θ·n1 ≤ n2 ≤ n1/θ) before the exact intersection
-verify. Measured at sf0.1: 12.5M possible pairs → 118k prefix
-candidates → 43k after length filter → 256 verified matches.
+PPJoin prefix-filter principle). All three lossless PPJoin prunes are
+implemented: (1) asymmetric prefixes — the (size, id)-larger side of
+a pair probes with the Jaccard prefix n−⌈θn⌉+1 while the smaller side
+indexes only n−⌈2θ/(1+θ)·n⌉+1 tokens (≈half at θ=0.8); (2) the
+length filter θ·na ≤ nb; (3) the positional filter — because per-doc
+positions are ranks in ONE global (df, token) order, the first
+prefix-shared token of a pair provably attains MIN(pa) and MIN(pb)
+simultaneously, so overlap ≤ 1 + min(na−pa, nb−pb) prunes pairs
+before any verify work with a plain MIN aggregation. Verification is
+an array_intersect over the per-doc shingle arrays (no row-explode
+verify join). Measured at sf0.1: 12.5M possible pairs → 256 verified
+matches; the prune stack cut the sf1 scale ratio from 36× (naive
+prefix filter, 17.5M candidates for 80 matches on this
+vocabulary-saturated corpus) — see SCALE.md for the measured number.
 
 Exactness: all counts BIGINT; Jaccard/WOE are single float ops on
 identical operands, rounded to 12 digits; money flows as integer
@@ -39,49 +49,57 @@ SETSIM_THETA = 0.8
                          x -> x <> '') AS l
       FROM documents
     ),
-    sh AS (
+    shset AS (
       SELECT doc_id,
-             unnest(list_distinct(list_transform(
+             list_distinct(list_transform(
                range(1, len(l) - 1),
-               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS g
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS arr
       FROM toks WHERE len(l) >= 3
     ),
+    sh AS (SELECT doc_id, unnest(arr) AS g FROM shset),
     n AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
     df AS (SELECT g, count(*)::BIGINT AS df FROM sh GROUP BY 1),
     ranked AS (
-      SELECT sh.doc_id, sh.g,
+      SELECT sh.doc_id, sh.g, nn.n,
              row_number() OVER (PARTITION BY sh.doc_id
-                                ORDER BY df.df, sh.g) AS rk
-      FROM sh JOIN df ON sh.g = df.g
+                                ORDER BY df.df, sh.g) AS p
+      FROM sh JOIN df ON sh.g = df.g JOIN n nn ON sh.doc_id = nn.doc_id
     ),
-    pref AS (
-      SELECT r.doc_id, r.g
-      FROM ranked r JOIN n ON r.doc_id = n.doc_id
-      WHERE r.rk <= n.n - ceil({SETSIM_THETA} * n.n)::BIGINT + 1
+    probe AS (
+      SELECT doc_id, g, n, p FROM ranked
+      WHERE p <= n - ceil({SETSIM_THETA} * n)::BIGINT + 1
+    ),
+    idx AS (
+      SELECT doc_id, g, n, p FROM ranked
+      WHERE p <= n - ceil(8.0 * n / 9.0)::BIGINT + 1
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
-    candlen AS (
-      SELECT d1, d2, n1.n AS n1, n2.n AS n2
-      FROM cand
-      JOIN n n1 ON n1.doc_id = d1
-      JOIN n n2 ON n2.doc_id = d2
-      WHERE n2.n >= ceil({SETSIM_THETA} * n1.n)
-        AND n2.n <= floor(n1.n / {SETSIM_THETA})
-    ),
-    inter AS (
-      SELECT c.d1, c.d2, c.n1, c.n2, count(*)::BIGINT AS i
-      FROM candlen c
-      JOIN sh s1 ON s1.doc_id = c.d1
-      JOIN sh s2 ON s2.doc_id = c.d2 AND s1.g = s2.g
+      SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb,
+             min(a.p)::BIGINT AS pa, min(b.p)::BIGINT AS pb
+      FROM probe a JOIN idx b
+        ON a.g = b.g AND (a.n, a.doc_id) > (b.n, b.doc_id)
       GROUP BY 1, 2, 3, 4
+    ),
+    pruned AS (
+      SELECT da, db, na, nb FROM cand
+      WHERE nb >= ceil({SETSIM_THETA} * na)
+        AND 1 + least(na - pa, nb - pb)
+            >= ceil(4.0 * (na + nb) / 9.0)
+    ),
+    verified AS (
+      SELECT p.da, p.db, p.na, p.nb,
+             len(list_intersect(s1.arr, s2.arr))::BIGINT AS i
+      FROM pruned p
+      JOIN shset s1 ON s1.doc_id = p.da
+      JOIN shset s2 ON s2.doc_id = p.db
     )
-    SELECT d1, d2, i AS inter, n1, n2,
-           round(i::DOUBLE / (n1 + n2 - i), 12) AS jaccard
-    FROM inter
-    WHERE i::DOUBLE / (n1 + n2 - i) >= {SETSIM_THETA}
+    SELECT least(da, db) AS d1, greatest(da, db) AS d2,
+           i AS inter,
+           CASE WHEN da < db THEN na ELSE nb END AS n1,
+           CASE WHEN da < db THEN nb ELSE na END AS n2,
+           round(i::DOUBLE / (na + nb - i), 12) AS jaccard
+    FROM verified
+    WHERE i::DOUBLE / (na + nb - i) >= {SETSIM_THETA}
     """,
 )
 def setsim_prefix_join(spark, sf_dir):
@@ -90,11 +108,12 @@ def setsim_prefix_join(spark, sf_dir):
 
     Plan: shingle explode → df table (uniform shingle-hash shuffle) →
     per-doc rarity rank window (partitioned by doc_id — millions of
-    small partitions, the scalable window class) → prefix self-join on
-    shingle (the only pair-generating join, bounded by prefix-shingle
-    co-occurrence, NOT n²) → length filter → exact intersection count
-    on candidates only. No LSH false negatives: prefix filtering is
-    lossless for Jaccard ≥ θ, so the output IS the exact θ-join."""
+    small partitions, the scalable window class) → probe×index prefix
+    join (the only pair-generating join, asymmetric prefixes) folded
+    straight into a MIN(p) pair aggregation → length + positional
+    prunes → array_intersect verify on survivors only. No LSH false
+    negatives: every prune is lossless for Jaccard ≥ θ, so the output
+    IS the exact θ-join."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
@@ -111,68 +130,88 @@ def setsim_prefix_join(spark, sf_dir):
             ),
         )
     )
-    # the shingle table feeds four consumers (doc sizes, df, rarity
-    # rank, intersection verify): materialize once instead of paying
-    # the scan+explode four times — at scale this is the "shingle
-    # index" intermediate a real pipeline would persist
-    sh = d.select("doc_id", F.explode(shingles).alias("g")).localCheckpoint(
+    # the shingle-set table feeds every stage (sizes, df, rank, the
+    # array-intersect verify): materialize once — the "shingle index"
+    # intermediate a real pipeline would persist
+    shset = d.select("doc_id", shingles.alias("arr")).localCheckpoint(
         eager=False
     )
+    sh = shset.select("doc_id", F.explode("arr").alias("g"))
     n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     df = sh.groupBy("g").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     ranked = (
         sh.join(df, "g")
-        .select("doc_id", "g", F.row_number().over(w).alias("rk"))
         .join(n, "doc_id")
+        .select("doc_id", "g", "n", F.row_number().over(w).alias("p"))
     )
-    pref = ranked.filter(
-        F.col("rk")
-        <= F.col("n") - F.ceil(SETSIM_THETA * F.col("n")) + 1
-    ).select("doc_id", "g")
-    a = pref.alias("a")
-    b = pref.alias("b")
+    probe = ranked.filter(
+        F.col("p") <= F.col("n") - F.ceil(SETSIM_THETA * F.col("n")) + 1
+    )
+    idx = ranked.filter(
+        F.col("p") <= F.col("n") - F.ceil(8.0 * F.col("n") / 9.0) + 1
+    )
+    a = probe.alias("a")
+    b = idx.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (
+                F.struct(F.col("a.n"), F.col("a.doc_id"))
+                > F.struct(F.col("b.n"), F.col("b.doc_id"))
+            ),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(
+            F.min(F.col("a.p")).alias("pa"),
+            F.min(F.col("b.p")).alias("pb"),
+        )
+    )
+    pruned = cand.filter(
+        (F.col("nb") >= F.ceil(SETSIM_THETA * F.col("na")))
+        & (
+            1
+            + F.least(
+                F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+            )
+            >= F.ceil(4.0 * (F.col("na") + F.col("nb")) / 9.0)
+        )
+    ).select("da", "db", "na", "nb")
+    s1 = shset.select(
+        F.col("doc_id").alias("da"), F.col("arr").alias("arr1")
+    )
+    s2 = shset.select(
+        F.col("doc_id").alias("db"), F.col("arr").alias("arr2")
+    )
+    verified = (
+        pruned.join(s1, "da")
+        .join(s2, "db")
         .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+            "da",
+            "db",
+            "na",
+            "nb",
+            F.size(F.array_intersect("arr1", "arr2"))
+            .cast("long")
+            .alias("inter"),
         )
-        .distinct()
-    )
-    n1 = n.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    n2 = n.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    candlen = (
-        cand.join(n1, "d1")
-        .join(n2, "d2")
-        .filter(
-            (F.col("n2") >= F.ceil(SETSIM_THETA * F.col("n1")))
-            & (F.col("n2") <= F.floor(F.col("n1") / SETSIM_THETA))
-        )
-    )
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
-    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("g").alias("g2"))
-    inter = (
-        candlen.join(s1, "d1")
-        .join(
-            s2,
-            (F.col("d2") == F.col("sd2")) & (F.col("g1") == F.col("g2")),
-        )
-        .groupBy("d1", "d2", "n1", "n2")
-        .agg(F.count("*").alias("inter"))
     )
     jacc = F.col("inter").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
-    return inter.filter(jacc >= SETSIM_THETA).select(
-        "d1",
-        "d2",
+    lt = F.col("da") < F.col("db")
+    return verified.filter(jacc >= SETSIM_THETA).select(
+        F.least("da", "db").alias("d1"),
+        F.greatest("da", "db").alias("d2"),
         "inter",
-        "n1",
-        "n2",
+        F.when(lt, F.col("na")).otherwise(F.col("nb")).alias("n1"),
+        F.when(lt, F.col("nb")).otherwise(F.col("na")).alias("n2"),
         F.round(jacc, 12).alias("jaccard"),
     )
 
