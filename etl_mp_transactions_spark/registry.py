@@ -89,6 +89,7 @@ def _load_all() -> None:
         analytics2,
         analytics3,
         embeddings2,
+        features,
         graph,
         graph2,
         linkage,
