@@ -56,6 +56,29 @@ def triangle_count(und: DataFrame) -> DataFrame:
     return und.agg(F.count("*").alias("n_edges")).crossJoin(tri)
 
 
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """`rounds` rounds of k-core peeling over a bidirected edge list
+    (u, v): drop nodes with degree < k, restrict edges to survivors,
+    repeat. Returns the surviving bidirected edge list. Pure integer
+    arithmetic — replayable exactly as unrolled SQL CTEs (the
+    kcore_decomposition oracle)."""
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return edges
+
+
 def bfs_distances(
     spark: SparkSession, edges: DataFrame, source: str, max_depth: int
 ) -> DataFrame:

@@ -92,6 +92,7 @@ def _load_all() -> None:
         features,
         graph,
         graph2,
+        graph3,
         linkage,
         mining,
         retrieval,
