@@ -95,6 +95,7 @@ def _load_all() -> None:
         graph3,
         linkage,
         mining,
+        quality,
         retrieval,
     )
 
