@@ -19,7 +19,9 @@ from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 DECAY_HALFLIFE_H = 24.0  # hours
-DECAY_T0 = "2026-01-01 00:00:00"  # fixed 'now' anchor, both engines
+DECAY_T0 = "2024-02-01 00:00:00"  # fixed 'now' anchor just past the
+# event range (events span Jan 2024) — a far-future anchor decays
+# every weight to zero and the aggregate degenerates
 SMOOTH_M = 50  # target-encoding pseudo-count
 
 
@@ -30,7 +32,9 @@ SMOOTH_M = 50  # target-encoding pseudo-count
       SELECT event_type,
              CAST(round(
                CAST(round(value * 100) AS BIGINT)
-               * pow(2.0, -(epoch(TIMESTAMP '{DECAY_T0}') - epoch(ts))
+               * pow(2.0, -((epoch_us(TIMESTAMP '{DECAY_T0}')
+                             - epoch_us(ts))
+                            / 1000000.0)
                            / (3600.0 * {DECAY_HALFLIFE_H}))
                * 1000000) AS BIGINT) AS micro
       FROM events
@@ -47,11 +51,15 @@ def time_decay_scores(spark, sf_dir):
     aggregate. Each row's decayed contribution is computed in one
     float formula and immediately rounded to integer micro-cents, so
     the aggregation is an exact BIGINT sum — order-independent and
-    engine-portable (the picorank pattern). Map-only + one tiny agg."""
+    engine-portable (the picorank pattern). Age is microsecond-exact
+    (epoch_us == unix_micros): a whole-second truncation disagrees
+    with DuckDB's fractional epoch() on sub-second timestamps.
+    Map-only + one tiny agg."""
     ev = load_table(spark, sf_dir, "events")
-    age_s = F.lit(DECAY_T0).cast("timestamp").cast("long") - F.col(
-        "ts"
-    ).cast("timestamp").cast("long")
+    age_s = (
+        F.unix_micros(F.lit(DECAY_T0).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / 1000000.0
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     micro = F.round(
         cents
