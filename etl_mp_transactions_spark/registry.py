@@ -97,6 +97,7 @@ def _load_all() -> None:
         mining,
         quality,
         retrieval,
+        sketches,
     )
 
     _LOADED = True
