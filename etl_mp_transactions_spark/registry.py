@@ -98,6 +98,7 @@ def _load_all() -> None:
         quality,
         retrieval,
         sketches,
+        stattests,
     )
 
     _LOADED = True
