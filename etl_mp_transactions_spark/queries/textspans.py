@@ -1,0 +1,186 @@
+"""Exact substring-duplication spans over the documents corpus —
+the n-gram-granular formulation of "Deduplicating Training Data Makes
+Language Models Better" (Lee et al. 2022, public): find every 8-gram
+shared across ≥2 documents, then merge each document's duplicated
+positions into maximal character..er..token spans.
+
+This completes the dedup family (exact / MinHash-LSH / SimHash /
+winnowing give *document-level* verdicts; this gives the *span-level*
+map a pipeline needs to cut duplicated passages out of otherwise-kept
+documents).
+
+Formulation (all window + groupBy, zero UDFs):
+1. posexplode tokens, build each position's 8-gram via 7 LEADs;
+2. one groupBy on the 8-gram: keep grams in ≥2 distinct docs
+   (cross-doc duplication — intra-doc repetition is gopher_repetition's
+   domain);
+3. per doc, merge the duplicated [p, p+7] intervals with the classic
+   sweep (running max of interval ends → new-island flag → prefix-sum
+   island id — the same shape interval_concurrency pins);
+4. per doc: span count, duplicated token mass, floor-divided ppm
+   ratio.
+
+Scale story: the gram groupBy shuffles once on the md5 gram key
+(uniform); the interval sweep windows are PARTITIONED BY doc_id, so
+they parallelize per document — no global window anywhere. At 100 TB
+the hot-gram skew (boilerplate headers shared by millions of docs)
+is bounded because stage 2 only needs `count(distinct doc) >= 2`,
+which AQE-splits fine; the per-doc stage is proportional to each
+doc's own length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+NGRAM = 8
+
+
+def _lead_concat_sql() -> str:
+    parts = ["tok"] + [
+        f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY p)"
+        for i in range(1, NGRAM)
+    ]
+    return " || ' ' || ".join(parts)
+
+
+@query(
+    "duplicate_ngram_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, p, md5({_lead_concat_sql()}) AS g,
+             count(*) OVER (PARTITION BY doc_id) AS n_tokens
+      FROM toks
+      QUALIFY p + {NGRAM} <= n_tokens
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT gr.doc_id, gr.p, gr.p + {NGRAM} - 1 AS pend
+      FROM grams gr JOIN dup d ON gr.g = d.g
+    ),
+    sweep AS (
+      SELECT doc_id, p, pend,
+             max(pend) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, p, pend,
+             sum(CASE WHEN prev_end IS NULL OR p > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM sweep
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             min(p) AS span_start,
+             max(pend) AS span_end
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS dup_spans,
+             sum(s.span_end - s.span_start + 1) AS dup_tokens
+      FROM spans s GROUP BY s.doc_id
+    ),
+    lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT p.doc_id, p.dup_spans, p.dup_tokens, l.n_tokens,
+           p.dup_tokens * 1000000 // l.n_tokens AS dup_ppm
+    FROM per_doc p JOIN lens l ON p.doc_id = l.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def duplicate_ngram_spans(spark, sf_dir):
+    """Per-document map of exactly-duplicated 8-gram spans (module
+    docstring). Output: docs with ≥1 cross-doc duplicated span, the
+    span count, the duplicated token mass after merging overlaps, and
+    the floor-divided parts-per-million duplication ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(wdoc) for i in range(1, NGRAM)
+    ]
+    grams = (
+        toks.select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", *gram_cols)).alias("g"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias(
+                "n_tokens"
+            ),
+        )
+        .filter(F.col("p") + NGRAM <= F.col("n_tokens"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select(
+        "doc_id", "p", (F.col("p") + NGRAM - 1).alias("pend")
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = hits.withColumn("prev_end", F.max("pend").over(wprev))
+    islands = sweep.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("p") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("p").alias("span_start"), F.max("pend").alias("span_end")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        ),
+    )
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return (
+        per_doc.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "dup_spans",
+            "dup_tokens",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("div(dup_tokens * 1000000, n_tokens)").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -99,6 +99,8 @@ def _load_all() -> None:
         retrieval,
         sketches,
         stattests,
+        textspans,
+        segmentation,
     )
 
     _LOADED = True
