@@ -101,6 +101,8 @@ def _load_all() -> None:
         stattests,
         textspans,
         segmentation,
+        regression,
+        reconcile,
     )
 
     _LOADED = True
