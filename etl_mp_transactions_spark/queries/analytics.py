@@ -379,3 +379,44 @@ def k_anonymity_audit(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") < 5)
     )
+
+
+@query(
+    "l_diversity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           count(*)::BIGINT AS n,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             AS distinct_sensitive,
+           CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+                THEN 1 ELSE 0 END AS fails_l3
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity audit (l=3), the sequel to k_anonymity_audit: a
+    quasi-identifier class can be k-anonymous yet still leak if all
+    its members share one sensitive value. Here the QI is (nation,
+    segment) and the sensitive attribute the $1000 balance band; every
+    class is reported with its diversity and a fails-l3 flag (the
+    synthetic data is diverse, so a filter-only output would be
+    empty — reporting all classes keeps the oracle a full-value
+    check). Same single-
+    aggregation shape as the k-audit, distinct-count instead of
+    count."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(band).alias("distinct_sensitive"),
+        )
+        .select(
+            "*",
+            F.when(F.col("distinct_sensitive") < 3, 1)
+            .otherwise(0)
+            .alias("fails_l3"),
+        )
+    )

@@ -103,6 +103,8 @@ def _load_all() -> None:
         segmentation,
         regression,
         reconcile,
+        graph4,
+        indexing,
     )
 
     _LOADED = True
