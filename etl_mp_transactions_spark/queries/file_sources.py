@@ -99,3 +99,57 @@ def s8_orc_scan(spark, sf_dir):
     path = _stage(spark, sf_dir, "orc", {})
     df = spark.read.orc(path)
     return _project(df)
+
+
+_FW_WIDTHS = (12, 1, 12, 19)  # orderkey, status, price-cents, ntz date
+
+
+@query("s9_fixed_width_scan", _SCAN_ORACLE)
+def s9_fixed_width_scan(spark, sf_dir):
+    """Fixed-width text source scan — the mainframe-extract format
+    every bank ETL eventually meets (the reference's domain is bank
+    transaction files, SURVEY.md §1). Staging renders each order as a
+    44-char record (zero-padded orderkey and price-cents, pinned NTZ
+    date) with a distributed write.text; the read side is
+    spark.read.text + substring/cast parsing — all expression-level,
+    so Catalyst prunes and the text scan stays splittable by line.
+    Money crosses the format as exact integer cents: cents/100.0
+    re-yields the canonical 2-decimal double bit-for-bit (nearest-
+    double of k/100 both ways)."""
+    w1, w2, w3, w4 = _FW_WIDTHS
+    work = tempfile.mkdtemp(prefix="sg_fixedwidth_")
+    out = os.path.join(work, "orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.lpad(F.col("o_orderkey").cast("string"), w1, "0"),
+                F.col("o_orderstatus"),
+                F.lpad(
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("bigint")
+                    .cast("string"),
+                    w3,
+                    "0",
+                ),
+                F.date_format(F.col("o_orderdate"), _NTZ_FMT),
+            ).alias("value")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    p1, p2, p3 = 1, 1 + w1, 1 + w1 + w2
+    p4 = 1 + w1 + w2 + w3
+    df = lines.select(
+        F.substring("value", p1, w1).cast("bigint").alias("o_orderkey"),
+        F.substring("value", p2, w2).alias("o_orderstatus"),
+        (
+            F.substring("value", p3, w3).cast("bigint") / F.lit(100.0)
+        ).alias("o_totalprice"),
+        F.to_timestamp_ntz(
+            F.substring("value", p4, w4), F.lit(_NTZ_FMT)
+        ).alias("o_orderdate"),
+    )
+    return _project(df)

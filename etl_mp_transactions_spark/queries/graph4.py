@@ -34,9 +34,12 @@ from etl_mp_transactions_spark.sources.tables import load_table
 GRID = 1_000_000_000
 N_ROUNDS = 3
 
+# int keys inside the recurrence (string keys would double the
+# shuffle byte volume x6 rounds); the 'c:'/'s:' prefixes are applied
+# once at output
 _EDGES_SQL = """
     edges AS MATERIALIZED (
-      SELECT DISTINCT 'c:' || o.o_custkey AS hub, 's:' || l.l_suppkey AS auth
+      SELECT DISTINCT o.o_custkey AS hub, l.l_suppkey AS auth
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     )"""
 
@@ -74,9 +77,9 @@ _HITS_SQL = (
            FROM edges),"""
     + ",".join(_round_sql(k) for k in range(1, N_ROUNDS + 1))
     + f"""
-    SELECT 'hub' AS side, node, score FROM h{N_ROUNDS}
+    SELECT 'hub' AS side, 'c:' || node AS node, score FROM h{N_ROUNDS}
     UNION ALL
-    SELECT 'auth' AS side, node, score FROM a{N_ROUNDS}
+    SELECT 'auth' AS side, 's:' || node AS node, score FROM a{N_ROUNDS}
     """
 )
 
@@ -93,8 +96,8 @@ def hits_hubs_authorities(spark, sf_dir):
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("hub"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("auth"),
+            F.col("o_custkey").alias("hub"),
+            F.col("l_suppkey").alias("auth"),
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -120,5 +123,13 @@ def hits_hubs_authorities(spark, sf_dir):
         h = half_round(a, "auth", "hub")
         a = half_round(h, "hub", "auth")
     return h.select(
-        F.lit("hub").alias("side"), "node", "score"
-    ).unionAll(a.select(F.lit("auth").alias("side"), "node", "score"))
+        F.lit("hub").alias("side"),
+        F.concat(F.lit("c:"), F.col("node")).alias("node"),
+        "score",
+    ).unionAll(
+        a.select(
+            F.lit("auth").alias("side"),
+            F.concat(F.lit("s:"), F.col("node")).alias("node"),
+            "score",
+        )
+    )

@@ -450,3 +450,40 @@ def r10_stream_stream_join(spark, sf_dir):
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+@query(
+    "r11_stream_sliding",
+    """
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, * FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, * FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM slid GROUP BY 1
+    """,
+)
+def r11_stream_sliding(spark, sf_dir):
+    """R-ext streaming twin with a FULL oracle: watermarked sliding-
+    window (1h every 30min) aggregation as an AvailableNow stream —
+    stream==batch==SQL, the same pin family as r6_stream_tumbling;
+    the oracle materializes both bucket offsets per event explicitly
+    (the window_sliding formulation)."""
+    import uuid
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        staged_events_cached,
+        stream_sliding_counts_run,
+    )
+
+    work = run_dir("stream_slide")
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
+    return stream_sliding_counts_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        out_table=f"r11_slide_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )

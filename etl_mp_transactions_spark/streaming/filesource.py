@@ -144,6 +144,52 @@ def stream_windowed_counts_run(
     return spark.table(out_table)
 
 
+def stream_sliding_counts_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_sliding_out",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation over the event stream —
+    the streaming twin of the batch `window_sliding` query (same
+    F.window(size, slide) expression; each event feeds size/slide
+    overlapping windows). Complete-mode AvailableNow makes the finite
+    run equal the batch aggregation exactly; the per-event fan-out to
+    overlapping windows happens inside Spark's stateful window
+    operator, not by materializing duplicate rows."""
+    stream = stream_files_available_now(spark, src_dir, schema=_events_schema())
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(out_table)
+
+
 def stream_session_counts_run(
     spark: SparkSession,
     src_dir: str,
