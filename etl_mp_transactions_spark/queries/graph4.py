@@ -107,6 +107,16 @@ def hits_hubs_authorities(spark, sf_dir):
     )
 
     def half_round(scores, join_on, group_as):
+        # The max-scalar crossJoin references `raw` twice, so the
+        # printed plan doubles per half-round (2^6 subtree copies —
+        # the audit's exchange count). Measured at sf1, this lazy
+        # shape is still the fastest: 45s, vs 96s with eager
+        # per-round checkpoints (materialization barriers) and 102s
+        # with a global-window max (single-partition barrier per
+        # round) — exchange reuse + pipelining beat both explicit
+        # cuts at 3 rounds. Cluster note: beyond a handful of rounds
+        # the duplicated lineage compounds; checkpoint every few
+        # rounds there.
         raw = (
             edges.join(scores, scores.node == F.col(join_on))
             .groupBy(F.col(group_as).alias("gnode"))
