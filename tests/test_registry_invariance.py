@@ -24,6 +24,7 @@ _EXCLUDE = {
     "r8_stream_session",
     "r9_stream_continuous_agg",
     "r10_stream_stream_join",
+    "r11_stream_sliding",
     # incremental MV refresh: writes/reads its own state parquet —
     # pinned by its dedicated refresh-equivalence test
     "incremental_mv_refresh",
