@@ -220,3 +220,144 @@ def stratified_allocation(spark, sf_dir):
         extra.alias("extra"),
         (F.col("base_alloc") + extra).alias("alloc"),
     ).orderBy("stratum")
+
+
+@query(
+    "table_diff_drilldown",
+    f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % {DIFF_BUCKETS} AS bucket
+      FROM orders
+    ),
+    b AS (
+      SELECT k, st,
+             CASE WHEN k % 89 = 0 THEN cents + 1 ELSE cents END AS cents,
+             bucket
+      FROM a WHERE k % 97 <> 0
+    ),
+    da AS (
+      SELECT bucket, count(*) AS n,
+             sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || st || '|'
+                                      || CAST(cents AS VARCHAR)), 1, 12))::BIGINT)
+               AS dig
+      FROM a GROUP BY bucket
+    ),
+    db AS (
+      SELECT bucket, count(*) AS n,
+             sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || st || '|'
+                                      || CAST(cents AS VARCHAR)), 1, 12))::BIGINT)
+               AS dig
+      FROM b GROUP BY bucket
+    ),
+    diff_buckets AS (
+      SELECT da.bucket FROM da JOIN db USING (bucket)
+      WHERE da.n <> db.n OR da.dig <> db.dig
+    ),
+    a_in AS (SELECT a.* FROM a JOIN diff_buckets d ON a.bucket = d.bucket),
+    b_in AS (SELECT b.* FROM b JOIN diff_buckets d ON b.bucket = d.bucket),
+    rows_diff AS (
+      SELECT coalesce(a_in.k, b_in.k) AS k,
+             CASE WHEN b_in.k IS NULL THEN 'deleted'
+                  WHEN a_in.cents <> b_in.cents OR a_in.st <> b_in.st
+                    THEN 'updated'
+             END AS change
+      FROM a_in FULL OUTER JOIN b_in ON a_in.k = b_in.k
+      WHERE b_in.k IS NULL
+         OR a_in.cents <> b_in.cents OR a_in.st <> b_in.st
+    )
+    SELECT change, count(*) AS n_rows,
+           min(k) AS min_key, max(k) AS max_key
+    FROM rows_diff
+    GROUP BY change
+    ORDER BY change
+    """,
+)
+def table_diff_drilldown(spark, sf_dir):
+    """The row-granularity second phase of the Merkle reconciliation
+    (table_diff_recon finds WHICH buckets differ; this re-scans ONLY
+    those buckets at row level). A full-outer join keyed on the
+    order key, restricted by a semi-join to the differing buckets,
+    classifies each divergent row as deleted or updated; output is
+    the per-class count with the affected key range. At 100 TB the
+    re-scan touches diff_buckets/256 of the data — the entire point
+    of the digest phase."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % DIFF_BUCKETS
+    )
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    ).withColumn("bucket", bucket)
+    b = a.filter(F.col("k") % 97 != 0).select(
+        "k",
+        "st",
+        F.when(F.col("k") % 89 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "bucket",
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("k").cast("string"),
+                    F.col("st"),
+                    F.col("cents").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+    def digest(df):
+        return df.groupBy("bucket").agg(
+            F.count("*").alias("n"), F.sum(row_hash).alias("dig")
+        )
+
+    da, db = digest(a), digest(b)
+    diff_buckets = (
+        da.alias("da")
+        .join(db.alias("db"), "bucket")
+        .filter(
+            (F.col("da.n") != F.col("db.n"))
+            | (F.col("da.dig") != F.col("db.dig"))
+        )
+        .select("bucket")
+    )
+    a_in = a.join(F.broadcast(diff_buckets), "bucket")
+    b_in = b.join(F.broadcast(diff_buckets), "bucket")
+    joined = a_in.alias("x").join(
+        b_in.alias("y"), F.col("x.k") == F.col("y.k"), "full_outer"
+    )
+    change = F.when(F.col("y.k").isNull(), "deleted").when(
+        (F.col("x.cents") != F.col("y.cents"))
+        | (F.col("x.st") != F.col("y.st")),
+        "updated",
+    )
+    rows_diff = joined.select(
+        F.coalesce(F.col("x.k"), F.col("y.k")).alias("k"),
+        change.alias("change"),
+    ).filter(F.col("change").isNotNull())
+    return (
+        rows_diff.groupBy("change")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change")
+    )

@@ -105,6 +105,7 @@ def _load_all() -> None:
         reconcile,
         graph4,
         indexing,
+        sketches2,
     )
 
     _LOADED = True
