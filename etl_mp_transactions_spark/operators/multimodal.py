@@ -276,3 +276,69 @@ def resize_assets(assets: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+AUDIO_FRAME_LEN = 16
+AUDIO_FRAME_HOP = 8
+
+
+def frame_audio(
+    assets: DataFrame,
+    frame_len: int = AUDIO_FRAME_LEN,
+    hop: int = AUDIO_FRAME_HOP,
+) -> DataFrame:
+    """Audio framing plumbing: treat `content` as unsigned 8-bit PCM
+    samples, centered as s = 2b−255 (odd, never zero), and emit
+    overlapping analysis frames with the classic per-frame features —
+    energy Σs², peak |s|, and zero-crossing count. All
+    three are INTEGER, so the operator oracles exactly (unlike
+    entropy there is no float anywhere). A real pipeline swaps the
+    uint8 view for an int16 decode; shapes and batching are
+    identical.
+
+    Scale: map-only Arrow fan-out like sample_frames — blobs never
+    shuffle, frames are produced inside the task that read the
+    bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, energies, peaks, zcs = [], [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                # centered sample 2b-255 is always odd, hence never
+                # zero — zero-crossing needs no sign-adoption rule
+                s = 2 * np.frombuffer(
+                    bytes(content), dtype=np.uint8
+                ).astype(np.int64) - 255
+                n_frames = (
+                    (len(s) - frame_len) // hop + 1 if len(s) >= frame_len else 0
+                )
+                for f in range(n_frames):
+                    w = s[f * hop : f * hop + frame_len]
+                    ids.append(int(asset_id))
+                    idxs.append(f)
+                    energies.append(int((w * w).sum()))
+                    peaks.append(int(np.abs(w).max()))
+                    zcs.append(int((w[1:] * w[:-1] < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "energy": pd.array(energies, dtype="int64"),
+                    "peak": peaks,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return assets.mapInPandas(batches, AUDIO_FRAME_SCHEMA)

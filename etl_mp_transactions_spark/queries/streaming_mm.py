@@ -487,3 +487,55 @@ def r11_stream_sliding(spark, sf_dir):
         out_table=f"r11_slide_{uuid.uuid4().hex[:8]}",
         output_mode="complete",
     )
+
+
+@query(
+    "multimodal_audio_frames",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             upper(md5(text) || md5('x' || text)) AS hi
+      FROM documents
+      WHERE doc_id % 3 = 1
+    ),
+    samp AS (
+      -- byte(i) from hex chars; centered sample 2b-255 (odd => no
+      -- zero-sign case, matching the Arrow operator)
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+               i -> 2 * ((strpos('0123456789ABCDEF',
+                                 substr(hi, 2 * i + 1, 1)) - 1) * 16
+                         + strpos('0123456789ABCDEF',
+                                  substr(hi, 2 * i + 2, 1)) - 1) - 255)
+               AS s
+      FROM h
+    ),
+    frames AS (
+      SELECT doc_id, f.f AS frame_idx, s[f.f * 8 + 1 : f.f * 8 + 16] AS w
+      FROM samp, (SELECT unnest(generate_series(0, 2)) AS f) f
+    )
+    SELECT doc_id AS asset_id, frame_idx,
+           list_sum(list_transform(w, x -> x * x))::BIGINT AS energy,
+           list_max(list_transform(w, x -> abs(x)))::INTEGER AS peak,
+           list_sum(list_transform(generate_series(2, 16),
+             i -> CASE WHEN w[i] * w[i - 1] < 0 THEN 1 ELSE 0 END))::INTEGER
+             AS zero_crossings
+    FROM frames
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def multimodal_audio_frames(spark, sf_dir):
+    """The audio leg of the multimodal family: 8-bit-PCM framing
+    (16-sample frames, hop 8) with integer energy / peak /
+    zero-crossing features via Arrow mapInPandas — and, because the
+    features are all-integer, a FULL value oracle that rebuilds the
+    same sample stream in hex space (the multimodal_features
+    technique, without even the entropy float). Only audio-typed
+    assets (doc_id % 3 == 1) flow in: the media-type filter prunes
+    before the Python boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs).filter(
+        F.col("media_type") == "audio"
+    )
+    frames = multimodal.frame_audio(assets)
+    return frames.orderBy("asset_id", "frame_idx")

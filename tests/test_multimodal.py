@@ -44,3 +44,47 @@ def test_decode_routes_to_real_codecs():
     # unsupported containers fail loudly (no silent passthrough)
     with pytest.raises(ImageFormatError):
         multimodal.decode_image(b"\x00\x01")
+
+
+def test_audio_frames_match_hashlib_reference(spark, sf_dir):
+    import hashlib
+
+    import duckdb
+
+    from etl_mp_transactions_spark.operators import multimodal
+    from etl_mp_transactions_spark.queries.streaming_mm import (
+        multimodal_audio_frames,
+    )
+
+    rows = multimodal_audio_frames(spark, sf_dir).collect()
+    assert rows
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # every audio asset yields exactly 3 frames (32 samples, 16/8)
+    assert all(len(v) == 3 for v in by_asset.values())
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+            f"WHERE doc_id % 3 = 1"
+        ).fetchall()
+    )
+    con.close()
+    assert set(by_asset) == set(texts)
+    # full per-frame recompute from the raw md5 bytes, independent of
+    # both engines' SQL
+    for doc_id, text in texts.items():
+        raw = bytes.fromhex(
+            hashlib.md5(text.encode()).hexdigest()
+            + hashlib.md5(("x" + text).encode()).hexdigest()
+        )
+        s = [2 * b - 255 for b in raw]
+        for r in by_asset[doc_id]:
+            w = s[r.frame_idx * 8 : r.frame_idx * 8 + 16]
+            assert r.energy == sum(x * x for x in w)
+            assert r.peak == max(abs(x) for x in w)
+            assert r.zero_crossings == sum(
+                1 for a, b2 in zip(w, w[1:]) if a * b2 < 0
+            )
