@@ -365,3 +365,89 @@ def autocorrelation_acf(spark, sf_dir):
         .select("lag", "n", "np", acf.alias("acf"))
         .orderBy("lag")
     )
+
+
+@query(
+    "rolling_correlation",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             count(*) AS y
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day,
+             row_number() OVER (ORDER BY day) AS t,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round((n * sxy - sx::DOUBLE * sy)
+                 / sqrt((n * sxx - sx::DOUBLE * sx)
+                        * (n * syy - sy::DOUBLE * sy)), 9) AS corr7
+    FROM win
+    WHERE t >= 7
+    ORDER BY day
+    """,
+)
+def rolling_correlation(spark, sf_dir):
+    """7-day rolling Pearson correlation between daily purchase
+    revenue and daily event volume — the co-movement monitor a
+    metrics platform runs. All six windowed moments are exact BIGINT
+    sums over a ROWS frame (order-free); each day's r is one final
+    float expression on those scalars, rounded to 9 decimals. Only
+    full 7-day windows emit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100, 0).cast("bigint"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.count("*").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    corr = F.round(
+        (
+            F.col("n") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / F.sqrt(
+            (
+                F.col("n") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            * (
+                F.col("n") * F.col("syy")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+        ),
+        9,
+    )
+    return (
+        win.filter(F.col("t") >= 7)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            corr.alias("corr7"),
+        )
+        .orderBy("day")
+    )

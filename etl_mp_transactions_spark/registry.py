@@ -106,6 +106,7 @@ def _load_all() -> None:
         graph4,
         indexing,
         sketches2,
+        profiling,
     )
 
     _LOADED = True
