@@ -107,6 +107,7 @@ def _load_all() -> None:
         indexing,
         sketches2,
         profiling,
+        warehouse,
     )
 
     _LOADED = True
