@@ -108,6 +108,7 @@ def _load_all() -> None:
         sketches2,
         profiling,
         warehouse,
+        sampling2,
     )
 
     _LOADED = True

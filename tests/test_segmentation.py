@@ -65,3 +65,41 @@ def test_duplicate_spans_wellformed(spark, sf_dir):
         assert r.dup_tokens <= r.n_tokens
         assert 0 < r.dup_ppm <= 1_000_000
         assert r.dup_spans >= 1
+
+
+def test_percentile_bands_bracket_and_order(spark, sf_dir):
+    from etl_mp_transactions_spark.queries.sampling2 import (
+        percentile_latency_bands,
+    )
+
+    rows = percentile_latency_bands(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days
+        assert r.n > 0
+
+
+def test_weighted_sample_prefers_heavy_orders(spark, sf_dir):
+    import duckdb
+
+    from etl_mp_transactions_spark.queries.sampling2 import (
+        weighted_sample_ares,
+        SAMPLE_K,
+    )
+
+    rows = weighted_sample_ares(spark, sf_dir).collect()
+    assert len(rows) == min(
+        SAMPLE_K,
+        duckdb.connect()
+        .execute(f"SELECT count(*) FROM '{sf_dir}/orders.parquet'")
+        .fetchone()[0],
+    )
+    con = duckdb.connect()
+    mean_all = con.execute(
+        f"SELECT avg(o_totalprice) FROM '{sf_dir}/orders.parquet'"
+    ).fetchone()[0]
+    con.close()
+    mean_sample = sum(r.weight_cents for r in rows) / len(rows) / 100.0
+    # weighted sampling must pull the sample mean above the
+    # population mean (weights ARE the values; deterministic hashes)
+    assert mean_sample > mean_all
