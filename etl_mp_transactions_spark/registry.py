@@ -109,6 +109,7 @@ def _load_all() -> None:
         profiling,
         warehouse,
         sampling2,
+        phonetics,
     )
 
     _LOADED = True
