@@ -1,0 +1,218 @@
+"""Spatial-join operator family (SURVEY.md §2.9 extensions): grid-
+cell-blocked ε-distance self-join, plus per-dimension quantile
+normalization of the embedding corpus.
+
+spatial_cell_join is the canonical scale pattern for distance joins
+(the same blocking idea PostGIS/Sedona grids implement): hash-derive
+deterministic micro-coordinates for each customer, bucket points
+into a 32×32 grid with cell size > ε, replicate each point to its 9
+neighbor cells ("probe"), and equi-join probes against home cells.
+Because cell size exceeds ε, every qualifying pair (a<b) is found
+EXACTLY once (a's probe set contains b's home cell), so no distinct
+is needed — the test pins this against a brute-force O(n²) check.
+Everything is integer: coordinates in micro-units, squared distance
+compared against ε² — no sqrt, no floats.
+
+embedding_quantile_normalize is the ML-preprocessing op: each
+dimension's values are ranked (row_number with vec_id tiebreak —
+deterministic under float ties) and mapped to [0, 1e6] micro-units
+by rank. The full normalized matrix is pinned per vector through an
+md5 checksum of the canonical 'd:v,…' rendering, keeping the output
+one row per vector while the oracle still checks every cell. Scale:
+64 independent per-dimension global sorts (range-partitionable),
+one reassembly groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+GRID_N = 32
+COORD_MAX = 1_000_000  # micro-unit coordinate space [0, 1e6)
+CELL = COORD_MAX // GRID_N  # 31250 > EPS: neighbor blocking is complete
+EPS = 10_000  # pair distance threshold (micro-units)
+TOP_PAIRS = 100
+
+
+@query(
+    "spatial_cell_join",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 8))::BIGINT
+               % {COORD_MAX} AS x,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 8))::BIGINT
+               % {COORD_MAX} AS y
+      FROM customer
+    ),
+    homed AS (
+      SELECT id, x, y, x // {CELL} AS cx, y // {CELL} AS cy FROM pts
+    ),
+    probes AS (
+      SELECT h.id, h.x, h.y,
+             h.cx + dx.d AS pcx, h.cy + dy.d AS pcy
+      FROM homed h
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+    ),
+    pairs AS (
+      SELECT a.id AS c1, b.id AS c2,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+               AS dist2
+      FROM probes a JOIN homed b
+        ON a.pcx = b.cx AND a.pcy = b.cy AND a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {EPS} * {EPS}
+    )
+    SELECT c1, c2, dist2
+    FROM pairs
+    ORDER BY dist2 ASC, c1 ASC, c2 ASC
+    LIMIT {TOP_PAIRS}
+    """,
+)
+def spatial_cell_join(spark, sf_dir):
+    """ε-distance customer pairs via 9-cell grid blocking (module
+    docstring): top-{TOP_PAIRS} closest pairs under ε, exact integer
+    squared distances."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def coord(seed):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_custkey").cast("string"), F.lit(seed)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % COORD_MAX
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord(":x").alias("x"),
+        coord(":y").alias("y"),
+    )
+    homed = pts.select(
+        "*",
+        F.expr(f"div(x, {CELL})").alias("cx"),
+        F.expr(f"div(y, {CELL})").alias("cy"),
+    )
+    offs = spark.range(-1, 2).select(F.col("id").cast("int").alias("d"))
+    probes = (
+        homed.crossJoin(F.broadcast(offs.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(offs.select(F.col("d").alias("dy"))))
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    a = probes.alias("a")
+    b = homed.alias("b")
+    dist2 = (F.col("a.x") - F.col("b.x")) * (
+        F.col("a.x") - F.col("b.x")
+    ) + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pcx") == F.col("b.cx"))
+            & (F.col("a.pcy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("c1"),
+            F.col("b.id").alias("c2"),
+            dist2.alias("dist2"),
+        )
+        .filter(F.col("dist2") <= EPS * EPS)
+    )
+    return pairs.orderBy(
+        F.asc("dist2"), F.asc("c1"), F.asc("c2")
+    ).limit(TOP_PAIRS)
+
+
+@query(
+    "embedding_quantile_normalize",
+    """
+    WITH elems AS (
+      SELECT vec_id, i - 1 AS d, embedding[i] AS val
+      FROM (SELECT vec_id, embedding FROM embeddings),
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    ranked AS (
+      SELECT vec_id, d,
+             row_number() OVER (PARTITION BY d ORDER BY val, vec_id) AS rk,
+             count(*) OVER (PARTITION BY d) AS n
+      FROM elems
+    ),
+    normed AS (
+      SELECT vec_id, d, ((rk - 1) * 1000000) // (n - 1) AS nm
+      FROM ranked
+    )
+    SELECT vec_id,
+           md5(string_agg(CAST(d AS VARCHAR) || ':' || CAST(nm AS VARCHAR),
+                          ',' ORDER BY d)) AS norm_checksum,
+           min(nm) AS min_norm,
+           max(nm) AS max_norm
+    FROM normed
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantile_normalize(spark, sf_dir):
+    """Per-dimension quantile normalization to [0, 1e6] micro-units
+    (module docstring): rank-deterministic under ties, every
+    normalized cell pinned through the per-vector md5 checksum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    )
+    wd = Window.partitionBy("d")
+    ranked = elems.select(
+        "vec_id",
+        "d",
+        F.row_number()
+        .over(wd.orderBy(F.asc("val"), F.asc("vec_id")))
+        .alias("rk"),
+        F.count("*").over(wd).alias("n"),
+    )
+    normed = ranked.select(
+        "vec_id",
+        "d",
+        F.expr("div((rk - 1) * 1000000, n - 1)").alias("nm"),
+    )
+    return (
+        normed.select(
+            "vec_id",
+            "nm",
+            F.concat_ws(
+                ":", F.col("d").cast("string"), F.col("nm").cast("string")
+            ).alias("cell"),
+            F.col("d"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(d, cell))), x -> x.cell), ',')"
+                )
+            ).alias("norm_checksum"),
+            F.min("nm").alias("min_norm"),
+            F.max("nm").alias("max_norm"),
+        )
+        .orderBy("vec_id")
+    )

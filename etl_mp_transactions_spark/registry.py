@@ -110,6 +110,7 @@ def _load_all() -> None:
         warehouse,
         sampling2,
         phonetics,
+        spatial,
     )
 
     _LOADED = True
