@@ -192,7 +192,12 @@ def embedding_quantile_normalize(spark, sf_dir):
     normed = ranked.select(
         "vec_id",
         "d",
-        F.expr("div((rk - 1) * 1000000, n - 1)").alias("nm"),
+        # rank is INT from row_number: widen BEFORE the 1e6 multiply
+        # or ANSI mode overflows past ~2.1k rows/dim (the 10x scale
+        # sweep caught exactly this at sf1)
+        F.expr(
+            "div(cast(rk - 1 as bigint) * 1000000, n - 1)"
+        ).alias("nm"),
     )
     return (
         normed.select(
