@@ -539,3 +539,59 @@ def multimodal_audio_frames(spark, sf_dir):
     )
     frames = multimodal.frame_audio(assets)
     return frames.orderBy("asset_id", "frame_idx")
+
+
+@query(
+    "r12_stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def r12_stream_static_enrich(spark, sf_dir):
+    """Stream-static dimension enrichment with a FULL oracle: the
+    event stream (AvailableNow file source) joins the STATIC customer
+    dimension mid-stream — Spark broadcasts the dim into every
+    micro-batch, the production shape for reference-data enrichment
+    (the reference's per-row BigQuery lookups, SURVEY.md §1.3,
+    re-expressed as one declarative join). Complete-mode aggregation
+    per segment == the batch join+agg exactly."""
+    import uuid
+
+    from etl_mp_transactions_spark.sources.tables import load_table as _lt
+    from etl_mp_transactions_spark.streaming.filesource import (
+        staged_events_cached,
+        stream_files_available_now,
+        _events_schema,
+    )
+
+    work = run_dir("stream_static")
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
+    stream = stream_files_available_now(spark, stage, schema=_events_schema())
+    dim = _lt(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        stream.join(dim, stream.user_id == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    table = f"r12_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

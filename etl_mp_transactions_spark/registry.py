@@ -111,6 +111,7 @@ def _load_all() -> None:
         sampling2,
         phonetics,
         spatial,
+        analytics4,
     )
 
     _LOADED = True

@@ -25,6 +25,7 @@ _EXCLUDE = {
     "r9_stream_continuous_agg",
     "r10_stream_stream_join",
     "r11_stream_sliding",
+    "r12_stream_static_enrich",
     # incremental MV refresh: writes/reads its own state parquet —
     # pinned by its dedicated refresh-equivalence test
     "incremental_mv_refresh",
