@@ -1,0 +1,207 @@
+"""Sequential-fold operator family (SURVEY.md §2.9 extensions):
+clamped running balance, and the Wald–Wolfowitz runs test.
+
+clamped_running_balance is the operator class plain windows CANNOT
+express: a running sum clamped to [0, cap] after every step (bounded
+account balance / inventory-with-shelf-limit semantics) is a
+non-linear left fold — each step depends on the clamped previous
+state, so no prefix-sum decomposition exists. The repo's
+ewma_smoothing established the cross-engine fold contract: Spark
+``F.aggregate`` over a sort_array-ed collect and DuckDB
+``list_reduce`` are both strict left folds, and on exact BIGINT
+cents every step is bit-identical. Scale note, stated honestly: the
+fold runs per user after one uniform shuffle, and each user's event
+list must fit in one task — per-key-bounded state, the same
+assumption applyInPandasWithState makes; for unbounded keys the
+streaming twin (stateful.py) is the right surface.
+
+runs_test_randomness is the classic nonparametric randomness check:
+count maximal runs of above/below-median days in the revenue series;
+too few runs ⇒ trend, too many ⇒ oscillation. Run counting is a
+lag-compare window (integer), the median split uses the exact lower
+median, and the z-statistic is one final float expression on the
+exact counts (n1, n2, R).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+BALANCE_CAP = 50_000  # cents
+
+
+@query(
+    "clamped_running_balance",
+    f"""
+    WITH ev AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta,
+             ts, event_id
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             list(delta ORDER BY ts, event_id) AS deltas
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           len(deltas) AS n_events,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), deltas),
+             (acc, x) -> greatest(CAST(0 AS BIGINT),
+                                  least(CAST({BALANCE_CAP} AS BIGINT),
+                                        acc + x))
+           ) AS final_balance_cents
+    FROM seqs
+    ORDER BY user_id
+    """,
+)
+def clamped_running_balance(spark, sf_dir):
+    """Per-user running balance clamped to [0, {BALANCE_CAP}] cents
+    after every event (purchases credit, everything else debits) —
+    the non-prefix-decomposable fold (module docstring). The zero
+    seed is prepended so both engines fold the same sequence with
+    the same initial state."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    obs = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+        "ts",
+        "event_id",
+    )
+    seqs = obs.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, delta))),"
+            " x -> x.delta)"
+        ).alias("deltas")
+    )
+    return seqs.select(
+        "user_id",
+        F.size("deltas").cast("bigint").alias("n_events"),
+        F.expr(
+            f"aggregate(deltas, cast(0 as bigint),"
+            f" (acc, x) -> greatest(cast(0 as bigint),"
+            f" least(cast({BALANCE_CAP} as bigint), acc + x)))"
+        ).alias("final_balance_cents"),
+    ).orderBy("user_id")
+
+
+@query(
+    "runs_test_randomness",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    med AS (
+      SELECT cents AS m
+      FROM (SELECT cents,
+                   row_number() OVER (ORDER BY cents) AS rk,
+                   count(*) OVER () AS n
+            FROM daily)
+      WHERE rk = (n - 1) // 2 + 1
+    ),
+    signed AS (
+      SELECT day,
+             CASE WHEN cents > (SELECT m FROM med) THEN 1 ELSE 0 END AS above
+      FROM daily
+    ),
+    runs AS (
+      SELECT above,
+             CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                    OR lag(above) OVER (ORDER BY day) <> above
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    )
+    SELECT sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS n_above,
+           sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS n_below,
+           sum(new_run) AS n_runs,
+           round(
+             (sum(new_run)
+              - (2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                     * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                 / (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)) + 1))
+             / sqrt(
+                 (2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                      * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                  * (2.0 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                         * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                     - sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)))
+                 / ((sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                     + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END))
+                    * (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END))
+                    * (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) - 1))
+               ), 9) AS z_score
+    FROM runs
+    """,
+)
+def runs_test_randomness(spark, sf_dir):
+    """Wald–Wolfowitz runs test on the daily-revenue above/below-
+    median sequence (module docstring): exact counts (n1, n2, R),
+    one final z formula rounded to 9 decimals. Days equal to the
+    exact lower median count as 'below' — deterministic, no ties
+    ambiguity."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(Window.orderBy("cents")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rk") == F.expr("div(n - 1, 2) + 1")
+    ).select(F.col("cents").alias("m"))
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("above"),
+    )
+    lagc = F.lag("above").over(Window.orderBy("day"))
+    runs = signed.select(
+        "above",
+        F.when(lagc.isNull() | (lagc != F.col("above")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("above") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above") == 0, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    two_n1n2 = 2.0 * n1 * n2
+    n = n1 + n2
+    z = F.round(
+        (r - (two_n1n2 / n + 1))
+        / F.sqrt(two_n1n2 * (two_n1n2 - n1 - n2) / (n * n * (n - 1))),
+        9,
+    )
+    return agg.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        z.alias("z_score"),
+    )

@@ -46,9 +46,16 @@ def _edges_sql() -> str:
     """Bidirected distinct customer–supplier edges (bipartite through
     orders×lineitem; bidirecting removes dangling-node mass handling
     from the recurrence — every endpoint has out-degree ≥ 1)."""
+    # bigint node ids inside the recurrence (customers positive,
+    # suppliers as -(key+1): plain negation would merge supplier 0
+    # with customer 0, and the twin-encoded oracle could not see it —
+    # caught by the node-count drop 1600->1599) — string keys
+    # multiplied shuffle width across
+    # the 8 rounds (the HITS lesson, graph4.py: 5.9x at sf1); the
+    # 'c:'/'s:' rendering is applied once at output
     return """
     pairs AS (
-      SELECT DISTINCT 'c:' || o.o_custkey AS c, 's:' || l.l_suppkey AS s
+      SELECT DISTINCT o.o_custkey AS c, -(l.l_suppkey + 1) AS s
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     edges AS (
@@ -88,7 +95,10 @@ _PAGERANK_SQL = (
     it0 AS (SELECT node, (SELECT r0 FROM params) AS pico FROM nodes),"""
     + ",".join(_iter_sql(k) for k in range(1, N_ITER + 1))
     + f"""
-    SELECT node, pico AS rank_pico FROM it{N_ITER}
+    SELECT CASE WHEN node >= 0 THEN 'c:' || node
+                ELSE 's:' || (-node - 1) END AS node,
+           pico AS rank_pico
+    FROM it{N_ITER}
     """
 )
 
@@ -104,8 +114,8 @@ def pagerank_bipartite(spark, sf_dir):
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            F.col("o_custkey").alias("c"),
+            (-(F.col("l_suppkey") + 1)).alias("s"),
         )
         .distinct()
     )
@@ -138,6 +148,11 @@ def pagerank_bipartite(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("cp").alias("inflow"))
         )
+        # bidirected edges ⇒ contrib already covers every node, so
+        # the nodes left join is semantically a no-op — but it is
+        # kept deliberately: re-anchoring each round on the small
+        # checkpointed nodes table keeps size estimates tight, and
+        # the measured sf1 cost WITHOUT it regressed 30→39s
         ranks = nodes.join(
             contrib, nodes.node == contrib.dst, "left"
         ).select(
@@ -146,4 +161,16 @@ def pagerank_bipartite(spark, sf_dir):
                 "pico"
             ),
         )
-    return ranks.select("node", F.col("pico").alias("rank_pico"))
+    return ranks.select(
+        F.when(
+            F.col("node") >= 0,
+            F.concat(F.lit("c:"), F.col("node").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("s:"), (-F.col("node") - 1).cast("string")
+            )
+        )
+        .alias("node"),
+        F.col("pico").alias("rank_pico"),
+    )

@@ -112,6 +112,7 @@ def _load_all() -> None:
         phonetics,
         spatial,
         analytics4,
+        folds,
     )
 
     _LOADED = True

@@ -83,3 +83,25 @@ def test_mad_outliers_handcrafted(spark, tmp_path):
     assert row["mad_cents"] == 200
     assert row["n"] == 10
     assert row["n_outliers"] == 1
+
+
+def test_pagerank_node_count_no_encoding_collision(spark, sf_dir):
+    # suppliers encode as -(key+1) in the bigint recurrence; plain
+    # negation silently merged supplier 0 with customer 0 and the
+    # twin-encoded oracle was blind to it — this pins the node count
+    # against the raw tables
+    import duckdb
+
+    from etl_mp_transactions_spark.queries.graph import pagerank_bipartite
+
+    n_nodes = pagerank_bipartite(spark, sf_dir).count()
+    con = duckdb.connect()
+    nc, ns = con.execute(
+        f"""SELECT count(DISTINCT o.o_custkey),
+                   count(DISTINCT l.l_suppkey)
+            FROM '{sf_dir}/orders.parquet' o
+            JOIN '{sf_dir}/lineitem.parquet' l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchone()
+    con.close()
+    assert n_nodes == nc + ns
