@@ -595,3 +595,61 @@ def r12_stream_static_enrich(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(table)
+
+
+@query(
+    "r13_stream_custom_state",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def r13_stream_custom_state(spark, sf_dir):
+    """Custom arbitrary-stateful streaming operator through the FULL
+    oracle gate: per-user running (count, cents) maintained by an
+    applyInPandasWithState handler (explicit partitioned state — the
+    generalized form of the reference's Redis counters,
+    src/redis_tools.py:38-54), streamed over 4 micro-batches in
+    update mode. Each key's emissions are monotone in n_events, so
+    the final accumulated row per user (max n_events) must equal the
+    batch groupBy exactly — integer cents make the cross-batch
+    accumulation order-free."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        staged_events_cached,
+        stream_files_available_now,
+        _events_schema,
+    )
+    from etl_mp_transactions_spark.streaming.stateful import (
+        running_user_totals_cents,
+    )
+
+    work = run_dir("stream_custom_state")
+    stage = staged_events_cached(spark, sf_dir, n_files=4)
+    stream = stream_files_available_now(spark, stage, schema=_events_schema())
+    out = running_user_totals_cents(stream)
+    table = f"r13_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(table)
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        emissions.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )

@@ -117,3 +117,37 @@ def run_stateful(
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals_cents(stream: DataFrame) -> DataFrame:
+    """Oracle-exact variant of running_user_totals: the value
+    accumulates as integer CENTS (per-element round then int sum —
+    order-free), so cross-batch accumulation is bit-exact and the
+    registry entry (r13) can carry a full batch oracle rather than a
+    rows-only check. State per key is two integers."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

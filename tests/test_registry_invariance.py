@@ -26,6 +26,7 @@ _EXCLUDE = {
     "r10_stream_stream_join",
     "r11_stream_sliding",
     "r12_stream_static_enrich",
+    "r13_stream_custom_state",
     # incremental MV refresh: writes/reads its own state parquet —
     # pinned by its dedicated refresh-equivalence test
     "incremental_mv_refresh",
