@@ -1,0 +1,436 @@
+"""In-engine classical-ML training operators (SURVEY.md §2.9
+extensions — the model-fitting counterpart of the feature-engineering
+family in queries/features.py).
+
+A 100 TB training-data pipeline doesn't just *prepare* features — the
+cheap classical fits (fold-safe encodings, decision stumps, Naive
+Bayes, k-means steps) run inside the engine too, because they are
+pure counting/aggregation problems. All four operators here follow
+the repo's exactness contracts:
+
+- crossval_fold_encoding: K-fold leakage-free target encoding — the
+  encoding each fold sees is computed from the OTHER folds only
+  (full-table stats minus own-fold stats; one groupBy, no per-fold
+  re-scans). Fold assignment is the repo's md5 parity hash. The
+  encoding is ONE final float expression over exact integer counts.
+- gini_best_split: exact decision stump — candidate thresholds are
+  the distinct feature bands, left/right class counts come from ONE
+  cumulative window over the sorted band histogram, and the weighted
+  Gini impurity is one identical-text float expression per split
+  (numerator/denominator both from exact BIGINTs).
+- naive_bayes_confusion: multinomial NB with add-one smoothing,
+  trained and scored in-engine. Per-token log-likelihoods use the
+  repo's nano-nat integer pattern (per-term float ln → immediate
+  round to integer nano-nats → exact order-free BIGINT sums), so
+  per-doc scores are exact integers and the argmax is deterministic.
+- kmeans_lloyd_step: one exact Lloyd iteration on the embeddings
+  table — md5-selected seed centroids, micro-unit integer
+  quantization, exact BIGINT squared distances (zip_with fold, no
+  dim explosion on the Spark side), argmin with id tiebreak, and
+  floor-division integer centroid updates via the sign-safe
+  (a - pmod(a,b)) / b formula (both engines' % follows the dividend
+  sign, so pmod is written out explicitly).
+
+Scale: every operator is groupBy/window/broadcast-shaped. The only
+cross joins are against k=8 centroids and the class list (|classes|
+rows) — bounded model state, the legitimate broadcast class. Nothing
+grows faster than the input row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+N_FOLDS = 5
+SMOOTH_M = 20
+K_CLUSTERS = 8
+
+
+@query(
+    "crossval_fold_encoding",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             ('0x' || substr(md5(o_orderkey::VARCHAR || ':cv-seed-1'), 1, 8))::BIGINT
+               % {N_FOLDS} AS fold
+      FROM orders
+    ),
+    fc AS (
+      SELECT fold, category, count(*) AS n_fc, sum(y) AS s_fc
+      FROM base GROUP BY 1, 2
+    ),
+    c AS (SELECT category, sum(n_fc) AS n_c, sum(s_fc) AS s_c FROM fc GROUP BY 1),
+    f AS (SELECT fold, sum(n_fc) AS n_f, sum(s_fc) AS s_f FROM fc GROUP BY 1),
+    g AS (SELECT sum(n_fc) AS n_all, sum(s_fc) AS s_all FROM fc)
+    SELECT fc.fold, fc.category,
+           CAST(fc.n_fc AS BIGINT) AS n_fc,
+           CAST(c.n_c - fc.n_fc AS BIGINT) AS oof_n,
+           CAST(c.s_c - fc.s_fc AS BIGINT) AS oof_pos,
+           round(((c.s_c - fc.s_fc)
+                  + {SMOOTH_M}.0 * ((g.s_all - f.s_f)
+                                    / CAST(g.n_all - f.n_f AS DOUBLE)))
+                 / CAST((c.n_c - fc.n_fc) + {SMOOTH_M} AS DOUBLE), 9) AS enc
+    FROM fc JOIN c USING (category) JOIN f USING (fold) CROSS JOIN g
+    ORDER BY fold, category
+    """,
+)
+def crossval_fold_encoding(spark, sf_dir):
+    """Leakage-free 5-fold smoothed target encoding of order
+    priority against the 'fulfilled' target (module docstring):
+    enc(fold, cat) = (oof_pos + m·oof_prior) / (oof_n + m), every
+    count exact, one final float per cell."""
+    o = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"),
+                               F.lit(":cv-seed-1"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % N_FOLDS
+    )
+    base = o.select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        fold.alias("fold"),
+    )
+    fc = base.groupBy("fold", "category").agg(
+        F.count("*").alias("n_fc"), F.sum("y").alias("s_fc")
+    )
+    c = fc.groupBy("category").agg(
+        F.sum("n_fc").alias("n_c"), F.sum("s_fc").alias("s_c")
+    )
+    f = fc.groupBy("fold").agg(
+        F.sum("n_fc").alias("n_f"), F.sum("s_fc").alias("s_f")
+    )
+    g = fc.agg(F.sum("n_fc").alias("n_all"), F.sum("s_fc").alias("s_all"))
+    oof_prior = (F.col("s_all") - F.col("s_f")) / (
+        F.col("n_all") - F.col("n_f")
+    ).cast("double")
+    enc = F.round(
+        ((F.col("s_c") - F.col("s_fc")) + F.lit(float(SMOOTH_M)) * oof_prior)
+        / ((F.col("n_c") - F.col("n_fc")) + F.lit(SMOOTH_M)).cast("double"),
+        9,
+    )
+    return (
+        fc.join(F.broadcast(c), "category")
+        .join(F.broadcast(f), "fold")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "fold",
+            "category",
+            F.col("n_fc").cast("bigint").alias("n_fc"),
+            (F.col("n_c") - F.col("n_fc")).cast("bigint").alias("oof_n"),
+            (F.col("s_c") - F.col("s_fc")).cast("bigint").alias("oof_pos"),
+            enc.alias("enc"),
+        )
+        .orderBy("fold", "category")
+    )
+
+
+@query(
+    "gini_best_split",
+    """
+    WITH base AS (
+      SELECT CAST(floor(c_acctbal / 500.0) AS BIGINT) AS band,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS pos
+      FROM customer
+    ),
+    hist AS (
+      SELECT band, count(*) AS n, sum(pos) AS p FROM base GROUP BY band
+    ),
+    cum AS (
+      SELECT band,
+             CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS n_left,
+             CAST(sum(p) OVER (ORDER BY band) AS BIGINT) AS pos_left,
+             CAST(sum(n) OVER () AS BIGINT) AS n_all,
+             CAST(sum(p) OVER () AS BIGINT) AS p_all
+      FROM hist
+    ),
+    cand AS (
+      SELECT band AS threshold_band, n_left, pos_left,
+             n_all - n_left AS n_right, p_all - pos_left AS pos_right,
+             round(
+               ((n_all - n_left)
+                  * (n_left*n_left - pos_left*pos_left
+                     - (n_left-pos_left)*(n_left-pos_left))
+                + n_left
+                  * ((n_all-n_left)*(n_all-n_left)
+                     - (p_all-pos_left)*(p_all-pos_left)
+                     - ((n_all-n_left)-(p_all-pos_left))
+                       * ((n_all-n_left)-(p_all-pos_left))))
+               / (1.0 * n_all * n_left * (n_all - n_left)), 9) AS gini
+      FROM cum WHERE n_left < n_all
+    )
+    SELECT threshold_band, n_left, pos_left, n_right, pos_right, gini,
+           CAST(row_number() OVER (ORDER BY gini, threshold_band) AS BIGINT) AS rk
+    FROM cand
+    ORDER BY threshold_band
+    """,
+)
+def gini_best_split(spark, sf_dir):
+    """Exact decision stump on customer balance bands vs the
+    BUILDING segment (module docstring): cumulative band histogram →
+    per-split integer class counts → one identical-text weighted-Gini
+    float per candidate; rk=1 is the best split."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.floor(F.col("c_acctbal") / F.lit(500.0)).cast("bigint").alias("band"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("pos"),
+    )
+    hist = base.groupBy("band").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("p")
+    )
+    wcum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "band",
+        F.sum("n").over(wcum).cast("bigint").alias("n_left"),
+        F.sum("p").over(wcum).cast("bigint").alias("pos_left"),
+        F.sum("n").over(wall).cast("bigint").alias("n_all"),
+        F.sum("p").over(wall).cast("bigint").alias("p_all"),
+    )
+    nl, pl = F.col("n_left"), F.col("pos_left")
+    na, pa = F.col("n_all"), F.col("p_all")
+    nr, pr = na - nl, pa - pl
+    num = nr * (nl * nl - pl * pl - (nl - pl) * (nl - pl)) + nl * (
+        nr * nr - pr * pr - (nr - pr) * (nr - pr)
+    )
+    cand = cum.filter(nl < na).select(
+        F.col("band").alias("threshold_band"),
+        nl.alias("n_left"),
+        pl.alias("pos_left"),
+        nr.alias("n_right"),
+        pr.alias("pos_right"),
+        F.round(num / (F.lit(1.0) * na * nl * nr), 9).alias("gini"),
+    )
+    return (
+        cand.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy("gini", "threshold_band"))
+            .cast("bigint"),
+        )
+        .orderBy("threshold_band")
+    )
+
+
+@query(
+    "naive_bayes_confusion",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, u.w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''
+    ),
+    cw AS (SELECT lang AS k, w, count(*) AS c_kw FROM tok GROUP BY 1, 2),
+    ck AS (SELECT k, sum(c_kw) AS c_k FROM cw GROUP BY 1),
+    voc AS (SELECT count(DISTINCT w) AS v FROM tok),
+    nd AS (SELECT lang AS k, count(DISTINCT doc_id) AS nd_k FROM tok GROUP BY 1),
+    ntot AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+    dt AS (
+      SELECT doc_id, lang AS actual, w, count(*) AS cnt
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT dt.doc_id, dt.actual, ck.k,
+             sum(dt.cnt * CAST(round(1e9 * ln(
+                   (COALESCE(cw.c_kw, 0) + 1)
+                   / CAST(ck.c_k + voc.v AS DOUBLE))) AS BIGINT)) AS ll
+      FROM dt
+      CROSS JOIN ck CROSS JOIN voc
+      LEFT JOIN cw ON cw.k = ck.k AND cw.w = dt.w
+      GROUP BY 1, 2, 3
+    ),
+    full_score AS (
+      SELECT s.doc_id, s.actual, s.k,
+             s.ll + CAST(round(1e9 * ln(nd.nd_k / CAST(ntot.n AS DOUBLE)))
+                         AS BIGINT) AS score
+      FROM scored s JOIN nd ON nd.k = s.k CROSS JOIN ntot
+    ),
+    pred AS (
+      SELECT doc_id, actual, k AS predicted
+      FROM full_score
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, k) = 1
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    ORDER BY actual, predicted
+    """,
+)
+def naive_bayes_confusion(spark, sf_dir):
+    """Multinomial Naive Bayes (add-one smoothing) trained and
+    scored in-engine over documents, reported as a lang × predicted
+    confusion matrix (module docstring). Per-token log-likelihood
+    contributions are rounded to integer nano-nats BEFORE summation
+    so per-doc class scores are exact, order-free BIGINTs; the argmax
+    tiebreaks on class name."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    cw = tok.groupBy(F.col("lang").alias("k"), "w").agg(
+        F.count("*").alias("c_kw")
+    )
+    ck = cw.groupBy("k").agg(F.sum("c_kw").alias("c_k"))
+    voc = tok.agg(F.countDistinct("w").alias("v"))
+    nd = tok.groupBy(F.col("lang").alias("k")).agg(
+        F.countDistinct("doc_id").alias("nd_k")
+    )
+    ntot = tok.agg(F.countDistinct("doc_id").alias("n"))
+    dt = tok.groupBy(
+        "doc_id", F.col("lang").alias("actual"), "w"
+    ).agg(F.count("*").alias("cnt"))
+    term = F.round(
+        F.lit(1e9)
+        * F.log(
+            (F.coalesce(F.col("c_kw"), F.lit(0)) + 1)
+            / (F.col("c_k") + F.col("v")).cast("double")
+        )
+    ).cast("bigint")
+    cw2 = cw.select(
+        F.col("k").alias("cw_k"), F.col("w").alias("cw_w"), "c_kw"
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(ck))
+        .crossJoin(F.broadcast(voc))
+        .join(
+            F.broadcast(cw2),
+            (F.col("cw_k") == F.col("k")) & (F.col("cw_w") == F.col("w")),
+            "left",
+        )
+        .groupBy("doc_id", "actual", "k")
+        .agg(F.sum(F.col("cnt") * term).alias("ll"))
+    )
+    prior = F.round(
+        F.lit(1e9) * F.log(F.col("nd_k") / F.col("n").cast("double"))
+    ).cast("bigint")
+    full_score = (
+        scored.join(F.broadcast(nd), "k")
+        .crossJoin(F.broadcast(ntot))
+        .select("doc_id", "actual", "k", (F.col("ll") + prior).alias("score"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "k")
+    pred = (
+        full_score.withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("k").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+@query(
+    "kmeans_lloyd_step",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id, qv,
+             row_number() OVER (
+               ORDER BY md5(vec_id::VARCHAR || ':km-seed-1'), vec_id) - 1 AS c
+      FROM q
+      QUALIFY row_number() OVER (
+               ORDER BY md5(vec_id::VARCHAR || ':km-seed-1'), vec_id)
+              <= {K_CLUSTERS}
+    ),
+    asg AS (
+      SELECT q.vec_id, q.qv, s.c,
+             CAST(list_sum(list_transform(
+               generate_series(1, len(q.qv)),
+               i -> (q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i]))) AS BIGINT)
+               AS d2
+      FROM q CROSS JOIN seeds s
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY d2, s.c) = 1
+    ),
+    stats AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(d2) AS BIGINT) AS inertia
+      FROM asg GROUP BY c
+    ),
+    dims AS (
+      SELECT a.c, u.pos, CAST(sum(a.qv[u.pos]) AS BIGINT) AS s
+      FROM asg a, unnest(generate_series(1, len(a.qv))) AS u(pos)
+      GROUP BY 1, 2
+    )
+    SELECT d.c AS cluster, CAST(d.pos AS INTEGER) AS pos,
+           (d.s - ((d.s % st.n_members) + st.n_members) % st.n_members)
+             // st.n_members AS centroid_q,
+           st.n_members, st.inertia
+    FROM dims d JOIN stats st USING (c)
+    ORDER BY cluster, pos
+    """,
+)
+def kmeans_lloyd_step(spark, sf_dir):
+    """One exact Lloyd iteration on the embeddings table (module
+    docstring): md5-picked seed centroids, micro-unit integer
+    vectors, exact BIGINT distances via a zip_with fold (no dim
+    explosion in the assignment), argmin with centroid-id tiebreak,
+    then per-dim floor-division centroid updates and per-cluster
+    exact inertia."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv"),
+    )
+    wseed = Window.orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":km-seed-1"))),
+        "vec_id",
+    )
+    seeds = (
+        q.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= K_CLUSTERS)
+        .select((F.col("rn") - 1).alias("c"), F.col("qv").alias("cqv"))
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    wvec = Window.partitionBy("vec_id").orderBy("d2", "c")
+    asg = (
+        q.crossJoin(F.broadcast(seeds))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(wvec))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "c", "d2")
+    )
+    stats = asg.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d2").cast("bigint").alias("inertia"),
+    )
+    dims = (
+        asg.select("c", F.posexplode("qv").alias("pos0", "val"))
+        .groupBy("c", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("val").cast("bigint").alias("s"))
+    )
+    s, n = F.col("s"), F.col("n_members")
+    centroid = (s - ((s % n) + n) % n) / n
+    return (
+        dims.join(F.broadcast(stats), "c")
+        .select(
+            F.col("c").alias("cluster"),
+            F.col("pos").cast("int").alias("pos"),
+            centroid.cast("bigint").alias("centroid_q"),
+            "n_members",
+            "inertia",
+        )
+        .orderBy("cluster", "pos")
+    )

@@ -113,6 +113,8 @@ def _load_all() -> None:
         spatial,
         analytics4,
         folds,
+        recsys,
+        mlops,
     )
 
     _LOADED = True

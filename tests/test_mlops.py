@@ -1,0 +1,119 @@
+"""Invariant + independent cross-checks for queries/recsys.py and
+queries/mlops.py (the in-engine classical-ML batch)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_mp_transactions_spark.registry import queries
+
+K_CLUSTERS = 8
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+def test_item_cooccurrence_topk_invariants(spark, sf_dir, q):
+    pdf = q["item_cooccurrence_topk"](spark, sf_dir).toPandas()
+    if len(pdf):
+        assert (pdf["cooc"] >= 2).all()
+        assert (pdf["rk"] >= 1).all() and (pdf["rk"] <= 3).all()
+        assert (pdf["cosine"] > 0).all() and (pdf["cosine"] <= 1.0).all()
+        # cosine = cooc / sqrt(n_i * n_j), recomputed
+        expect = (
+            pdf["cooc"] / np.sqrt(pdf["n_item"] * pdf["n_partner"])
+        ).round(9)
+        assert np.allclose(pdf["cosine"], expect)
+        # per-item ranks are 1..k without gaps
+        for _, g in pdf.groupby("item"):
+            assert sorted(g["rk"]) == list(range(1, len(g) + 1))
+
+
+def test_crossval_fold_encoding_leakage_free(spark, sf_dir, q):
+    pdf = q["crossval_fold_encoding"](spark, sf_dir).toPandas()
+    assert set(pdf["fold"]).issubset(set(range(5)))
+    assert ((pdf["enc"] >= 0) & (pdf["enc"] <= 1)).all()
+    # out-of-fold counts exclude own fold: per category,
+    # oof_n + n_fc is constant (== category total) across folds
+    for _, g in pdf.groupby("category"):
+        totals = g["oof_n"] + g["n_fc"]
+        assert totals.nunique() == 1
+
+
+def test_gini_best_split_invariants(spark, sf_dir, q):
+    pdf = q["gini_best_split"](spark, sf_dir).toPandas()
+    assert (pdf["rk"] == 1).sum() == 1
+    n_total = pdf["n_left"] + pdf["n_right"]
+    assert n_total.nunique() == 1
+    assert pdf["n_left"].is_monotonic_increasing
+    assert ((pdf["gini"] >= 0) & (pdf["gini"] <= 0.5)).all()
+    # recompute weighted gini from the exact counts
+    nl, pl = pdf["n_left"].astype(float), pdf["pos_left"].astype(float)
+    nr, pr = pdf["n_right"].astype(float), pdf["pos_right"].astype(float)
+    n = nl + nr
+    gl = 1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+    gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+    expect = (nl / n) * gl + (nr / n) * gr
+    assert np.allclose(pdf["gini"], expect, atol=1e-8)
+
+
+def test_naive_bayes_confusion_totals(spark, sf_dir, q):
+    pdf = q["naive_bayes_confusion"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert pdf["n_docs"].sum() == docs.count()
+    langs = {r[0] for r in docs.select("lang").distinct().collect()}
+    assert set(pdf["actual"]).issubset(langs)
+    assert set(pdf["predicted"]).issubset(langs)
+
+
+def test_kmeans_lloyd_step_vs_numpy(spark, sf_dir, q):
+    """Full independent re-derivation: quantize, pick md5 seeds,
+    assign by exact integer distance, floor-divide centroids."""
+    pdf = q["kmeans_lloyd_step"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    qv = {
+        int(r.vec_id): np.array(
+            [int(round(float(x) * 1e6)) for x in r.embedding], dtype=object
+        )
+        for r in emb.itertuples()
+    }
+    seeds_order = sorted(
+        qv, key=lambda v: (hashlib.md5(f"{v}:km-seed-1".encode()).hexdigest(), v)
+    )[:K_CLUSTERS]
+    centroids = {c: qv[vid] for c, vid in enumerate(seeds_order)}
+    assign, inertia = {}, {c: 0 for c in centroids}
+    members = {c: [] for c in centroids}
+    for vid, v in qv.items():
+        best = min(
+            centroids, key=lambda c: (int(((v - centroids[c]) ** 2).sum()), c)
+        )
+        assign[vid] = best
+        members[best].append(v)
+        inertia[best] += int(((v - centroids[best]) ** 2).sum())
+    rows = []
+    for c in sorted(members):
+        if not members[c]:
+            continue
+        n = len(members[c])
+        s = np.stack(members[c]).sum(axis=0)
+        for pos0, sv in enumerate(s):
+            sv = int(sv)
+            rows.append(
+                {
+                    "cluster": c,
+                    "pos": pos0 + 1,
+                    "centroid_q": (sv - ((sv % n) + n) % n) // n,
+                    "n_members": n,
+                    "inertia": inertia[c],
+                }
+            )
+    expect = pd.DataFrame(rows)
+    got = pdf.sort_values(["cluster", "pos"]).reset_index(drop=True)
+    expect = expect.sort_values(["cluster", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), expect.astype("int64"), check_dtype=False
+    )
