@@ -91,3 +91,84 @@ def random_projection_jl(spark, sf_dir):
         )
         cols.append(F.round(y / 4.0, 12).alias(f"y{j}"))
     return emb.select(*cols)
+
+
+@query(
+    "sif_embedding",
+    """
+    WITH tok AS (
+      SELECT doc_id, u.w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''
+    ),
+    cw AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM tok),
+    wt AS (
+      SELECT w, CAST(round(1e9 * ((t / 1000.0) / (t / 1000.0 + c_w)))
+                     AS BIGINT) AS nw
+      FROM cw CROSS JOIN tt
+    ),
+    dt AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT dt.doc_id, CAST(u.k AS INTEGER) AS dim,
+           CAST(sum(dt.cnt * wt.nw *
+                    CASE WHEN substr(md5(dt.w || '|' || u.k::VARCHAR), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                         THEN 1 ELSE -1 END) AS BIGINT) AS comp
+    FROM dt
+    JOIN wt ON wt.w = dt.w,
+    unnest(generate_series(0, 7)) AS u(k)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def sif_embedding(spark, sf_dir):
+    """SIF-style document embeddings computed entirely in-engine
+    (Arora et al. 2017, "A simple but tough-to-beat baseline for
+    sentence embeddings", ICLR — public): each word gets a
+    deterministic 8-dim ±1 hash vector (sign = first md5 hex digit
+    of 'word|dim') and an inverse-frequency weight a/(a + p_w) with
+    a = 1e-3, expressed as aT/(aT + c_w) and rounded once to integer
+    nano-units; the document vector is the exact BIGINT sum of
+    cnt·weight·sign per dimension — order-free, no float
+    accumulation.
+
+    Scale: token counts are two uniform-key shuffles; the
+    vocabulary-sized weight table joins on the uniform token key —
+    NEVER broadcast (the ngram_lm_quality lesson, ADVICE r5); the
+    8-dim explosion is a constant fan-out before the final groupBy.
+    Cites the reference's TF-IDF weighting surface (src/ai.py:21-25)
+    as the ancestor of in-engine text weighting."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    cw = tok.groupBy("w").agg(F.count("*").alias("c_w"))
+    tt = tok.agg(F.count("*").alias("t"))
+    at = F.col("t") / F.lit(1000.0)
+    wt = cw.crossJoin(F.broadcast(tt)).select(
+        "w",
+        F.round(F.lit(1e9) * (at / (at + F.col("c_w")))).cast("bigint").alias("nw"),
+    )
+    dt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    sign = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("w"), F.lit("|"), F.col("k").cast("string"))),
+            1, 1,
+        ).isin(*"01234567"),
+        1,
+    ).otherwise(-1)
+    return (
+        dt.join(wt, "w")
+        .select(
+            "doc_id", "cnt", "nw", "w",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+        )
+        .groupBy("doc_id", F.col("k").cast("int").alias("dim"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("nw") * sign).cast("bigint").alias("comp")
+        )
+        .orderBy("doc_id", "dim")
+    )

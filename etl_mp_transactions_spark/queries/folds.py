@@ -205,3 +205,98 @@ def runs_test_randomness(spark, sf_dir):
         r.alias("n_runs"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "holt_linear_forecast",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(CAST(cents AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY 1
+    ),
+    fitted AS (
+      SELECT event_type, len(ys) AS n_days,
+             list_reduce(
+               list_prepend(
+                 [ys[1], ys[2] - ys[1]]::DOUBLE[],
+                 list_transform(ys[3:], x -> [x, 0.0::DOUBLE])),
+               (acc, e) ->
+                 [0.3::DOUBLE * e[1] + 0.7::DOUBLE * (acc[1] + acc[2]),
+                  0.1::DOUBLE * ((0.3::DOUBLE * e[1]
+                                  + 0.7::DOUBLE * (acc[1] + acc[2]))
+                                 - acc[1])
+                  + 0.9::DOUBLE * acc[2]]
+             ) AS st
+      FROM ser WHERE len(ys) >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1,
+           st[1] + 7 * st[2] AS forecast_7
+    FROM fitted
+    ORDER BY event_type
+    """,
+)
+def holt_linear_forecast(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (alpha=0.3,
+    beta=0.1) per event type — the STRUCT-state extension of the
+    scalar fold contract (ewma_smoothing / clamped_running_balance):
+    seed (l1 = y1, b1 = y2 - y1), then a strict left fold over
+    y2..yn updating (level, trend) together. The fold state is a
+    2-element DOUBLE array, NOT a struct: DuckDB 1.0's list_reduce
+    miscomputes float struct-field lambdas (verified against a
+    python reference — integer struct folds are fine, float ones
+    drift), while list-typed accumulators are bit-exact. Both
+    engines fold the identical formula text over IEEE doubles (the
+    repeated l_new subexpression is written out twice rather than
+    let-bound, so the op sequence matches), making
+    level/trend/forecasts bit-identical with NO rounding slack. Wait-for-it caveat stated honestly: the
+    fold runs per type after one uniform shuffle; series length is
+    calendar-bounded (the production state is just (l, b) per key).
+    Note ys[3:] / slice(ys,3,...) both denote y2.. in 0-based terms:
+    element 1 seeds l, element 2 seeds b, the fold consumes from the
+    third element on."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    ser = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " x -> cast(x.cents as double))"
+        ).alias("ys")
+    ).filter(F.size("ys") >= 2)
+    fitted = ser.select(
+        "event_type",
+        F.size("ys").cast("bigint").alias("n_days"),
+        F.expr(
+            "aggregate("
+            " slice(ys, 3, greatest(size(ys) - 2, 0)),"
+            " array(element_at(ys, 1),"
+            "       element_at(ys, 2) - element_at(ys, 1)),"
+            " (acc, x) -> array("
+            "   cast(0.3 as double) * x"
+            "   + cast(0.7 as double) * (acc[0] + acc[1]),"
+            "   cast(0.1 as double) * ((cast(0.3 as double) * x"
+            "                           + cast(0.7 as double)"
+            "                             * (acc[0] + acc[1]))"
+            "                          - acc[0])"
+            "   + cast(0.9 as double) * acc[1]))"
+        ).alias("st"),
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.element_at("st", 1).alias("level"),
+        F.element_at("st", 2).alias("trend"),
+        (F.element_at("st", 1) + F.element_at("st", 2)).alias("forecast_1"),
+        (F.element_at("st", 1) + F.lit(7) * F.element_at("st", 2)).alias(
+            "forecast_7"
+        ),
+    ).orderBy("event_type")

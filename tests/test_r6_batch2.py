@@ -1,0 +1,99 @@
+"""Independent python cross-checks for sif_embedding (embeddings2.py)
+and holt_linear_forecast (folds.py)."""
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from etl_mp_transactions_spark.registry import queries
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+def test_sif_embedding_vs_python(spark, sf_dir, q):
+    pdf = q["sif_embedding"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    toks = {
+        int(r.doc_id): [w for w in r.text.split(" ") if w != ""]
+        for r in docs.itertuples()
+    }
+    cw = Counter(w for ws in toks.values() for w in ws)
+    total = sum(cw.values())
+    at = total / 1000.0
+    nw = {w: int(round(1e9 * (at / (at + c)))) for w, c in cw.items()}
+
+    def sign(w, k):
+        h = hashlib.md5(f"{w}|{k}".encode()).hexdigest()[0]
+        return 1 if h in "01234567" else -1
+
+    expect = {}
+    for d, ws in toks.items():
+        dc = Counter(ws)
+        for k in range(8):
+            expect[(d, k)] = sum(c * nw[w] * sign(w, k) for w, c in dc.items())
+    got = {(int(r.doc_id), int(r.dim)): int(r.comp) for r in pdf.itertuples()}
+    assert got == expect
+
+
+def test_holt_linear_forecast_vs_python(spark, sf_dir, q):
+    pdf = q["holt_linear_forecast"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    for r in pdf.itertuples():
+        ys = (
+            daily[daily["event_type"] == r.event_type]
+            .sort_values("day")["cents"]
+            .astype(float)
+            .tolist()
+        )
+        assert len(ys) == r.n_days and len(ys) >= 2
+        l, b = ys[0], ys[1] - ys[0]
+        for x in ys[2:]:
+            l_new = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.9 * b
+            l = l_new
+        # bit-identical fold contract: exact equality, no tolerance
+        assert r.level == l and r.trend == b
+        assert r.forecast_1 == l + b and r.forecast_7 == l + 7 * b
+    # every multi-day type is present
+    counts = daily.groupby("event_type").size()
+    assert set(pdf["event_type"]) == set(counts[counts >= 2].index)
+
+
+def test_holt_two_point_series_returns_seed(spark, q, tmp_path):
+    """A 2-day series must return the seed state untouched:
+    level = y1, trend = y2 - y1 (empty fold)."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-02 01:00"]),
+            "user_id": [1, 1],
+            "event_type": ["solo", "solo"],
+            "value": [10.0, 30.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    p = str(tmp_path / "events.parquet")
+    df.to_parquet(p)
+    # stage a minimal sf dir with just events
+    import shutil
+
+    sfd = tmp_path / "sf"
+    sfd.mkdir()
+    shutil.copy(p, sfd / "events.parquet")
+    out = q["holt_linear_forecast"](spark, str(sfd)).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["level"] == 1000.0 and r["trend"] == 2000.0
+    assert r["forecast_1"] == 3000.0
