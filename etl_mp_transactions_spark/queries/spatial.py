@@ -221,3 +221,213 @@ def embedding_quantile_normalize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+DB_GRID = 16
+DB_CELL = COORD_MAX // DB_GRID  # 62500 >= max eps: 9-cell probe complete
+DB_EPS_BASE = 20_600  # eps at n=1500 -> expected degree ~2 (subcritical)
+DB_EPS_CAP = 50_000  # never exceeds DB_CELL, so blocking stays complete
+DB_MINNBR = 3  # core iff >= 3 neighbors within eps (minPts=4 incl. self)
+
+
+@query(
+    "dbscan_clusters",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 8))::BIGINT
+               % {COORD_MAX} AS x,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 8))::BIGINT
+               % {COORD_MAX} AS y
+      FROM customer
+    ),
+    eps AS (
+      SELECT least(CAST({DB_EPS_CAP} AS BIGINT),
+                   CAST(round({DB_EPS_BASE} * sqrt(1500.0 / count(*)))
+                        AS BIGINT)) AS e
+      FROM customer
+    ),
+    homed AS (
+      SELECT id, x, y, x // {DB_CELL} AS cx, y // {DB_CELL} AS cy FROM pts
+    ),
+    probes AS (
+      SELECT h.id, h.x, h.y,
+             h.cx + dx.d AS pcx, h.cy + dy.d AS pcy
+      FROM homed h
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+      CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+    ),
+    pairs AS (
+      SELECT a.id AS c1, b.id AS c2
+      FROM probes a JOIN homed b
+        ON a.pcx = b.cx AND a.pcy = b.cy AND a.id < b.id
+      CROSS JOIN eps
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= eps.e * eps.e
+    ),
+    sym AS (
+      SELECT c1 AS a, c2 AS b FROM pairs
+      UNION ALL
+      SELECT c2 AS a, c1 AS b FROM pairs
+    ),
+    deg AS (SELECT a AS id, count(*) AS n_nbrs FROM sym GROUP BY 1),
+    core AS (SELECT id FROM deg WHERE n_nbrs >= {DB_MINNBR}),
+    cedges AS (
+      SELECT s.a, s.b FROM sym s
+      JOIN core ca ON s.a = ca.id
+      JOIN core cb ON s.b = cb.id
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM cedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    ),
+    corelab AS (
+      SELECT c.id, coalesce(comp.cluster, c.id) AS cluster
+      FROM core c LEFT JOIN comp ON comp.id = c.id
+    ),
+    border AS (
+      SELECT s.a AS id, min(cl.cluster) AS cluster
+      FROM sym s
+      JOIN corelab cl ON s.b = cl.id
+      WHERE s.a NOT IN (SELECT id FROM core)
+      GROUP BY 1
+    )
+    SELECT p.id,
+           CASE WHEN cl.id IS NOT NULL THEN 'core'
+                WHEN bo.id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(cl.cluster, bo.cluster, -1) AS cluster,
+           coalesce(d.n_nbrs, 0) AS n_nbrs
+    FROM pts p
+    LEFT JOIN corelab cl ON p.id = cl.id
+    LEFT JOIN border bo ON p.id = bo.id
+    LEFT JOIN deg d ON p.id = d.id
+    ORDER BY p.id
+    """,
+)
+def dbscan_clusters(spark, sf_dir):
+    """Exact DBSCAN (Ester et al. 1996, KDD — public) composed
+    entirely from the repo's scale-safe primitives: the grid-blocked
+    ε-pair join above (cell > ε ⇒ complete + duplicate-free), an
+    integer neighbor-count degree pass, core points (≥ {DB_MINNBR}
+    ε-neighbors), min-label connected components over the core-core
+    subgraph (operators/components.py — log-rounds pointer jumping,
+    the same engine as dedup_components), deterministic border
+    assignment (min core-neighbor cluster; vanilla DBSCAN's
+    "whichever core claims it first" nondeterminism removed), and
+    noise = everything else (cluster -1). Oracle: identical grid
+    pairs + recursive-CTE reachability closure.
+
+    Scale: pair count is the ε-graph contract (grows with density at
+    fixed ε — the operator's cost IS its output size); every join is
+    equi-keyed; the closure is O(log n) rounds. No step is
+    all-pairs."""
+    from etl_mp_transactions_spark.operators.components import (
+        connected_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    eps = cust.agg(
+        F.least(
+            F.lit(DB_EPS_CAP).cast("bigint"),
+            F.round(
+                F.lit(DB_EPS_BASE) * F.sqrt(F.lit(1500.0) / F.count("*"))
+            ).cast("bigint"),
+        ).alias("e")
+    )
+
+    def coord(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                   F.lit(salt))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % COORD_MAX
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord(":x").alias("x"),
+        coord(":y").alias("y"),
+    )
+    homed = pts.select(
+        "*",
+        F.expr(f"div(x, {DB_CELL})").alias("cx"),
+        F.expr(f"div(y, {DB_CELL})").alias("cy"),
+    )
+    offs = spark.range(-1, 2).select(F.col("id").cast("int").alias("d"))
+    probes = (
+        homed.crossJoin(F.broadcast(offs.select(F.col("d").alias("dx"))))
+        .crossJoin(F.broadcast(offs.select(F.col("d").alias("dy"))))
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("pcx"),
+            (F.col("cy") + F.col("dy")).alias("pcy"),
+        )
+    )
+    a, b = probes.alias("a"), homed.alias("b")
+    dist2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pcx") == F.col("b.cx"))
+            & (F.col("a.pcy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .crossJoin(F.broadcast(eps))
+        .filter(dist2 <= F.col("e") * F.col("e"))
+        .select(F.col("a.id").alias("c1"), F.col("b.id").alias("c2"))
+    )
+    sym = pairs.select(
+        F.col("c1").alias("na"), F.col("c2").alias("nb")
+    ).unionAll(pairs.select(F.col("c2").alias("na"), F.col("c1").alias("nb")))
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("na").alias("id")).agg(
+        F.count("*").alias("n_nbrs")
+    )
+    core = deg.filter(F.col("n_nbrs") >= DB_MINNBR).select("id")
+    cedges = (
+        sym.join(core.select(F.col("id").alias("na")), "na")
+        .join(core.select(F.col("id").alias("nb")), "nb")
+        .select("na", "nb")
+    )
+    corelab = connected_components(
+        core.select(F.col("id")), cedges,
+        node_col="id", src_col="na", dst_col="nb",
+    ).select("id", F.col("component").alias("cluster"))
+    border = (
+        sym.join(core.select(F.col("id").alias("na")), "na", "left_anti")
+        .join(corelab.select(F.col("id").alias("nb"), "cluster"), "nb")
+        .groupBy(F.col("na").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    cl = corelab.select("id", F.col("cluster").alias("core_cluster"))
+    bo = border.select("id", F.col("cluster").alias("border_cluster"))
+    return (
+        pts.select("id")
+        .join(cl, "id", "left")
+        .join(bo, "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("core_cluster").isNotNull(), "core")
+            .when(F.col("border_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce(
+                F.col("core_cluster"), F.col("border_cluster"), F.lit(-1)
+            ).alias("cluster"),
+            F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
+        )
+        .orderBy("id")
+    )
