@@ -172,3 +172,75 @@ def sif_embedding(spark, sf_dir):
         )
         .orderBy("doc_id", "dim")
     )
+
+
+@query(
+    "gram_matrix",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(i.i - 1 AS INTEGER) AS i, CAST(j.j - 1 AS INTEGER) AS j,
+           CAST(sum(q.qv[i.i] * q.qv[j.j]) AS BIGINT) AS g
+    FROM q,
+         unnest(generate_series(1, len(q.qv))) AS i(i),
+         unnest(generate_series(1, len(q.qv))) AS j(j)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def gram_matrix(spark, sf_dir):
+    """Exact Gram matrix X^T X of the (micro-unit-quantized)
+    embedding corpus — the distributed-linear-algebra shape every
+    covariance / PCA / linear-probe pipeline needs. The Spark side is
+    the 100 TB plan: each partition computes its LOCAL 64x64 integer
+    Gram with one numpy int64 matmul inside Arrow ``mapInPandas``
+    (output: 4096 rows per partition, CONSTANT in the row count),
+    then one groupBy sums partials — communication is
+    O(partitions x d^2), never O(rows). Products and sums stay in
+    BIGINT (|q| <= 1e6 => per-cell partial <= 1e12 x rows — far from
+    2^63 at any tested SF); quantization makes the sum order-free, so
+    the map-side partial aggregation is exact, not approximate. The
+    oracle is the direct per-vector outer-product expansion. The
+    per-partition numpy matmul is a deliberate Arrow boundary (the
+    PLANS.md ``py`` class): a pure-expression dim x dim explode would
+    ship O(rows x d^2) tuples through the shuffle instead."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+
+    def partial_gram(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [
+                    np.round(np.asarray(v, dtype=np.float64) * 1e6).astype(
+                        np.int64
+                    )
+                    for v in pdf["embedding"]
+                ]
+            )
+            acc += m.T @ m
+        ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "g": acc.ravel(),
+            }
+        )
+
+    partials = emb.select("embedding").mapInPandas(
+        partial_gram, schema="i int, j int, g long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+        .orderBy("i", "j")
+    )

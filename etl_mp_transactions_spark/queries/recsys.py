@@ -119,3 +119,121 @@ def item_cooccurrence_topk(spark, sf_dir):
                 "cosine", "rk")
         .orderBy("item", "rk")
     )
+
+
+ALS_LAMBDA_A = 500_000  # lambda=0.5 expressed in A's milli^2 integer units
+
+
+@query(
+    "als_user_half_step",
+    f"""
+    WITH ratings AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS r
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    factors AS (
+      SELECT p_partkey AS i,
+             ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':als-p1'), 1, 8))::BIGINT
+               % 2001 - 1000 AS p1,
+             ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':als-p2'), 1, 8))::BIGINT
+               % 2001 - 1000 AS p2
+      FROM part
+    ),
+    gram AS (
+      SELECT r.u,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(f.p1 * f.p1) AS BIGINT) AS a11,
+             CAST(sum(f.p1 * f.p2) AS BIGINT) AS a12,
+             CAST(sum(f.p2 * f.p2) AS BIGINT) AS a22,
+             CAST(sum(r.r * f.p1) AS BIGINT) AS b1,
+             CAST(sum(r.r * f.p2) AS BIGINT) AS b2
+      FROM ratings r JOIN factors f ON f.i = r.i
+      GROUP BY 1
+    )
+    SELECT u, n_items, a11, a12, a22, b1, b2,
+           round((b1 * (a22 + {ALS_LAMBDA_A}) - b2 * a12)
+                 / (1.0 * (a11 + {ALS_LAMBDA_A}) * (a22 + {ALS_LAMBDA_A})
+                    - 1.0 * a12 * a12), 9) AS u1,
+           round((b2 * (a11 + {ALS_LAMBDA_A}) - b1 * a12)
+                 / (1.0 * (a11 + {ALS_LAMBDA_A}) * (a22 + {ALS_LAMBDA_A})
+                    - 1.0 * a12 * a12), 9) AS u2
+    FROM gram
+    ORDER BY u
+    """,
+)
+def als_user_half_step(spark, sf_dir):
+    """One exact ALS user-side half-step (Koren/Bell/Volinsky 2009,
+    public) with k=2 latent factors: item factors are deterministic
+    md5-derived integers in milli-units, ratings are exact integer
+    quantities per (customer, part), each user's 2x2 normal-equation
+    Gram (A = sum p p^T, b = sum r p) accumulates in exact BIGINTs,
+    and the ridge-regularized Cramer solve (lambda in A's integer
+    units) is ONE shared float formula text per component, rounded to
+    9 dp — the regression.py OLS contract applied to recommender
+    training. Scale: ratings and the factor join shuffle on uniform
+    keys; per-user state is 7 integers; no step is user x item."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ratings = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+
+    def factor(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("p_partkey").cast("string"),
+                                   F.lit(salt))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % 2001
+            - 1000
+        )
+
+    factors = p.select(
+        F.col("p_partkey").alias("i"),
+        factor(":als-p1").alias("p1"),
+        factor(":als-p2").alias("p2"),
+    )
+    gram = (
+        ratings.join(factors, "i")
+        .groupBy("u")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("p1") * F.col("p1")).cast("bigint").alias("a11"),
+            F.sum(F.col("p1") * F.col("p2")).cast("bigint").alias("a12"),
+            F.sum(F.col("p2") * F.col("p2")).cast("bigint").alias("a22"),
+            F.sum(F.col("r") * F.col("p1")).cast("bigint").alias("b1"),
+            F.sum(F.col("r") * F.col("p2")).cast("bigint").alias("b2"),
+        )
+    )
+    lam = F.lit(ALS_LAMBDA_A)
+    det = (
+        F.lit(1.0) * (F.col("a11") + lam) * (F.col("a22") + lam)
+        - F.lit(1.0) * F.col("a12") * F.col("a12")
+    )
+    u1 = F.round(
+        (F.col("b1") * (F.col("a22") + lam) - F.col("b2") * F.col("a12"))
+        / det,
+        9,
+    )
+    u2 = F.round(
+        (F.col("b2") * (F.col("a11") + lam) - F.col("b1") * F.col("a12"))
+        / det,
+        9,
+    )
+    return gram.select(
+        "u", "n_items", "a11", "a12", "a22", "b1", "b2",
+        u1.alias("u1"), u2.alias("u2"),
+    ).orderBy("u")

@@ -115,6 +115,7 @@ def _load_all() -> None:
         folds,
         recsys,
         mlops,
+        tokenize,
     )
 
     _LOADED = True

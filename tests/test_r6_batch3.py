@@ -1,0 +1,86 @@
+"""Independent cross-checks for gram_matrix (embeddings2.py),
+bpe_encode_tokens (tokenize.py), and als_user_half_step (recsys.py)."""
+
+import numpy as np
+import pytest
+
+from etl_mp_transactions_spark.registry import queries
+
+
+@pytest.fixture(scope="module")
+def q():
+    return queries()
+
+
+def test_gram_matrix_vs_numpy(spark, sf_dir, q):
+    pdf = q["gram_matrix"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    m = np.stack(
+        [
+            np.round(np.asarray(v, dtype=np.float64) * 1e6).astype(np.int64)
+            for v in emb["embedding"]
+        ]
+    )
+    g = m.T @ m
+    got = pdf.pivot(index="i", columns="j", values="g").to_numpy()
+    assert got.shape == g.shape
+    assert (got == g).all()
+    # symmetry and PSD diagonal
+    assert (g == g.T).all() and (np.diag(g) >= 0).all()
+
+
+def test_bpe_encode_tokens_vs_python(spark, sf_dir, q):
+    from etl_mp_transactions_spark.queries.tokenize import MERGES
+
+    pdf = q["bpe_encode_tokens"](spark, sf_dir).toPandas()
+
+    def encode(word):
+        syms = list(word)
+        for x, y in MERGES:
+            out = []
+            for s in syms:
+                if out and out[-1] == x and s == y:
+                    out[-1] = x + y
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for r in pdf.itertuples():
+        expect = encode(r.word)
+        assert r.tokens.split(" ") == expect, r.word
+        assert r.n_tokens == len(expect)
+    # concatenation is lossless: tokens rebuild the word
+    for r in pdf.itertuples():
+        assert "".join(r.tokens.split(" ")) == r.word
+
+
+def test_bpe_table_word_merges_fully(spark, sf_dir, q):
+    pdf = q["bpe_encode_tokens"](spark, sf_dir).toPandas()
+    if "table" in set(pdf["word"]):
+        row = pdf[pdf["word"] == "table"].iloc[0]
+        assert row["tokens"] == "table" and row["n_tokens"] == 1
+
+
+def test_als_half_step_vs_numpy_solve(spark, sf_dir, q):
+    from etl_mp_transactions_spark.queries.recsys import ALS_LAMBDA_A
+
+    pdf = q["als_user_half_step"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for r in pdf.head(50).itertuples():
+        a = np.array(
+            [
+                [r.a11 + ALS_LAMBDA_A, r.a12],
+                [r.a12, r.a22 + ALS_LAMBDA_A],
+            ],
+            dtype=np.float64,
+        )
+        b = np.array([r.b1, r.b2], dtype=np.float64)
+        u = np.linalg.solve(a, b)
+        assert abs(r.u1 - u[0]) < 1e-6 and abs(r.u2 - u[1]) < 1e-6
+    # gram invariants: a11, a22 >= 0 and Cauchy-Schwarz on a12
+    assert (pdf["a11"] >= 0).all() and (pdf["a22"] >= 0).all()
+    assert (
+        pdf["a12"].astype(float) ** 2
+        <= pdf["a11"].astype(float) * pdf["a22"].astype(float) + 1e-9
+    ).all()
