@@ -174,3 +174,187 @@ def pareto_concentration(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "pvm_decomposition",
+    """
+    WITH pk AS (
+      SELECT l_partkey, year(l_shipdate) AS y,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    yr AS (
+      SELECT p.p_brand AS brand, pk.y,
+             sum(pk.rev_cents) AS rev_cents, sum(pk.qty) AS qty
+      FROM pk JOIN part p ON p.p_partkey = pk.l_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT brand,
+             sum(CASE WHEN y = 1996 THEN rev_cents ELSE 0 END) AS rev1,
+             sum(CASE WHEN y = 1996 THEN qty ELSE 0 END) AS q1,
+             sum(CASE WHEN y = 1997 THEN rev_cents ELSE 0 END) AS rev2,
+             sum(CASE WHEN y = 1997 THEN qty ELSE 0 END) AS q2
+      FROM yr GROUP BY 1
+    )
+    SELECT brand,
+           CAST(rev1 AS BIGINT) AS rev1_cents, CAST(q1 AS BIGINT) AS q1,
+           CAST(rev2 AS BIGINT) AS rev2_cents, CAST(q2 AS BIGINT) AS q2,
+           CAST(rev2 - rev1 AS BIGINT) AS delta_cents,
+           CAST(round((CAST(q2 AS DOUBLE) * CAST(rev1 AS DOUBLE)
+                  / CAST(q1 AS DOUBLE)) - CAST(rev1 AS DOUBLE)) AS BIGINT)
+             AS volume_effect_cents,
+           CAST(round(CAST(rev2 AS DOUBLE) - (CAST(q2 AS DOUBLE)
+                  * CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE))) AS BIGINT)
+             AS price_effect_cents
+    FROM wide
+    WHERE q1 > 0 AND q2 > 0
+    ORDER BY brand
+    """,
+)
+def pvm_decomposition(spark, sf_dir):
+    """Price-volume decomposition of the 1996→1997 revenue change
+    per brand (the standard FP&A bridge, public): volume effect =
+    rev1 scaled to year-2 quantity minus rev1; price effect = the
+    remainder — the two effects sum to the exact integer delta by
+    construction. Inputs are exact BIGINT cents/quantities from one
+    grouped scan; each effect is ONE shared-text float expression
+    rounded once to integer cents (round(x, 9) on 1e8-magnitude
+    doubles is NOT engine-portable — the decimal-rescale step itself
+    drifts an ulp; integer-unit rounding is the repo's portable
+    form). The fact scan pre-aggregates per (partkey, year) BEFORE
+    touching the part dimension, so the dim join moves |parts| rows,
+    not |lineitem| — the pre-aggregation-pushdown shape (measured:
+    the naive join-then-agg plan was the one 12x point in the r6
+    scale sweep; this plan re-measures ~linear-or-better). Scale: a single groupBy on (brand, year) plus a
+    brand-level pivot — no joins beyond the part dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pk = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("y"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .alias("rev_cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("qty"),
+        )
+    )
+    yr = (
+        pk.join(p, p["p_partkey"] == pk["l_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), "y")
+        .agg(
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("qty").alias("qty"),
+        )
+    )
+    wide = yr.groupBy("brand").agg(
+        F.sum(F.when(F.col("y") == 1996, F.col("rev_cents")).otherwise(0))
+        .alias("rev1"),
+        F.sum(F.when(F.col("y") == 1996, F.col("qty")).otherwise(0))
+        .alias("q1"),
+        F.sum(F.when(F.col("y") == 1997, F.col("rev_cents")).otherwise(0))
+        .alias("rev2"),
+        F.sum(F.when(F.col("y") == 1997, F.col("qty")).otherwise(0))
+        .alias("q2"),
+    )
+    # explicit DOUBLE casts, multiply-then-divide: DuckDB's bare
+    # 1.0*int literals promote to exact DECIMAL/HUGEINT arithmetic
+    # (one late division), which drifts an ulp from Spark's float
+    # chain — identical per-operand casts pin the IEEE op sequence
+    scaled = (
+        F.col("q2").cast("double")
+        * F.col("rev1").cast("double")
+        / F.col("q1").cast("double")
+    )
+    return (
+        wide.filter((F.col("q1") > 0) & (F.col("q2") > 0))
+        .select(
+            "brand",
+            F.col("rev1").cast("bigint").alias("rev1_cents"),
+            F.col("q1").cast("bigint").alias("q1"),
+            F.col("rev2").cast("bigint").alias("rev2_cents"),
+            F.col("q2").cast("bigint").alias("q2"),
+            (F.col("rev2") - F.col("rev1")).cast("bigint").alias("delta_cents"),
+            F.round(scaled - F.col("rev1").cast("double"))
+            .cast("bigint")
+            .alias("volume_effect_cents"),
+            F.round(F.col("rev2").cast("double") - scaled)
+            .cast("bigint")
+            .alias("price_effect_cents"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "backtest_naive_mae",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, cents,
+             lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev1,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev7
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(prev1) AS BIGINT) AS n_naive,
+           CAST(sum(abs(cents - prev1)) AS BIGINT) AS abs_err_naive,
+           round(sum(abs(cents - prev1)) / (1.0 * count(prev1)), 9)
+             AS mae_naive,
+           CAST(count(prev7) AS BIGINT) AS n_snaive,
+           CAST(sum(abs(cents - prev7)) AS BIGINT) AS abs_err_snaive,
+           round(sum(abs(cents - prev7)) / (1.0 * count(prev7)), 9)
+             AS mae_snaive
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def backtest_naive_mae(spark, sf_dir):
+    """Rolling-origin forecast backtest of the two standard
+    baselines per event type: naive (predict yesterday) and
+    seasonal-naive (predict the value 7 days back). Errors are exact
+    integer cent sums over lag windows (one shuffle, calendar-indexed
+    days are lag positions since daily rollup is gap-free per type at
+    the tested SFs — the lag is by ROW, the documented backtest
+    contract); MAE is one final float per type. The model-evaluation
+    counterpart of holt_linear_forecast/ewma_smoothing."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("prev1"),
+        F.lag("cents", 7).over(w).alias("prev7"),
+    )
+    e1 = F.abs(F.col("cents") - F.col("prev1"))
+    e7 = F.abs(F.col("cents") - F.col("prev7"))
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("prev1").cast("bigint").alias("n_naive"),
+            F.sum(e1).cast("bigint").alias("abs_err_naive"),
+            F.round(F.sum(e1) / (F.lit(1.0) * F.count("prev1")), 9).alias(
+                "mae_naive"
+            ),
+            F.count("prev7").cast("bigint").alias("n_snaive"),
+            F.sum(e7).cast("bigint").alias("abs_err_snaive"),
+            F.round(F.sum(e7) / (F.lit(1.0) * F.count("prev7")), 9).alias(
+                "mae_snaive"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -116,6 +116,7 @@ def _load_all() -> None:
         recsys,
         mlops,
         tokenize,
+        inventory,
     )
 
     _LOADED = True
