@@ -653,3 +653,110 @@ def r13_stream_custom_state(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+@query(
+    "r14_stream_late_drop",
+    """
+    WITH b AS (
+      SELECT event_type, ts, value,
+             CAST(event_id % 4 AS BIGINT) AS batch,
+             CAST(date_trunc('day', ts) AS TIMESTAMP)
+               + INTERVAL 1 DAY AS wend,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    bm AS (SELECT batch, max(ts) AS mx FROM b GROUP BY 1),
+    wm AS (
+      SELECT batch,
+             max(mx) OVER (ORDER BY batch
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 2 PRECEDING) AS late_wm_max
+      FROM bm
+    ),
+    kept AS (
+      SELECT e.day, e.event_type, e.value
+      FROM b e JOIN wm USING (batch)
+      WHERE wm.late_wm_max IS NULL
+         OR e.wend > wm.late_wm_max - INTERVAL 6 HOUR
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM kept GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def r14_stream_late_drop(spark, sf_dir):
+    """Watermark LATE-DATA POLICY through the full oracle gate — the
+    9th stream==batch pin, and the first that pins Spark's drop rule
+    itself rather than a drop-free run: events are staged into 4
+    files by the SQL-expressible rule event_id % 4 (mtime-ordered, so
+    maxFilesPerTrigger=1 fixes the batch order), streamed into a
+    1-day-window x type count/cents aggregation in update mode under
+    a 6-hour watermark. Because each batch spans the whole time
+    range, the watermark after batch 1 sits 6 hours under the global
+    max and later batches are MOSTLY dropped — the oracle reproduces
+    Spark's exact rule in SQL: the LATE-EVENT filter in batch b uses
+    the watermark of the PREVIOUS batch's start, i.e. the running max
+    over batches <= b-2 (keep iff window_end > that max - 6h), while
+    only EVICTION uses the current watermark (the two-watermark
+    design, SPARK-24588 lineage; verified against
+    numRowsDroppedByWatermark and pinned here — an oracle written
+    with the naive <= b-1 rule under-keeps by ~2.5k rows at sf0.01).
+    Counts per key are monotone across updates, so the final
+    accumulated row per (day, type) is the max-n emission."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        _events_schema,
+        staged_event_batches_cached,
+        stream_files_available_now,
+    )
+
+    work = run_dir("stream_late_drop")
+    stage = staged_event_batches_cached(spark, sf_dir, n_batches=4)
+    stream = stream_files_available_now(
+        spark, stage, schema=_events_schema(), max_files_per_trigger=1
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "6 hours")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            F.date_format(
+                F.col("window.start").cast("timestamp_ntz"), "yyyy-MM-dd"
+            ).alias("day"),
+            "event_type",
+            "n",
+            "cents",
+        )
+    )
+    table = f"r14_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(table)
+    rn = F.row_number().over(
+        W.partitionBy("day", "event_type").orderBy(F.desc("n"))
+    )
+    return (
+        emissions.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("day", "event_type", "n", "cents")
+        .orderBy("day", "event_type")
+    )

@@ -117,6 +117,7 @@ def _load_all() -> None:
         mlops,
         tokenize,
         inventory,
+        scalepatterns,
     )
 
     _LOADED = True

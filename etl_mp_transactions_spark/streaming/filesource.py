@@ -426,3 +426,57 @@ def staged_events_cached(
                 shutil.rmtree(target, ignore_errors=True)
                 os.rename(staging, target)
     return target
+
+
+def staged_event_batches_cached(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Immutable staged copy of events split into n_batches files by
+    the SQL-expressible rule ``event_id % n_batches`` with strictly
+    increasing modification times, so a ``maxFilesPerTrigger=1``
+    stream processes batch b exactly b-th — the precondition for an
+    ORACLE-checkable watermark/late-data policy (the plain
+    repartition staging above has no SQL-expressible row→file rule).
+    Atomic-rename publish like staged_events_cached."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from etl_mp_transactions_spark.sources.tables import load_table
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_event_batches_{_EVENTS_STAGE_VERSION}_{sf_tag}_{n_batches}",
+    )
+    marker = os.path.join(target, "_DONE")
+    if not os.path.exists(marker):
+        staging = f"{target}.build-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events")
+        for b in range(n_batches):
+            sub = os.path.join(staging, f"_b{b}")
+            (
+                ev.filter(F.col("event_id") % n_batches == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(sub)
+            )
+            part = [
+                f for f in os.listdir(sub) if f.endswith(".parquet")
+            ][0]
+            dst = os.path.join(staging, f"batch-{b:04d}.parquet")
+            shutil.move(os.path.join(sub, part), dst)
+            shutil.rmtree(sub, ignore_errors=True)
+            # strictly increasing mtimes fix the stream's file order
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        open(os.path.join(staging, "_DONE"), "w").close()
+        try:
+            os.rename(staging, target)
+        except OSError:
+            if os.path.exists(marker):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(staging, target)
+    return target
