@@ -153,3 +153,25 @@ def s9_fixed_width_scan(spark, sf_dir):
         ).alias("o_orderdate"),
     )
     return _project(df)
+
+
+@query("s10_gzip_jsonl_scan", _SCAN_ORACLE)
+def s10_gzip_jsonl_scan(spark, sf_dir):
+    """GZIP-compressed JSON-lines source scan — the most common
+    "vendor drop" format. Spark's text-based sources decompress
+    codec-suffixed files transparently; the cost model point this
+    query carries: gzip is NOT splittable, so one .gz file = one
+    task regardless of size — the staging writes 4 files so the read
+    still parallelizes by FILE (the operational guidance for 100 TB:
+    many medium .gz files or a splittable codec, never one giant
+    archive). Values round-trip exactly as in s7 (same NTZ pin)."""
+    path = _stage(
+        spark, sf_dir, "json",
+        {"timestampNTZFormat": _NTZ_FMT, "compression": "gzip"},
+    )
+    df = (
+        spark.read.schema(_ORDERS_DDL)
+        .options(timestampNTZFormat=_NTZ_FMT)
+        .json(path)
+    )
+    return _project(df)

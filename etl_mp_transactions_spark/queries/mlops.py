@@ -434,3 +434,135 @@ def kmeans_lloyd_step(spark, sf_dir):
         )
         .orderBy("cluster", "pos")
     )
+
+
+@query(
+    "kaplan_meier_survival",
+    """
+    WITH bounds AS (SELECT max(o_orderdate) AS mx FROM orders),
+    lt AS (
+      SELECT o_custkey,
+             CAST(max(o_orderdate) AS DATE)
+               - CAST(min(o_orderdate) AS DATE) AS lifetime,
+             CASE WHEN max(o_orderdate) > (SELECT mx FROM bounds)
+                               - INTERVAL 90 DAY
+                  THEN 0 ELSE 1 END AS churned
+      FROM orders GROUP BY o_custkey
+    ),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lt),
+    byday AS (
+      SELECT lifetime,
+             CAST(count(*) AS BIGINT) AS cnt_all,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM lt GROUP BY 1
+    ),
+    risk AS (
+      SELECT lifetime, d,
+             (SELECT n_users FROM totals)
+               - CAST(coalesce(sum(cnt_all) OVER (ORDER BY lifetime
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n
+      FROM byday
+    ),
+    ev AS (
+      SELECT lifetime, d, n,
+             1.0::DOUBLE - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS factor
+      FROM risk WHERE d > 0
+    ),
+    ser AS (
+      SELECT list(lifetime ORDER BY lifetime) AS ts_,
+             list(d ORDER BY lifetime) AS ds,
+             list(n ORDER BY lifetime) AS ns,
+             list(factor ORDER BY lifetime) AS fs
+      FROM ev
+    )
+    SELECT ts_[u.i] AS lifetime_days, ds[u.i] AS d, ns[u.i] AS n,
+           list_reduce(list_prepend(1.0::DOUBLE, fs[1:u.i]),
+                       (a, x) -> a * x) AS survival
+    FROM ser, unnest(generate_series(1, len(fs))) AS u(i)
+    ORDER BY lifetime_days
+    """,
+)
+def kaplan_meier_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer TENURE (first order →
+    last order, in days; Kaplan & Meier 1958, public) with right-
+    censoring: a customer churns at their last order unless it falls
+    within 90 days of the corpus end (still active => censored).
+    Order dates span ~6 years with ~7-month gaps, so the curve mixes
+    real events and a censored tail (the events table's uniform
+    activity censors EVERYONE — a vacuous curve, hence orders). Risk sets and event counts are exact
+    integers from one grouped pass + a cumulative window; each step
+    factor (1 - d/n) is ONE identical-text float division; the
+    survival curve is a strict left PRODUCT fold over the ordered
+    factors (seed 1.0), bit-identical across engines by the
+    ewma/holt fold contract — no rounding slack. The O(steps^2)
+    prefix refold is calendar-bounded (distinct churn days), not
+    corpus-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(F.max("o_orderdate").alias("mx"))
+    lt = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max("o_orderdate").cast("date"),
+                F.min("o_orderdate").cast("date"),
+            ).alias("lifetime"),
+            F.when(
+                F.max("o_orderdate")
+                > F.first("mx") - F.expr("INTERVAL 90 DAY"),
+                0,
+            )
+            .otherwise(1)
+            .alias("churned"),
+        )
+    )
+    totals = lt.agg(F.count("*").cast("bigint").alias("n_users"))
+    byday = lt.groupBy("lifetime").agg(
+        F.count("*").cast("bigint").alias("cnt_all"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    wprev = Window.orderBy("lifetime").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = byday.crossJoin(F.broadcast(totals)).select(
+        "lifetime",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("cnt_all").over(wprev), F.lit(0))
+        ).cast("bigint").alias("n"),
+    )
+    evd = risk.filter(F.col("d") > 0).withColumn(
+        "factor",
+        F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double"),
+    )
+    ser = evd.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(lifetime, d, n,"
+            " factor))), x -> x)"
+        ).alias("s")
+    ).filter(F.size("s") > 0)
+    # (sequence(1, 0) DESCENDS in Spark; the filter above keeps the
+    # all-censored corner from indexing an empty array)
+    idx = F.sequence(F.lit(1), F.size("s"))
+    rows = ser.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("s", i)["lifetime"].alias("lifetime_days"),
+                    F.element_at("s", i)["d"].alias("d"),
+                    F.element_at("s", i)["n"].alias("n"),
+                    F.aggregate(
+                        F.slice(
+                            F.expr("transform(s, x -> x.factor)"), F.lit(1), i
+                        ),
+                        F.lit(1.0),
+                        lambda a, x: a * x,
+                    ).alias("survival"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*").orderBy("lifetime_days")

@@ -84,3 +84,39 @@ def test_als_half_step_vs_numpy_solve(spark, sf_dir, q):
         pdf["a12"].astype(float) ** 2
         <= pdf["a11"].astype(float) * pdf["a22"].astype(float) + 1e-9
     ).all()
+
+
+def test_kaplan_meier_vs_python(spark, sf_dir, q):
+    """Manual KM estimator over (tenure, churn) re-derivation."""
+    pdf = q["kaplan_meier_survival"](spark, sf_dir).toPandas()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    import pandas as pd
+
+    g = o.groupby("o_custkey")["o_orderdate"].agg(["min", "max"])
+    mx = o["o_orderdate"].max()
+    lifetime = (g["max"].dt.floor("D") - g["min"].dt.floor("D")).dt.days
+    churned = (g["max"] <= mx - pd.Timedelta(days=90)).astype(int)
+    df = pd.DataFrame({"lt": lifetime, "ch": churned})
+    n_total = len(df)
+    byday = (
+        df.groupby("lt")
+        .agg(cnt=("ch", "size"), d=("ch", "sum"))
+        .sort_index()
+    )
+    surv, rows, at_risk = 1.0, [], n_total
+    for t, r in byday.iterrows():
+        if r["d"] > 0:
+            surv = surv * (1.0 - float(r["d"]) / float(at_risk))
+            rows.append((t, int(r["d"]), int(at_risk), surv))
+        at_risk -= int(r["cnt"])
+    got = [
+        (int(r.lifetime_days), int(r.d), int(r.n), r.survival)
+        for r in pdf.itertuples()
+    ]
+    assert len(got) == len(rows)
+    for a, b in zip(got, rows):
+        assert a[:3] == b[:3]
+        assert a[3] == b[3]  # bit-identical fold contract
+    # survival is monotone nonincreasing in (0, 1]
+    sv = pdf["survival"].to_numpy()
+    assert (sv[:-1] >= sv[1:]).all() and (sv > 0).all() and (sv <= 1).all()
