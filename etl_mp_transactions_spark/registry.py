@@ -118,6 +118,7 @@ def _load_all() -> None:
         tokenize,
         inventory,
         scalepatterns,
+        governance,
     )
 
     _LOADED = True
