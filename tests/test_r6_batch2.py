@@ -97,3 +97,30 @@ def test_holt_two_point_series_returns_seed(spark, q, tmp_path):
     r = out.iloc[0]
     assert r["level"] == 1000.0 and r["trend"] == 2000.0
     assert r["forecast_1"] == 3000.0
+
+
+def test_bitmask_journeys_decode_consistency(spark, sf_dir, q):
+    pdf = q["bitmask_user_journeys"](spark, sf_dir).toPandas()
+    for r in pdf.itertuples():
+        # popcount of mask == n_types == len(decoded list)
+        assert bin(int(r.mask)).count("1") == r.n_types
+        assert len(r.types_csv.split(",")) == r.n_types
+    assert pdf["mask"].is_unique
+
+
+def test_global_sequence_ids_strided(spark, sf_dir, q):
+    pdf = q["global_sequence_ids"](spark, sf_dir).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    import numpy as np
+
+    assert (np.diff(pdf["seq"].to_numpy()) == 997).all()
+    assert pdf["seq"].iloc[0] == 1
+    assert len(pdf) == (n + 996) // 997
+
+
+def test_erasure_cascade_invariants(spark, sf_dir, q):
+    pdf = q["erasure_cascade_audit"](spark, sf_dir).toPandas()
+    assert (pdf["orphans_after"] == 0).all()
+    assert (pdf["rows_after"] == pdf["rows_before"] - pdf["rows_deleted"]).all()
+    assert set(pdf["table_name"]) == {"customer", "orders", "lineitem"}
