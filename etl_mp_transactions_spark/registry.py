@@ -119,6 +119,7 @@ def _load_all() -> None:
         inventory,
         scalepatterns,
         governance,
+        textcorrect,
     )
 
     _LOADED = True

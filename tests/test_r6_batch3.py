@@ -120,3 +120,61 @@ def test_kaplan_meier_vs_python(spark, sf_dir, q):
     # survival is monotone nonincreasing in (0, 1]
     sv = pdf["survival"].to_numpy()
     assert (sv[:-1] >= sv[1:]).all() and (sv > 0).all() and (sv <= 1).all()
+
+
+def test_symspell_recovers_most_typos(spark, sf_dir, q):
+    pdf = q["symspell_correction"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    # deletion-variant candidate generation must recover the original
+    # unless a more frequent levenshtein<=1 neighbor wins the tiebreak
+    assert pdf["recovered"].mean() >= 0.5
+    for r in pdf.itertuples():
+        assert _lev(r.typo, r.corrected) <= 1
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[-1]
+
+
+def test_poisson_bootstrap_weights_vs_python(spark, sf_dir, q):
+    import hashlib
+
+    from etl_mp_transactions_spark.queries.textcorrect import (
+        _POIS_EDGES,
+        N_BOOT,
+    )
+
+    pdf = q["poisson_bootstrap_ci"](spark, sf_dir).toPandas()
+    r = pdf.iloc[0]
+    assert r["boot_min"] <= r["ci_lo"] <= r["ci_hi"] <= r["boot_max"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev = ev[ev["event_type"] == "purchase"]
+    cents = (ev["value"] * 100).round().astype("int64")
+
+    def weight(eid, b):
+        h = int(
+            hashlib.md5(f"{eid}:boot{b}".encode()).hexdigest()[:8], 16
+        ) % 1_000_000
+        for w, edge in enumerate(_POIS_EDGES):
+            if h < edge:
+                return w
+        return 5
+
+    totals = sorted(
+        sum(
+            weight(eid, b) * c
+            for eid, c in zip(ev["event_id"], cents)
+        )
+        for b in range(N_BOOT)
+    )
+    assert r["boot_min"] == totals[0] and r["boot_max"] == totals[-1]
+    assert r["ci_lo"] == totals[1 + (N_BOOT * 100) // 1000 - 1]
+    assert r["ci_hi"] == totals[N_BOOT - (N_BOOT * 100) // 1000 - 1]
+    assert r["observed_total"] == cents.sum()
