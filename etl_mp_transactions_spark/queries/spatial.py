@@ -431,3 +431,99 @@ def dbscan_clusters(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+# convex test polygon in micro-units (CCW): a hexagon over the middle
+# of the coordinate space
+PIP_POLY = (
+    (300_000, 200_000),
+    (700_000, 200_000),
+    (900_000, 500_000),
+    (700_000, 800_000),
+    (300_000, 800_000),
+    (100_000, 500_000),
+)
+
+
+def _pip_edge_terms(xcol: str, ycol: str):
+    """Cross-product sign terms for each polygon edge (shared shape
+    for both engines): ((x2-x1)*(y-y1) - (y2-y1)*(x-x1)) >= 0 for a
+    CCW convex polygon <=> inside-or-on-boundary."""
+    terms = []
+    n = len(PIP_POLY)
+    for i in range(n):
+        x1, y1 = PIP_POLY[i]
+        x2, y2 = PIP_POLY[(i + 1) % n]
+        terms.append(
+            f"(({x2} - {x1}) * ({ycol} - {y1})"
+            f" - ({y2} - {y1}) * ({xcol} - {x1})) >= 0"
+        )
+    return terms
+
+
+@query(
+    "point_in_polygon_join",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 8))::BIGINT
+               % {COORD_MAX} AS x,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 8))::BIGINT
+               % {COORD_MAX} AS y
+      FROM customer
+    ),
+    boxed AS (
+      SELECT id, x, y FROM pts
+      WHERE x >= {min(p[0] for p in PIP_POLY)}
+        AND x <= {max(p[0] for p in PIP_POLY)}
+        AND y >= {min(p[1] for p in PIP_POLY)}
+        AND y <= {max(p[1] for p in PIP_POLY)}
+    )
+    SELECT id, x, y,
+           CASE WHEN {" AND ".join(_pip_edge_terms("x", "y"))}
+                THEN 1 ELSE 0 END AS inside
+    FROM boxed
+    ORDER BY id
+    """,
+)
+def point_in_polygon_join(spark, sf_dir):
+    """Exact point-in-convex-polygon containment over the hash-
+    derived customer points: per-edge integer cross-product sign
+    tests (CCW hexagon; inside-or-on-boundary = all signs >= 0), with
+    the bounding-box prefilter that makes the expensive edge tests
+    run only on box survivors — the standard spatial-pruning shape
+    (at 100 TB the box predicate is the partition/zone-map prune; the
+    edge tests are all-integer, no floats, no epsilon). Output keeps
+    box survivors with their inside/boundary verdict so the oracle
+    pins both the prefilter and the exact test."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def coord(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                   F.lit(salt))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % COORD_MAX
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord(":x").alias("x"),
+        coord(":y").alias("y"),
+    )
+    xs = [p[0] for p in PIP_POLY]
+    ys = [p[1] for p in PIP_POLY]
+    boxed = pts.filter(
+        (F.col("x") >= min(xs)) & (F.col("x") <= max(xs))
+        & (F.col("y") >= min(ys)) & (F.col("y") <= max(ys))
+    )
+    inside = F.expr(
+        "CASE WHEN " + " AND ".join(_pip_edge_terms("x", "y"))
+        + " THEN 1 ELSE 0 END"
+    )
+    return boxed.select("id", "x", "y", inside.alias("inside")).orderBy("id")

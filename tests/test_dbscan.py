@@ -83,3 +83,25 @@ def test_dbscan_role_cluster_consistency(spark, sf_dir, q):
     cores = pdf[pdf["role"] == "core"]
     for lbl in set(pdf.loc[pdf["cluster"] >= 0, "cluster"]):
         assert ((cores["id"] == lbl) & (cores["cluster"] == lbl)).any()
+
+
+def test_point_in_polygon_vs_matplotlib_free_check(spark, sf_dir, q):
+    """Cross-check the convex containment against a python winding
+    re-derivation on the same integer points."""
+    from etl_mp_transactions_spark.queries.spatial import PIP_POLY
+
+    pdf = q["point_in_polygon_join"](spark, sf_dir).toPandas()
+    n = len(PIP_POLY)
+    for r in pdf.itertuples():
+        ok = True
+        for i in range(n):
+            x1, y1 = PIP_POLY[i]
+            x2, y2 = PIP_POLY[(i + 1) % n]
+            if (x2 - x1) * (r.y - y1) - (y2 - y1) * (r.x - x1) < 0:
+                ok = False
+                break
+        assert r.inside == int(ok)
+    # polygon vertices themselves are on the boundary => inside
+    xs = [p[0] for p in PIP_POLY]
+    ys = [p[1] for p in PIP_POLY]
+    assert (pdf["x"] >= min(xs)).all() and (pdf["y"] <= max(ys)).all()
