@@ -760,3 +760,88 @@ def r14_stream_late_drop(spark, sf_dir):
         .select("day", "event_type", "n", "cents")
         .orderBy("day", "event_type")
     )
+
+
+@query(
+    "r15_kappa_backfill_union",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def r15_kappa_backfill_union(spark, sf_dir):
+    """Kappa-architecture reprocessing contract as an oracle pin
+    (10th stream==batch pin): history (event_id % 4 IN 0..2) runs as
+    a BATCH backfill, the live tail (batch 3's staged file) runs
+    through STRUCTURED STREAMING, and the two partial aggregates
+    merge by addition — the union must equal the one-shot batch
+    aggregate over everything. This is the property that makes
+    backfill + live-tail deployments safe: the aggregation is the
+    SAME declarative plan in both execution modes and its state is
+    mergeable (count/sum over integer cents), so where the
+    batch/stream boundary falls cannot change the answer."""
+    import uuid
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        _events_schema,
+        staged_event_batches_cached,
+        stream_files_available_now,
+    )
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    history = agg(ev.filter(F.col("event_id") % 4 != 3))
+
+    stage = staged_event_batches_cached(spark, sf_dir, n_batches=4)
+    # the file source wants a directory: publish a cached tail dir
+    # holding only the live-tail file (atomic rename, like the stage)
+    tail_dir = f"{stage}_tail"
+    if not os.path.exists(os.path.join(tail_dir, "batch-0003.parquet")):
+        import shutil
+        import uuid as _uuid
+
+        building = f"{tail_dir}.build-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(building, exist_ok=True)
+        shutil.copy(
+            os.path.join(stage, "batch-0003.parquet"),
+            os.path.join(building, "batch-0003.parquet"),
+        )
+        try:
+            os.rename(building, tail_dir)
+        except OSError:
+            shutil.rmtree(building, ignore_errors=True)
+    tail_stream = stream_files_available_now(
+        spark, tail_dir, schema=_events_schema()
+    )
+    work = run_dir("kappa_backfill")
+    table = f"r15_tail_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg(tail_stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tail = spark.table(table)
+    return (
+        history.unionAll(tail)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
