@@ -120,6 +120,7 @@ def _load_all() -> None:
         scalepatterns,
         governance,
         textcorrect,
+        imputation,
     )
 
     _LOADED = True

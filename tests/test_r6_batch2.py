@@ -124,3 +124,40 @@ def test_erasure_cascade_invariants(spark, sf_dir, q):
     assert (pdf["orphans_after"] == 0).all()
     assert (pdf["rows_after"] == pdf["rows_before"] - pdf["rows_deleted"]).all()
     assert set(pdf["table_name"]) == {"customer", "orders", "lineitem"}
+
+
+def test_impute_missing_values_semantics(spark, sf_dir, q):
+    import numpy as np
+
+    pdf = q["impute_missing_values"](spark, sf_dir).toPandas()
+    # observed rows keep their own value; missing rows get the median
+    miss = pdf[pdf["is_missing"] == 1]
+    assert (miss["imputed_cents"] == miss["seg_median"]).all()
+    # the median is the exact lower median of OBSERVED values per seg
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    cents = (cust["c_acctbal"] * 100).round().astype("int64")
+    obs = pdf[pdf["is_missing"] == 0].set_index("c_custkey")
+    cust = cust.set_index("c_custkey")
+    for seg, g in pdf.groupby("seg"):
+        vals = sorted(
+            int(cents.loc[i])
+            for i in g.loc[g["is_missing"] == 0, "c_custkey"]
+        )
+        assert g["seg_median"].iloc[0] == vals[(len(vals) - 1) // 2]
+    assert 0.02 < pdf["is_missing"].mean() < 0.25
+
+
+def test_winsorize_amounts_invariants(spark, sf_dir, q):
+    pdf = q["winsorize_amounts"](spark, sf_dir).toPandas()
+    assert (pdf["p01"] <= pdf["p99"]).all()
+    # at most ~1% clamped each side (rank-ceil: <= n/100 + 1)
+    assert (pdf["n_clamped_low"] <= pdf["n_rows"] * 0.011 + 1).all()
+    assert (pdf["n_clamped_high"] <= pdf["n_rows"] * 0.011 + 1).all()
+    assert (
+        pdf["winsorized_sum_cents"]
+        >= pdf["p01"] * pdf["n_rows"]
+    ).all()
+    assert (
+        pdf["winsorized_sum_cents"]
+        <= pdf["p99"] * pdf["n_rows"]
+    ).all()
