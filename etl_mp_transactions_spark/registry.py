@@ -121,6 +121,7 @@ def _load_all() -> None:
         governance,
         textcorrect,
         imputation,
+        logistic,
     )
 
     _LOADED = True

@@ -178,3 +178,41 @@ def test_poisson_bootstrap_weights_vs_python(spark, sf_dir, q):
     assert r["ci_lo"] == totals[1 + (N_BOOT * 100) // 1000 - 1]
     assert r["ci_hi"] == totals[N_BOOT - (N_BOOT * 100) // 1000 - 1]
     assert r["observed_total"] == cents.sum()
+
+
+def test_logistic_newton_vs_python(spark, sf_dir, q):
+    """Exact re-derivation of the 3-step nano-integer Newton
+    trajectory in python."""
+    import math
+
+    pdf = q["logistic_newton_steps"](spark, sf_dir).toPandas()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    x = (cust["c_acctbal"] / 500.0).apply(math.floor).astype(int)
+    y = (cust["c_mktsegment"] == "BUILDING").astype(int)
+    b0 = b1 = 0
+    last = None
+    for _ in range(3):
+        g0 = g1 = h00 = h01 = h11 = 0
+        for xi, yi in zip(x, y):
+            z = (b0 + b1 * xi) / 1e9
+            p = 1.0 / (1.0 + math.exp(-z))
+            g0 += round(1e9 * (yi - p))
+            g1 += round(1e9 * (yi - p) * xi)
+            h00 += round(1e9 * p * (1.0 - p))
+            h01 += round(1e9 * p * (1.0 - p) * xi)
+            h11 += round(1e9 * p * (1.0 - p) * xi * xi)
+        det = float(h00) * h11 - float(h01) * h01
+        d0 = (float(g0) * h11 - float(g1) * h01) / det
+        d1 = (float(g1) * h00 - float(g0) * h01) / det
+        b0 += round(1e9 * d0)
+        b1 += round(1e9 * d1)
+        last = (g0, g1, h00, h01, h11)
+    r = pdf.iloc[0]
+    # NB: python round() is banker's; Spark/DuckDB round half away
+    # from zero — exact .5 halves of 1e9-scaled sigmoid terms do not
+    # occur (verified by this equality holding)
+    assert (int(r.b0_nano), int(r.b1_nano)) == (b0, b1)
+    assert (
+        int(r.last_g0), int(r.last_g1), int(r.last_h00),
+        int(r.last_h01), int(r.last_h11),
+    ) == last
