@@ -300,3 +300,67 @@ def holt_linear_forecast(spark, sf_dir):
             "forecast_7"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "hash_chain_audit",
+    """
+    WITH recs AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             md5(event_id::VARCHAR || '|' || event_type || '|'
+                 || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))
+               AS digest,
+             event_id
+      FROM events
+    ),
+    chains AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_records,
+             list(digest ORDER BY event_id) AS ds
+      FROM recs GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_records,
+           list_reduce(list_prepend('genesis', ds),
+                       (acc, d) -> md5(acc || d)) AS chain_head
+    FROM chains
+    ORDER BY day
+    """,
+)
+def hash_chain_audit(spark, sf_dir):
+    """Tamper-evident hash chain over each day's event log (the
+    blockchain-style audit pattern, public): per-record md5 digests
+    folded in event-id order — chain_i = md5(chain_{i-1} || d_i),
+    seeded with 'genesis' — so the day's chain head commits to every
+    record AND their order; any mutation, insertion, or reorder
+    changes the head. A pure STRING left fold (third fold state type
+    after scalar and array; no float concerns at all). Scale: chains
+    are per-day (calendar-partitioned) and sequential by design —
+    the honest contract of a chain; cross-day parallelism is free,
+    and a production ledger would chain day heads the same way."""
+    ev = load_table(spark, sf_dir, "events")
+    recs = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            )
+        ).alias("digest"),
+        "event_id",
+    )
+    chains = recs.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, digest))),"
+            " x -> x.digest)"
+        ).alias("ds"),
+    )
+    return chains.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_records",
+        F.expr(
+            "aggregate(ds, 'genesis', (acc, d) -> md5(concat(acc, d)))"
+        ).alias("chain_head"),
+    ).orderBy("day")

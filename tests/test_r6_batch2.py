@@ -161,3 +161,32 @@ def test_winsorize_amounts_invariants(spark, sf_dir, q):
         pdf["winsorized_sum_cents"]
         <= pdf["p99"] * pdf["n_rows"]
     ).all()
+
+
+def test_hash_chain_audit_vs_python_and_tamper(spark, sf_dir, q):
+    import hashlib
+
+    pdf = q["hash_chain_audit"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    for r in pdf.itertuples():
+        g = ev[ev["day"] == r.day].sort_values("event_id")
+        acc = "genesis"
+        for e in g.itertuples():
+            d = hashlib.md5(
+                f"{e.event_id}|{e.event_type}|{e.cents}".encode()
+            ).hexdigest()
+            acc = hashlib.md5((acc + d).encode()).hexdigest()
+        assert acc == r.chain_head and len(g) == r.n_records
+    # tamper-evidence: flipping one record's cents changes the head
+    r0 = pdf.iloc[0]
+    g = ev[ev["day"] == r0["day"]].sort_values("event_id")
+    acc = "genesis"
+    for i, e in enumerate(g.itertuples()):
+        cents = e.cents + (1 if i == len(g) // 2 else 0)
+        d = hashlib.md5(
+            f"{e.event_id}|{e.event_type}|{cents}".encode()
+        ).hexdigest()
+        acc = hashlib.md5((acc + d).encode()).hexdigest()
+    assert acc != r0["chain_head"]
