@@ -122,6 +122,7 @@ def _load_all() -> None:
         textcorrect,
         imputation,
         logistic,
+        mdm,
     )
 
     _LOADED = True

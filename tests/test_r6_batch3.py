@@ -216,3 +216,25 @@ def test_logistic_newton_vs_python(spark, sf_dir, q):
         int(r.last_g0), int(r.last_g1), int(r.last_h00),
         int(r.last_h01), int(r.last_h11),
     ) == last
+
+
+def test_golden_record_survivorship_rules(spark, sf_dir, q):
+    pdf = q["golden_record_survivorship"](spark, sf_dir).toPandas()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    cust["cents"] = (cust["c_acctbal"] * 100).round().astype("int64")
+    cust["cluster"] = cust["c_custkey"] // 5
+    assert (cust["c_custkey"] < 100_000_000).all()  # order-key headroom
+    for cl, g in cust.groupby("cluster"):
+        row = pdf[pdf["cluster"] == cl].iloc[0]
+        assert row["balance_golden"] == g["cents"].max()
+        best = g.sort_values(["cents", "c_custkey"]).iloc[-1]
+        assert row["name_golden"] == best["c_name"]
+        assert row["name_source"] == best["c_custkey"]
+        assert row["latest_source"] == g["c_custkey"].max()
+        mode = (
+            g.groupby("c_mktsegment").size()
+            .reset_index(name="n")
+            .sort_values(["n", "c_mktsegment"], ascending=[False, True])
+            .iloc[0]["c_mktsegment"]
+        )
+        assert row["seg_golden"] == mode

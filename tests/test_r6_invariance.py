@@ -39,6 +39,12 @@ R6_QUERIES = [
     "symspell_correction",
     "poisson_bootstrap_ci",
     "point_in_polygon_join",
+    "impute_missing_values",
+    "winsorize_amounts",
+    "logistic_newton_steps",
+    "hash_chain_audit",
+    "golden_record_survivorship",
+    "lm_perplexity_heldout",
 ]
 
 
