@@ -566,3 +566,114 @@ def kaplan_meier_survival(spark, sf_dir):
         ).alias("r")
     )
     return rows.select("r.*").orderBy("lifetime_days")
+
+
+@query(
+    "conformal_prediction_interval",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS pred
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, rk, n, abs(cents - pred) AS resid,
+             CASE WHEN rk <= (7 * n) // 10 THEN 'cal' ELSE 'test' END AS split
+      FROM seq WHERE pred IS NOT NULL
+    ),
+    cal AS (
+      SELECT event_type, resid,
+             row_number() OVER (PARTITION BY event_type ORDER BY resid) AS rr,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM scored WHERE split = 'cal'
+    ),
+    qhat AS (
+      SELECT event_type, m, resid AS q_cents
+      FROM cal
+      WHERE rr = least(m, CAST(ceil(0.9 * (m + 1)) AS BIGINT))
+    )
+    SELECT s.event_type, q.m AS n_calibration, q.q_cents,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN s.resid <= q.q_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           round(sum(CASE WHEN s.resid <= q.q_cents THEN 1 ELSE 0 END)
+                 / (1.0 * count(*)), 6) AS coverage
+    FROM scored s JOIN qhat q USING (event_type)
+    WHERE s.split = 'test'
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def conformal_prediction_interval(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018 — public) around the seasonal-naive daily-revenue forecast:
+    per type, the first 70% of forecastable days calibrate, q_hat is
+    the EXACT ceil(0.9·(m+1))-th smallest absolute residual (integer
+    cents, rank-based — no interpolation ambiguity), and the held-out
+    tail reports its empirical coverage against [pred ± q_hat]. The
+    conformal guarantee (coverage ≳ 90% under exchangeability) is a
+    distribution-free wrapper any in-engine model here could use.
+    Scale: two windows per type + one rank selection — calendar-
+    bounded state, corpus-linear scans."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    wt = Window.partitionBy("event_type").orderBy("day")
+    wn = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wt).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+        F.lag("cents", 7).over(wt).alias("pred"),
+    )
+    scored = seq.filter(F.col("pred").isNotNull()).select(
+        "event_type",
+        "rk",
+        "n",
+        F.abs(F.col("cents") - F.col("pred")).alias("resid"),
+        F.when(F.col("rk") <= F.expr("div(7 * n, 10)"), "cal")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cal = scored.filter(F.col("split") == "cal").select(
+        "event_type",
+        "resid",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("resid"))
+        .alias("rr"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("m"),
+    )
+    qhat = cal.filter(
+        F.col("rr")
+        == F.least(
+            F.col("m"), F.ceil(F.lit(0.9) * (F.col("m") + 1)).cast("bigint")
+        )
+    ).select("event_type", "m", F.col("resid").alias("q_cents"))
+    test = scored.filter(F.col("split") == "test")
+    covered = F.sum(
+        F.when(F.col("resid") <= F.col("q_cents"), 1).otherwise(0)
+    )
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", F.col("m").alias("n_calibration"), "q_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.cast("bigint").alias("n_covered"),
+            F.round(covered / (F.lit(1.0) * F.count("*")), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -117,3 +117,17 @@ def test_kmeans_lloyd_step_vs_numpy(spark, sf_dir, q):
     pd.testing.assert_frame_equal(
         got.astype("int64"), expect.astype("int64"), check_dtype=False
     )
+
+
+def test_conformal_interval_guarantee_shape(spark, sf_dir, q):
+    pdf = q["conformal_prediction_interval"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["q_cents"] >= 0).all()
+    assert (pdf["n_covered"] <= pdf["n_test"]).all()
+    assert ((pdf["coverage"] >= 0) & (pdf["coverage"] <= 1)).all()
+    # rank formula: qhat index = min(m, ceil(0.9*(m+1))) is within range
+    import math
+
+    for r in pdf.itertuples():
+        k = min(r.n_calibration, math.ceil(0.9 * (r.n_calibration + 1)))
+        assert 1 <= k <= r.n_calibration
