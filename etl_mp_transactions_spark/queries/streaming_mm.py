@@ -845,3 +845,63 @@ def r15_kappa_backfill_union(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "multimodal_wht_spectrum",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             upper(md5(text) || md5('x' || text)) AS hi
+      FROM documents
+      WHERE doc_id % 3 = 1
+    ),
+    samp AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 31),
+               i -> 2 * ((strpos('0123456789ABCDEF',
+                                 substr(hi, 2 * i + 1, 1)) - 1) * 16
+                         + strpos('0123456789ABCDEF',
+                                  substr(hi, 2 * i + 2, 1)) - 1) - 255)
+               AS s
+      FROM h
+    ),
+    frames AS (
+      SELECT doc_id, f.f AS frame_idx, s[f.f * 8 + 1 : f.f * 8 + 16] AS w
+      FROM samp, (SELECT unnest(generate_series(0, 2)) AS f) f
+    ),
+    spec AS (
+      SELECT doc_id, frame_idx, w,
+             list_transform(generate_series(0, 15),
+               i -> list_sum(list_transform(generate_series(0, 15),
+                 j -> (CASE WHEN bit_count(CAST(i & j AS BIGINT)) % 2 = 0
+                            THEN 1 ELSE -1 END) * w[j + 1]))) AS c
+      FROM frames
+    )
+    SELECT doc_id AS asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(array_to_string(c, ',')) AS coeff_checksum,
+           CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT)
+             AS spec_energy,
+           CAST(list_sum(list_transform(w, x -> x * x)) AS BIGINT)
+             AS time_energy,
+           CASE WHEN list_sum(list_transform(c, x -> x * x))
+                     = 16 * list_sum(list_transform(w, x -> x * x))
+                THEN 1 ELSE 0 END AS parseval_ok
+    FROM spec
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def multimodal_wht_spectrum(spark, sf_dir):
+    """Exact integer 16-point Walsh-Hadamard spectra of the audio
+    frames (operators/multimodal.py wht_spectrum): every coefficient
+    is a ±sample sum, the whole spectrum is pinned through an md5
+    checksum of its canonical rendering, and Parseval's identity
+    Σc² = 16·Σs² rides along as an integer equality — a
+    self-verifying spectral transform with a FULL value oracle (the
+    hex-space sample reconstruction of multimodal_audio_frames plus
+    an in-SQL H matrix from bit_count parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthesize_assets(docs).filter(
+        F.col("media_type") == "audio"
+    )
+    return multimodal.wht_spectrum(assets).orderBy("asset_id", "frame_idx")

@@ -190,3 +190,19 @@ def test_hash_chain_audit_vs_python_and_tamper(spark, sf_dir, q):
         ).hexdigest()
         acc = hashlib.md5((acc + d).encode()).hexdigest()
     assert acc != r0["chain_head"]
+
+
+def test_wht_spectrum_parseval_and_numpy(spark, sf_dir, q):
+    import numpy as np
+
+    pdf = q["multimodal_wht_spectrum"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["parseval_ok"] == 1).all()
+    assert (pdf["spec_energy"] == 16 * pdf["time_energy"]).all()
+    # H is orthogonal with H H^T = 16 I — verify the matrix itself
+    n = 16
+    h = np.array(
+        [[1 if bin(i & j).count("1") % 2 == 0 else -1 for j in range(n)]
+         for i in range(n)]
+    )
+    assert (h @ h.T == n * np.eye(n, dtype=int)).all()
