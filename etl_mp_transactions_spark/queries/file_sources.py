@@ -155,6 +155,54 @@ def s9_fixed_width_scan(spark, sf_dir):
     return _project(df)
 
 
+@query("s11_xml_scan", _SCAN_ORACLE)
+def s11_xml_scan(spark, sf_dir):
+    """XML source scan — Spark 4 ships the (ex spark-xml) source
+    built-in, reader AND writer. Staging uses the native rowTag/
+    rootTag writer (distributed; each task frames its own file with
+    the root element — a bare write.text of <o> lines fails because
+    the tag parser needs a rooted document and silently drops
+    records). Values cross the format as pre-rendered strings: money
+    as exact integer cents (the s9 trick), the NTZ timestamp as the
+    pinned format string — so the only XML-layer types are string/
+    long, the ones the format round-trips exactly. At 100 TB the
+    guidance this query carries: XML parse cost is per-byte CPU with
+    no column pruning or pushdown — land it once, convert to parquet,
+    never re-scan."""
+    work = tempfile.mkdtemp(prefix="sg_xml_")
+    out = os.path.join(work, "orders")
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("c"),
+            F.date_format(F.col("o_orderdate"), _NTZ_FMT).alias("d"),
+        )
+        .repartition(4)
+        .write.option("rowTag", "o")
+        .option("rootTag", "orders")
+        .mode("overwrite")
+        .xml(out)
+    )
+    raw = (
+        spark.read.option("rowTag", "o")
+        .schema("k long, s string, c long, d string")
+        .xml(out)
+    )
+    df = raw.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("s").alias("o_orderstatus"),
+        (F.col("c") / F.lit(100.0)).alias("o_totalprice"),
+        F.to_timestamp_ntz(F.col("d"), F.lit(_NTZ_FMT)).alias(
+            "o_orderdate"
+        ),
+    )
+    return _project(df)
+
+
 @query("s10_gzip_jsonl_scan", _SCAN_ORACLE)
 def s10_gzip_jsonl_scan(spark, sf_dir):
     """GZIP-compressed JSON-lines source scan — the most common

@@ -45,6 +45,9 @@ R6_QUERIES = [
     "hash_chain_audit",
     "golden_record_survivorship",
     "lm_perplexity_heldout",
+    "conformal_prediction_interval",
+    "multimodal_wht_spectrum",
+    "s11_xml_scan",
 ]
 
 
