@@ -677,3 +677,140 @@ def conformal_prediction_interval(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+ISO_BINS = 40
+ISO_VMAX = 600.0  # fixed value-domain cap (observed max ~560 at sf0.1)
+
+
+@query(
+    "isotonic_calibration",
+    f"""
+    WITH ev AS (
+      SELECT LEAST(CAST(floor(value * {ISO_BINS} / {ISO_VMAX}) AS BIGINT),
+                   {ISO_BINS} - 1) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+      FROM ev GROUP BY bin
+    ),
+    p AS (
+      SELECT bin, n, s,
+             sum(s) OVER (ORDER BY bin) AS cs,
+             sum(n) OVER (ORDER BY bin) AS cn
+      FROM b
+    ),
+    pairs AS (
+      SELECT pj.bin AS j, pk.bin AS k,
+             (pk.cs - (pj.cs - pj.s))::DOUBLE
+               / (pk.cn - (pj.cn - pj.n)) AS r
+      FROM p pj JOIN p pk ON pj.bin <= pk.bin
+    ),
+    m AS (
+      SELECT j, k, min(r) OVER (PARTITION BY j ORDER BY k DESC) AS mr
+      FROM pairs
+    ),
+    f AS (SELECT k AS bin, max(mr) AS fit FROM m GROUP BY k)
+    SELECT b.bin, b.n, b.s,
+           round(b.s::DOUBLE / b.n, 12) AS raw_rate,
+           round(f.fit, 12) AS iso_rate
+    FROM b JOIN f USING (bin)
+    """,
+)
+def isotonic_calibration(spark, sf_dir):
+    """Exact isotonic regression (PAVA) of purchase rate vs the event
+    value — the calibration step that turns any monotone score into
+    calibrated probabilities. Instead of the sequential
+    pool-adjacent-violators loop (inherently serial, driver-bound),
+    this computes the CLOSED FORM of the isotonic solution:
+
+        fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k])
+
+    over B=40 fixed-width value bins, which is model-state-sized work
+    (B^2 candidate means) after ONE data-scale aggregation. Binning is
+    a stateless per-row expression (floor over a fixed domain — no
+    global sort, unlike ntile), so the only shuffle that sees data
+    volume is the 40-key groupBy with map-side partial aggregation.
+
+    Exactness: every candidate mean is one division of exact BIGINT
+    prefix-sum differences — both engines compute the identical IEEE
+    double per (num, den) pair, so the min/max lattice over them is
+    engine-portable; rounding happens once at output. The Spark pair
+    generation uses explode(sequence(0, k)) + an equi-join instead of
+    the oracle's inequality join, keeping the physical plan free of
+    nested-loop joins even on the model-state table.
+
+    Cross-checked in tests/test_mlops.py against a classic sequential
+    weighted-PAVA re-derivation (stack algorithm) — the max-min form
+    and the pooling loop must agree to the last rounded digit."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.least(
+                F.floor(F.col("value") * ISO_BINS / F.lit(ISO_VMAX)).cast(
+                    "bigint"
+                ),
+                F.lit(ISO_BINS - 1),
+            ).alias("bin"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    b = ev.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    # prefix sums over the B-row model table (single-partition window
+    # on bounded model state — the calendar-dim-sized class)
+    wp = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = b.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("s").over(wp).alias("cs"),
+        F.sum("n").over(wp).alias("cn"),
+    )
+    pk = p.select(F.col("bin").alias("k"), "cs", "cn")
+    pj = p.select(
+        F.col("bin").alias("j"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+    )
+    pairs = (
+        pk.select(
+            "k",
+            "cs",
+            "cn",
+            F.explode(F.sequence(F.lit(0), F.col("k"))).alias("j"),
+        )
+        .join(pj, "j")
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("cs") - F.col("cs0")).cast("double")
+                / (F.col("cn") - F.col("cn0"))
+            ).alias("r"),
+        )
+    )
+    wm = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = pairs.select("k", F.min("r").over(wm).alias("mr"))
+    f = m.groupBy("k").agg(F.max("mr").alias("fit"))
+    return b.join(f, b["bin"] == f["k"]).select(
+        "bin",
+        "n",
+        "s",
+        F.round(F.col("s").cast("double") / F.col("n"), 12).alias(
+            "raw_rate"
+        ),
+        F.round("fit", 12).alias("iso_rate"),
+    )

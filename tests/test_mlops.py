@@ -131,3 +131,34 @@ def test_conformal_interval_guarantee_shape(spark, sf_dir, q):
     for r in pdf.itertuples():
         k = min(r.n_calibration, math.ceil(0.9 * (r.n_calibration + 1)))
         assert 1 <= k <= r.n_calibration
+
+
+def test_isotonic_vs_sequential_pava(spark, sf_dir, q):
+    pdf = (
+        q["isotonic_calibration"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    # classic sequential weighted PAVA (pooling stack) re-derivation;
+    # exact-integer violation test (s1/n1 >= s2/n2 <=> s1*n2 >= s2*n1)
+    blocks2, lens = [], []
+    for _, row in pdf.iterrows():
+        blocks2.append((int(row["s"]), int(row["n"])))
+        lens.append(1)
+        while len(blocks2) >= 2 and (
+            blocks2[-2][0] * blocks2[-1][1]
+            >= blocks2[-1][0] * blocks2[-2][1]
+        ):
+            s2, n2 = blocks2.pop()
+            s1, n1 = blocks2.pop()
+            blocks2.append((s1 + s2, n1 + n2))
+            lens[-2] += lens[-1]
+            lens.pop()
+    expect = []
+    for (s, n), ln in zip(blocks2, lens):
+        expect.extend([round(s / n, 12)] * ln)
+    got = [round(v, 12) for v in pdf["iso_rate"]]
+    assert got == expect
+    # monotone nondecreasing and mass-conserving per pooled block
+    assert all(b >= a for a, b in zip(got, got[1:]))

@@ -48,6 +48,7 @@ R6_QUERIES = [
     "conformal_prediction_interval",
     "multimodal_wht_spectrum",
     "s11_xml_scan",
+    "isotonic_calibration",
 ]
 
 
