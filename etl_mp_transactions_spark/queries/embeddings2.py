@@ -218,14 +218,15 @@ def gram_matrix(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(
-                [
-                    np.round(np.asarray(v, dtype=np.float64) * 1e6).astype(
-                        np.int64
-                    )
-                    for v in pdf["embedding"]
-                ]
-            )
+            # half-away-from-zero to match SQL round() (np.round is
+            # IEEE half-to-even — a 0.5e-6 tie would diverge from the
+            # DuckDB oracle and the sibling kmeans_lloyd_step)
+            scaled = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ) * 1e6
+            m = (
+                np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)
+            ).astype(np.int64)
             acc += m.T @ m
         ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
         yield pd.DataFrame(

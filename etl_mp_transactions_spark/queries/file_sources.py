@@ -4,7 +4,10 @@ CSV, JSON-lines, and ORC scans.
 The reference ingests BigQuery extracts and Avro blobs; a Spark
 deployment of the same pipeline also meets CSV/JSONL drops and ORC
 lakes. Each query stages the orders table into the format under test
-(Spark executors write — no driver collect), reads it back with an
+(Spark executors write — no driver collect; staged once per
+(format, SF) per machine into an immutable atomic-rename-published
+cache dir, the staged_events_cached pattern, so gate/bench sweeps
+neither leak temp copies nor re-pay the write), reads it back with an
 explicit schema, and runs a projection+filter whose oracle is the
 same expression over the canonical parquet view — so the check proves
 the full write→read round trip preserves values.
@@ -37,18 +40,63 @@ _SCAN_ORACLE = """
     """
 
 
-def _stage(spark, sf_dir: str, fmt: str, writer_opts: dict) -> str:
-    work = tempfile.mkdtemp(prefix=f"sg_{fmt}_")
-    out = os.path.join(work, "orders")
-    (
-        load_table(spark, sf_dir, "orders")
-        .repartition(4)
-        .write.options(**writer_opts)
-        .format(fmt)
-        .mode("overwrite")
-        .save(out)
+# bump when any staging layout below changes (cache key component)
+_STAGE_VERSION = "v1"
+
+
+def _cached_stage(spark, sf_dir: str, tag: str, build) -> str:
+    """Immutable staged fixture keyed by (tag, SF, version), built
+    once per machine with an atomic-rename publish — the
+    staged_events_cached pattern (streaming/filesource.py). Repeated
+    gate/bench sweeps pay the staging write zero times instead of
+    once per run, and nothing leaks: there is exactly one cached copy
+    per key. ``build(df_orders, out_path)`` performs the distributed
+    write into ``out_path``."""
+    import shutil
+    import uuid
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    target = os.path.join(
+        tempfile.gettempdir(), f"sg_stage_{_STAGE_VERSION}_{tag}_{sf_tag}"
     )
-    return out
+    marker = os.path.join(target, "_DONE")
+    if not os.path.exists(marker):
+        staging = f"{target}.build-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging, exist_ok=True)
+        build(
+            load_table(spark, sf_dir, "orders"),
+            os.path.join(staging, "orders"),
+        )
+        with open(os.path.join(staging, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(staging, target)
+        except OSError:
+            if os.path.exists(marker):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                shutil.rmtree(target, ignore_errors=True)
+                os.rename(staging, target)
+    return os.path.join(target, "orders")
+
+
+def _stage(spark, sf_dir: str, fmt: str, writer_opts: dict) -> str:
+    opt_tag = "_".join(
+        f"{k}-{v}" for k, v in sorted(writer_opts.items())
+        if k != "timestampNTZFormat"
+    )
+    tag = f"{fmt}_{opt_tag}" if opt_tag else fmt
+
+    def build(orders, out):
+        (
+            orders.repartition(4)
+            .write.options(**writer_opts)
+            .format(fmt)
+            .mode("overwrite")
+            .save(out)
+        )
+
+    return _cached_stage(spark, sf_dir, tag, build)
 
 
 def _project(df):
@@ -117,11 +165,9 @@ def s9_fixed_width_scan(spark, sf_dir):
     re-yields the canonical 2-decimal double bit-for-bit (nearest-
     double of k/100 both ways)."""
     w1, w2, w3, w4 = _FW_WIDTHS
-    work = tempfile.mkdtemp(prefix="sg_fixedwidth_")
-    out = os.path.join(work, "orders")
-    (
-        load_table(spark, sf_dir, "orders")
-        .select(
+
+    def build(orders, out):
+        orders.select(
             F.concat(
                 F.lpad(F.col("o_orderkey").cast("string"), w1, "0"),
                 F.col("o_orderstatus"),
@@ -134,12 +180,10 @@ def s9_fixed_width_scan(spark, sf_dir):
                 ),
                 F.date_format(F.col("o_orderdate"), _NTZ_FMT),
             ).alias("value")
-        )
-        .repartition(4)
-        .write.mode("overwrite")
-        .text(out)
-    )
-    lines = spark.read.text(out)
+        ).repartition(4).write.mode("overwrite").text(out)
+
+    path = _cached_stage(spark, sf_dir, "fixedwidth", build)
+    lines = spark.read.text(path)
     p1, p2, p3 = 1, 1 + w1, 1 + w1 + w2
     p4 = 1 + w1 + w2 + w3
     df = lines.select(
@@ -169,28 +213,28 @@ def s11_xml_scan(spark, sf_dir):
     guidance this query carries: XML parse cost is per-byte CPU with
     no column pruning or pushdown — land it once, convert to parquet,
     never re-scan."""
-    work = tempfile.mkdtemp(prefix="sg_xml_")
-    out = os.path.join(work, "orders")
-    (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.col("o_orderstatus").alias("s"),
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("bigint")
-            .alias("c"),
-            F.date_format(F.col("o_orderdate"), _NTZ_FMT).alias("d"),
+    def build(orders, out):
+        (
+            orders.select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("s"),
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("bigint")
+                .alias("c"),
+                F.date_format(F.col("o_orderdate"), _NTZ_FMT).alias("d"),
+            )
+            .repartition(4)
+            .write.option("rowTag", "o")
+            .option("rootTag", "orders")
+            .mode("overwrite")
+            .xml(out)
         )
-        .repartition(4)
-        .write.option("rowTag", "o")
-        .option("rootTag", "orders")
-        .mode("overwrite")
-        .xml(out)
-    )
+
+    path = _cached_stage(spark, sf_dir, "xml", build)
     raw = (
         spark.read.option("rowTag", "o")
         .schema("k long, s string, c long, d string")
-        .xml(out)
+        .xml(path)
     )
     df = raw.select(
         F.col("k").alias("o_orderkey"),

@@ -24,9 +24,11 @@ repo's A-Res precedent for hash-seeded pseudo-randomness, stated
 honestly: production uses true randomness, the engine mechanics are
 identical). B=32 resamples of total daily purchase revenue run as
 ONE scan: each row contributes weight(row, b)·cents to resample b
-via a bounded 32-way explode, all-integer sums; the 2.5%/97.5%
-percentile bounds come from exact order statistics over the 32
-resample totals.
+via a bounded 32-way explode, all-integer sums; the interval bounds
+are exact order statistics over the 32 resample totals — ranks
+4 and 29 of 32 (10% trimmed each side, an ~80% central interval;
+B would need to be >=40 before rank-based 2.5%/97.5% bounds are
+even expressible).
 
 Scale: the deletion join is |vocab|·avg_len rows on uniform variant
 keys; the bootstrap is a constant 32× fan-out into a uniform-key

@@ -200,6 +200,11 @@ def typed_stats_transform_with_state(stream: DataFrame) -> DataFrame:
                 bmn, bmx = int(cents.min()), int(cents.max())
                 mn = bmn if mn is None else min(mn, bmn)
                 mx = bmx if mx is None else max(mx, bmx)
+            if n == 0:
+                # every Arrow batch for this key was empty: nothing to
+                # add, and mn/mx are still None — writing None into the
+                # long-typed ValueState would fail on a real cluster
+                return
             self._stats.update((n, total, mn, mx))
             yield pd.DataFrame(
                 {
