@@ -21,6 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.operators.distranks import (
+    global_running_sum,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -123,7 +126,15 @@ def weighted_median(spark, sf_dir):
 def pareto_concentration(spark, sf_dir):
     """80/20 revenue concentration per market segment (module
     docstring): customers needed to cover 80% of segment revenue,
-    crossing tested as the exact rational 5·cum_before < 4·total."""
+    crossing tested as the exact rational 5·cum_before < 4·total.
+
+    De-skewed: a window PARTITION BY segment has only 5 partitions —
+    each a data-scale single task. The running revenue sum instead
+    runs as the two-phase range-partitioned cumulative
+    (operators/distranks.global_running_sum: contiguous (segment,
+    cents DESC, custkey) ranges in parallel + a <= nparts*5-row
+    broadcast offset table); segment totals are a 5-row broadcast
+    join."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     rev = (
@@ -138,20 +149,25 @@ def pareto_concentration(spark, sf_dir):
             ).alias("cents")
         )
     )
-    wp = Window.partitionBy("segment")
-    ranked = rev.select(
-        "segment",
-        "custkey",
-        "cents",
-        (
-            F.sum("cents").over(
-                wp.orderBy(F.desc("cents"), F.asc("custkey")).rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            )
-            - F.col("cents")
-        ).alias("cum_before"),
-        F.sum("cents").over(wp).alias("total_cents"),
+    totals = rev.groupBy("segment").agg(
+        F.sum("cents").alias("total_cents")
+    )
+    ranked = (
+        global_running_sum(
+            rev,
+            "cents",
+            [F.desc("cents"), F.asc("custkey")],
+            partition_cols=["segment"],
+            out_col="cum",
+        )
+        .join(F.broadcast(totals), "segment")
+        .select(
+            "segment",
+            "custkey",
+            "cents",
+            (F.col("cum") - F.col("cents")).alias("cum_before"),
+            "total_cents",
+        )
     )
     in_top = F.when(
         5 * F.col("cum_before") < 4 * F.col("total_cents"), 1

@@ -391,14 +391,25 @@ def kmeans_lloyd_step(spark, sf_dir):
             "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
         ).alias("qv"),
     )
-    wseed = Window.orderBy(
-        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":km-seed-1"))),
-        "vec_id",
+    # seed pick = TakeOrderedAndProject (orderBy().limit(k)) + a
+    # bounded K-row collect — the operators/ivf.py seed_centroids
+    # shape — NOT a global row_number window over the whole corpus
+    seed_rows = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":km-seed-1"))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(K_CLUSTERS)
+        .collect()
     )
-    seeds = (
-        q.withColumn("rn", F.row_number().over(wseed))
-        .filter(F.col("rn") <= K_CLUSTERS)
-        .select((F.col("rn") - 1).alias("c"), F.col("qv").alias("cqv"))
+    seed_rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
+    seeds = spark.createDataFrame(
+        [(i, list(r["qv"])) for i, r in enumerate(seed_rows)],
+        "c int, cqv array<bigint>",
     )
     d2 = F.expr(
         "aggregate(zip_with(qv, cqv, (a, b) -> (a - b) * (a - b)),"

@@ -279,26 +279,31 @@ def vocab_coverage(spark, sf_dir):
     fraction of all corpus tokens covered by the K most frequent words
     (the sizing curve behind choosing a tokenizer vocab / OOV budget).
 
-    The rank window is global but runs over the *vocabulary*, which
-    Heaps' law keeps sublinear in corpus size; the 100 TB shape is the
-    two-phase range-partitioned cumulative sum (module docstring).
+    The rank runs over the *vocabulary* (Heaps-sublinear but still
+    millions of terms at 100 TB), so it executes as the two-phase
+    range-partitioned rank+cumsum in ONE pass
+    (operators/distranks.global_order_stats) — no single-partition
+    window; totals ride a single-row scalar broadcast.
     """
+    from etl_mp_transactions_spark.operators.distranks import (
+        global_order_stats,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     uni = (
         docs.select(F.explode(_tokens_expr()).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    w_ord = Window.orderBy(F.desc("n"), "w")
-    w_all = Window.partitionBy()
-    ranked = uni.select(
-        F.row_number().over(w_ord).alias("k"),
-        F.sum("n")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_n"),
-        F.sum("n").over(w_all).alias("total_n"),
-        F.count("*").over(w_all).alias("vocab_size"),
+    totals = uni.agg(
+        F.sum("n").alias("total_n"),
+        F.count("*").alias("vocab_size"),
     )
+    ranked = global_order_stats(
+        uni,
+        [F.desc("n"), F.asc("w")],
+        {"k": F.lit(1), "cum_n": F.col("n")},
+    ).crossJoin(F.broadcast(totals))
     return ranked.filter(
         F.col("k").isin(VOCAB_KS) | (F.col("k") == F.col("vocab_size"))
     ).select(

@@ -60,7 +60,15 @@ def percentile_latency_bands(spark, sf_dir):
     """Exact p50/p90/p99 order-to-ship latency (days) per order
     priority, by the discrete rank-ceil(q·n) definition (module
     docstring). ceil(q·n) computes as (n·q% + 99)//100 — pure
-    integer."""
+    integer.
+
+    De-skewed (the ks_two_sample shape): the latency domain is tiny
+    (~125 distinct day values), so ranking per row would funnel
+    n/5 rows through each of 5 priority partitions. Instead:
+    pre-aggregate to per-(priority, days) counts — one uniform-key
+    shuffle — then cumulate over the ~625-row ECDF table; the
+    rank-r value is the smallest days whose cumulative count
+    reaches r."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -70,20 +78,27 @@ def percentile_latency_bands(spark, sf_dir):
             F.col("o_orderdate").cast("date"),
         ).alias("days"),
     )
-    wp = Window.partitionBy("priority")
-    ranked = lat.select(
+    per_value = lat.groupBy("priority", "days").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = per_value.select(
         "priority",
         "days",
-        F.row_number().over(wp.orderBy(F.asc("days"))).alias("rn"),
-        F.count("*").over(wp).alias("n"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("priority")).alias("n"),
     )
 
     def pick(q_pct):
         rank = F.expr(f"div(n * {q_pct} + 99, 100)")
-        return F.max(F.when(F.col("rn") == rank, F.col("days")))
+        return F.min(F.when(F.col("cum") >= rank, F.col("days")))
 
     return (
-        ranked.groupBy("priority")
+        ecdf.groupBy("priority")
         .agg(
             F.max("n").alias("n"),
             pick(50).alias("p50_days"),

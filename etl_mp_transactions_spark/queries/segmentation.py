@@ -3,14 +3,18 @@ RFM quartile segmentation, equi-depth histograms, and Adamic-Adar
 link prediction over the co-purchase graph.
 
 - RFM (recency/frequency/monetary) is the classic CRM segmentation:
-  one shuffle to per-customer facts, then three NTILE(4) windows.
-  NTILE's bucket-size rule is ANSI-fixed, and every ORDER BY carries
-  the custkey tiebreak, so scores are total-order deterministic
-  across engines and partitionings.
+  one shuffle to per-customer facts, then three NTILE(4)s. NTILE's
+  bucket-size rule is ANSI-fixed, and every ORDER BY carries the
+  custkey tiebreak, so scores are total-order deterministic across
+  engines and partitionings.
 - The equi-depth histogram complements value_histogram (equi-width):
   NTILE(10) over a totally-ordered key (cents, orderkey) gives
   boundaries that adapt to the distribution — the shape optimizers
   use for selectivity estimation.
+Both NTILEs execute as two-phase range-partitioned global rank +
+arithmetic tile (operators/distranks.py) — the oracle SQL keeps the
+window form; the Spark plan has no data-scale single-partition
+window.
 - Adamic-Adar (2003, public) scores candidate customer pairs by
   Σ 1/ln(deg(part)) over shared parts. The pair generation is the
   standard neighborhood self-join bounded by a degree cap (hub parts
@@ -19,17 +23,19 @@ link prediction over the co-purchase graph.
   snapped to a ×1e9 integer grid before the order-free BIGINT sum
   (picorank policy).
 
-Scale story: RFM/histogram global NTILE windows order by bounded-
-domain integer keys — at 100 TB they become range-partitioned
-two-phase rank (the vocab_coverage note); Adamic-Adar work is
-Σ_p deg(p)² over capped degrees, linear in edges for fixed cap.
+Scale story: RFM/histogram NTILEs are already the range-partitioned
+two-phase rank; Adamic-Adar work is Σ_p deg(p)² over capped degrees,
+linear in edges for fixed cap.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.operators.distranks import (
+    global_row_number,
+    ntile_from_rank,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -67,7 +73,13 @@ AA_TOP = 20
 def rfm_segmentation(spark, sf_dir):
     """RFM quartile segmentation of customers from order history
     (module docstring): quartile 1 is always 'best' (most recent,
-    most frequent, highest spend). Money flows as exact cents."""
+    most frequent, highest spend). Money flows as exact cents.
+
+    Each NTILE(4) runs as two-phase range-partitioned global
+    row_number + arithmetic NTILE (operators/distranks.py) — three
+    range shuffles of the customer-sized facts table, zero
+    data-scale single-partition windows; the only scalar broadcasts
+    are the anchor date and the customer count (single-row)."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
     facts = (
@@ -89,17 +101,32 @@ def rfm_segmentation(spark, sf_dir):
             "monetary_cents",
         )
     )
-    scored = facts.select(
-        "*",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey")))
-        .alias("m_score"),
+    ranked = global_row_number(
+        facts, [F.asc("recency_days"), F.asc("custkey")], out_col="r_rn"
+    )
+    ranked = global_row_number(
+        ranked, [F.desc("frequency"), F.asc("custkey")], out_col="f_rn"
+    )
+    ranked = global_row_number(
+        ranked,
+        [F.desc("monetary_cents"), F.asc("custkey")],
+        out_col="m_rn",
+    )
+    ncust = facts.agg(F.count("*").alias("n_cust"))
+    scored = ranked.crossJoin(F.broadcast(ncust)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        ntile_from_rank(F.col("r_rn"), F.col("n_cust"), 4).alias(
+            "r_score"
+        ),
+        ntile_from_rank(F.col("f_rn"), F.col("n_cust"), 4).alias(
+            "f_score"
+        ),
+        ntile_from_rank(F.col("m_rn"), F.col("n_cust"), 4).alias(
+            "m_score"
+        ),
     )
     return scored.select(
         "custkey",
@@ -143,7 +170,9 @@ def histogram_equidepth(spark, sf_dir):
     """Equi-depth decile histogram of order totals: NTILE(10) over
     the total order (cents, orderkey), then per-bucket count and
     [lo, hi] boundaries. Bucket populations differ by at most one
-    row by NTILE's ANSI rule — the property the test pins."""
+    row by NTILE's ANSI rule — the property the test pins. The
+    NTILE is two-phase distributed rank + arithmetic tile
+    (operators/distranks.py), never a single-partition window."""
     orders = load_table(spark, sf_dir, "orders")
     pts = orders.select(
         F.round(F.col("o_totalprice") * 100, 0)
@@ -151,11 +180,18 @@ def histogram_equidepth(spark, sf_dir):
         .alias("cents"),
         "o_orderkey",
     )
-    bucketed = pts.select(
-        "cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.asc("cents"), F.asc("o_orderkey")))
-        .alias("bucket"),
+    n = pts.agg(F.count("*").alias("n_rows"))
+    bucketed = (
+        global_row_number(
+            pts, [F.asc("cents"), F.asc("o_orderkey")], out_col="rn"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cents",
+            ntile_from_rank(F.col("rn"), F.col("n_rows"), 10).alias(
+                "bucket"
+            ),
+        )
     )
     return (
         bucketed.groupBy("bucket")

@@ -9,6 +9,7 @@ Writes PLANS.md (markdown table + flagged-query notes). Run:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,6 +27,85 @@ MARKERS = {
     "py_map": "MapInPandas",
 }
 
+# Queries allowed a nonzero global_win count: every entry is a window
+# over a BOUNDED table (constant or domain-bounded rows — offset
+# tables, per-day series, band/bucket summaries, vocab heads, k-row
+# seeds), never over data-scale rows. An unlisted query with
+# global_win > 0 prints as UNJUSTIFIED — a regression to fix.
+GLOBAL_WIN_OK: dict[str, str] = {
+    "autocorrelation_acf": "per-day revenue series — date-domain-"
+    "bounded (~365 rows/yr at ANY data scale), not row-scale",
+    "bitmask_user_journeys": "distinct event_type vocabulary"
+    " (~10 rows) ranked once for bit positions",
+    "chi_square_independence": "contingency table (event_type x"
+    " variant — bounded cells)",
+    "cusum_changepoint": "per-day series (date-domain-bounded)",
+    "gini_best_split": "fixed acctbal band grid (acctbal in"
+    " [-1000,10000], 500-wide bands -> ~22 rows)",
+    "global_sequence_ids": "<=32-row partition-offset table of the"
+    " two-phase range rank",
+    "histogram_equidepth": "<=32-row partition-offset table of the"
+    " two-phase range NTILE",
+    "isotonic_calibration": "fixed ISO_BINS=40 calibration-bin table"
+    " (PAVA runs over bins, not rows)",
+    "kaplan_meier_survival": "distinct event-time (day) risk table —"
+    " date-domain-bounded",
+    "ks_two_sample": "per-value ECDF table (distinct purchase cents"
+    " — value-domain-bounded; the documented ks de-skew shape)",
+    "mann_whitney_u": "per-value rank table (distinct cents,"
+    " value-domain-bounded)",
+    "poisson_bootstrap_ci": "B=32 resample-total rows",
+    "q15_top_supplier": "supplier-level aggregate (dim-sized, not"
+    " fact-sized); the window replaces a scalar subquery that would"
+    " double-scan lineitem (docstring-documented trade)",
+    "rfm_segmentation": "3x <=32-row partition-offset tables of the"
+    " two-phase range NTILE",
+    "rolling_correlation": "per-day series (date-domain-bounded)",
+    "runs_test_randomness": "per-day series: daily totals, median"
+    " rank and lag all over date-domain-bounded rows",
+    "seasonal_decompose": "per-day series (date-domain-bounded)",
+    "skyline_frontier": "per-price prefix-min sweep over distinct"
+    " price cents (value-domain-bounded, ~1e5 groups max)",
+    "stratified_allocation": "strata table (5 market segments)",
+    "vocab_coverage": "<=32-row partition-offset table of the"
+    " two-phase range rank+cumsum",
+}
+
+
+def count_global_windows(plan: str) -> int:
+    """Count Window nodes with no PARTITION BY — single-partition
+    execution regardless of cluster size, the one plan shape that
+    cannot scale; each occurrence must be over a provably bounded
+    table (GLOBAL_WIN_OK) or fixed. Node text (verified empirically):
+      `Window [exprs], [partition], [order]`  3 groups -> fine
+      `Window [exprs], [partition]`           2, no sort -> fine
+      `Window [exprs], [order]`               2 + ASC/DESC -> GLOBAL
+      `Window [exprs]`                        1 -> GLOBAL (no spec)
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"(?<![A-Za-z])Window (\[.*)$", line)
+        if not m:
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth = max(0, depth - 1)
+            elif depth == 1:
+                groups[-1] += ch
+        if len(groups) == 1:
+            n += 1
+        elif len(groups) == 2 and re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):
+            n += 1
+    return n
+
 
 def main() -> None:
     from etl_mp_transactions_spark import registry
@@ -40,9 +120,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — audit keeps going
             errors.append((name, str(e)[:120]))
             continue
-        rows.append(
-            (name, {k: plan.count(v) for k, v in MARKERS.items()})
-        )
+        counts = {k: plan.count(v) for k, v in MARKERS.items()}
+        counts["global_win"] = count_global_windows(plan)
+        rows.append((name, counts))
 
     out = [
         "# PLANS — physical-plan audit of every registry query",
@@ -58,20 +138,25 @@ def main() -> None:
         "unexecuted AdaptiveSparkPlan means 'not visible yet', not 'absent'",
         "(the exchange/join columns are exact either way).",
         "",
-        "| query | exchanges | bhj | smj | cartesian | bnlj | codegen | py |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | bhj | smj | cartesian | bnlj | codegen"
+        " | py | global_win |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     flagged = []
+    gwin = []
     for name, c in rows:
         py = c["py_arrow"] + c["py_row"] + c["py_grouped"] + c["py_map"]
         out.append(
             f"| {name} | {c['exchanges']} | {c['bhj']} | {c['smj']} "
-            f"| {c['cartesian']} | {c['bnlj']} | {c['codegen']} | {py} |"
+            f"| {c['cartesian']} | {c['bnlj']} | {c['codegen']} | {py} "
+            f"| {c['global_win']} |"
         )
         if c["cartesian"] or c["bnlj"]:
             flagged.append((name, c))
         if c["py_row"]:
             flagged.append((name, {"py_row": c["py_row"]}))
+        if c["global_win"]:
+            gwin.append((name, c["global_win"]))
     out.append("")
     if flagged:
         out.append("## Flagged nodes")
@@ -85,6 +170,25 @@ def main() -> None:
         out.append("")
         for name, c in flagged:
             out.append(f"- `{name}`: {c}")
+    if gwin:
+        out.append("")
+        out.append("## Unpartitioned (single-task) Window nodes")
+        out.append("")
+        out.append(
+            "`global_win` counts Window nodes with no PARTITION BY —"
+            " single-partition execution, THE scale-killer shape."
+            " Every justified entry below runs over a BOUNDED table"
+            " (offset/band/vocab-head/per-day-series rows, never"
+            " data-scale); UNJUSTIFIED entries are regressions."
+        )
+        out.append("")
+        for name, n in gwin:
+            why = GLOBAL_WIN_OK.get(name)
+            out.append(
+                f"- `{name}` ({n}): {why}"
+                if why
+                else f"- `{name}` ({n}): **UNJUSTIFIED — fix or justify**"
+            )
     if errors:
         out.append("")
         out.append("## Audit errors")
@@ -98,7 +202,13 @@ def main() -> None:
     ) as fh:
         fh.write("\n".join(out) + "\n")
     n_nl = sum(1 for _, c in rows if c.get("cartesian") or c.get("bnlj"))
-    print(f"{len(rows)} plans audited, {len(errors)} errors, {n_nl} with nested-loop nodes")
+    n_gw = len(gwin)
+    n_unjust = sum(1 for name, _ in gwin if name not in GLOBAL_WIN_OK)
+    print(
+        f"{len(rows)} plans audited, {len(errors)} errors, "
+        f"{n_nl} with nested-loop nodes, {n_gw} with global windows "
+        f"({n_unjust} unjustified)"
+    )
 
 
 if __name__ == "__main__":
