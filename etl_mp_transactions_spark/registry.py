@@ -123,6 +123,7 @@ def _load_all() -> None:
         imputation,
         logistic,
         mdm,
+        sinks_rt,
     )
 
     _LOADED = True

@@ -47,14 +47,21 @@ class DirectoryBus:
         open(os.path.join(self.root, "published", str(batch_id)), "w").close()
 
     # -- transport --------------------------------------------------
-    def publish_chunk(self, batch_id: int, messages: list[str]) -> None:
+    def publish_chunk(
+        self, batch_id: int, messages: list[str], name: str | None = None
+    ) -> None:
         """Atomically append one chunk of messages (tmp + rename, so a
-        crash mid-publish leaves no torn file visible)."""
-        name = f"b{batch_id}-{uuid.uuid4().hex}.ndjson"
-        tmp = os.path.join(self.root, "messages", f".{name}.tmp")
+        crash mid-publish leaves no torn file visible). Callers that
+        may RETRY a chunk (executor tasks) pass a deterministic
+        ``name`` — the rename then makes a retry an idempotent
+        overwrite instead of a duplicate file."""
+        name = name or f"b{batch_id}-{uuid.uuid4().hex}"
+        tmp = os.path.join(
+            self.root, "messages", f".{name}.{uuid.uuid4().hex}.tmp"
+        )
         with open(tmp, "w") as f:
             f.write("\n".join(messages) + "\n")
-        os.rename(tmp, os.path.join(self.root, "messages", name))
+        os.replace(tmp, os.path.join(self.root, "messages", f"{name}.ndjson"))
 
     def messages(self) -> list[str]:
         out: list[str] = []
@@ -88,6 +95,56 @@ def foreach_batch_publisher(bus: DirectoryBus, max_batch: int = 500):
                 chunk = []
         if chunk:
             bus.publish_chunk(batch_id, chunk)
+        bus.commit(batch_id)
+
+    return publish
+
+
+def foreach_partition_publisher(bus: DirectoryBus, max_batch: int = 500):
+    """K2 delivery, distributed shape: same ``foreachBatch(batch_df,
+    batch_id)`` contract as ``foreach_batch_publisher`` but EXECUTORS
+    publish their own partitions via ``foreachPartition`` — no driver
+    ``toLocalIterator`` loop, so publish throughput scales with the
+    cluster instead of the driver NIC. This is the shape a real
+    Kafka/PubSub producer runs in (client constructed inside the
+    partition closure).
+
+    Exactly-once layering:
+    - batch level: the ledger skip/commit is unchanged (commit only
+      after every partition finished, so a crash replays the batch);
+    - task level: Spark RETRIES failed tasks, so chunk files carry
+      deterministic names (batch, partition, chunk-index) and publish
+      via atomic-rename overwrite — a retry republishes identical
+      files instead of appending duplicates. (Offline transport is a
+      shared local FS; on a cluster the same names become producer
+      idempotence keys.)"""
+    root, mb = bus.root, max_batch
+
+    def publish(batch_df, batch_id: int) -> None:
+        if bus.seen(batch_id):
+            return
+
+        def write_partition(rows) -> None:
+            from pyspark import TaskContext
+
+            part_bus = DirectoryBus(root)
+            pid = TaskContext.get().partitionId()
+            chunk: list[str] = []
+            ci = 0
+            for r in rows:
+                chunk.append(r["message"])
+                if len(chunk) >= mb:
+                    part_bus.publish_chunk(
+                        batch_id, chunk, name=f"b{batch_id}-p{pid:05d}-c{ci:05d}"
+                    )
+                    chunk = []
+                    ci += 1
+            if chunk:
+                part_bus.publish_chunk(
+                    batch_id, chunk, name=f"b{batch_id}-p{pid:05d}-c{ci:05d}"
+                )
+
+        batch_df.select("message").foreachPartition(write_partition)
         bus.commit(batch_id)
 
     return publish
