@@ -20,6 +20,21 @@ RangePartitioner never affects values — only balance. NTILE then
 needs no window at all: it is pure arithmetic on (global rank, total
 count, k) by the ANSI rule (first n%k tiles get one extra row).
 
+CORRECTNESS-CRITICAL MATERIALIZATION: the offset table and the row
+ranks are two plan branches over the SAME range exchange. If Catalyst
+plans them as two separate exchanges (column pruning or surrounding
+operators can defeat ReusedExchange — observed in practice when three
+rankings chain), each branch samples its OWN range boundaries and
+partition i in one branch is not partition i in the other — offsets
+silently corrupt (duplicate/skipped ranks). The fix is a lazy
+``localCheckpoint`` right after the repartition: it cuts the plan to
+one shared LogicalRDD, so both branches read the SAME materialized
+partitioning by construction. The cost (one executor-storage
+materialization of the projected columns) is the price of
+cross-branch partition determinism; at cluster scale the equivalent
+is a temp-table write, and the input should be projected to the
+order/value columns first (callers here pass narrow frames).
+
 Reference parity: the reference scores/ranks in single-process pandas
 (src/ai.py:1 operates on a whole file in memory); these helpers are
 the distributed equivalent of its implicit total orders.
@@ -53,7 +68,7 @@ def global_row_number(
     <= nparts-row offset table."""
     parts = df.repartitionByRange(nparts, *order).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)  # single shared partitioning (module docstring)
     wp = Window.partitionBy("__pid").orderBy(*order)
     local = parts.withColumn("__lrn", F.row_number().over(wp))
     counts = local.groupBy("__pid").agg(F.count("*").alias("__n"))
@@ -88,7 +103,7 @@ def global_running_sum(
     sort_exprs = [F.asc(c) for c in pcols] + order
     parts = df.repartitionByRange(nparts, *sort_exprs).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)  # single shared partitioning (module docstring)
     wloc = (
         Window.partitionBy("__pid", *pcols)
         .orderBy(*order)
@@ -128,7 +143,7 @@ def global_order_stats(
     table: nparts rows x len(sums) columns, broadcast."""
     parts = df.repartitionByRange(nparts, *order).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).localCheckpoint(eager=False)  # single shared partitioning (module docstring)
     for name, expr in sums.items():
         parts = parts.withColumn(f"__v_{name}", expr)
     wloc = (

@@ -267,3 +267,78 @@ def s10_gzip_jsonl_scan(spark, sf_dir):
         .json(path)
     )
     return _project(df)
+
+
+@query(
+    "s12_csv_quarantine",
+    """
+    WITH rows AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus,
+             (o_orderkey % 97 = 0) AS bad
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN bad THEN NULL ELSE cents / 100.0 END
+             AS o_totalprice,
+           o_orderstatus,
+           bad AS is_quarantined,
+           CASE WHEN bad THEN CAST(o_orderkey AS VARCHAR) || ',N/A,'
+                              || o_orderstatus END AS corrupt_raw
+    FROM rows
+    """,
+)
+def s12_csv_quarantine(spark, sf_dir):
+    """Malformed-row quarantine on a CSV source — the ingest surface
+    every bank-file pipeline needs (the reference's domain is vendor
+    transaction files; its parse failures passthrough per-FIELD, C2).
+    Staging corrupts the numeric field of every 97th order ('N/A'
+    where cents belong); the read is schema'd PERMISSIVE with
+    ``columnNameOfCorruptRecord``, whose exact semantics this oracle
+    pins (verified empirically): a malformed FIELD nulls that column
+    only — other columns of the row still parse — and the raw line
+    lands in the corrupt-record column for quarantine routing. At
+    100 TB this is the zero-extra-pass quarantine: good rows and the
+    dead-letter stream come out of ONE scan (vs. DROPMALFORMED +
+    a second scan to find the bad rows). Money crosses as exact
+    integer cents (the s9 trick)."""
+    def build(orders, out):
+        (
+            orders.select(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(","),
+                    F.when(
+                        F.col("o_orderkey") % 97 == 0, F.lit("N/A")
+                    ).otherwise(
+                        F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("bigint")
+                        .cast("string")
+                    ),
+                    F.lit(","),
+                    F.col("o_orderstatus"),
+                ).alias("value")
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .text(out)
+        )
+
+    path = _cached_stage(spark, sf_dir, "csvq", build)
+    raw = (
+        spark.read.schema(
+            "o_orderkey long, cents long, o_orderstatus string,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return raw.select(
+        "o_orderkey",
+        (F.col("cents") / F.lit(100.0)).alias("o_totalprice"),
+        "o_orderstatus",
+        F.col("_corrupt_record").isNotNull().alias("is_quarantined"),
+        F.col("_corrupt_record").alias("corrupt_raw"),
+    )

@@ -133,30 +133,25 @@ def global_sequence_ids(spark, sf_dir):
     order, line) order via the two-phase range-partition + offset
     pattern (module docstring) — never a single-partition global
     window. Emits every {SEQ_STRIDE}th id as the whole-table pin."""
+    from etl_mp_transactions_spark.operators.distranks import (
+        global_row_number,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
-    parts = (
-        li.repartitionByRange(
-            SEQ_PARTS, "l_shipdate", "l_orderkey", "l_linenumber"
-        )
-        .withColumn("pid", F.spark_partition_id())
-    )
-    wp = Window.partitionBy("pid").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
-    )
-    local = parts.withColumn("local_seq", F.row_number().over(wp))
-    # partition-count-sized offset table: running sum of counts over
-    # pid order (tiny; single-partition window over <= SEQ_PARTS rows)
-    counts = local.groupBy("pid").agg(F.count("*").alias("n"))
-    woff = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
-    )
-    numbered = local.join(F.broadcast(offsets), "pid").select(
-        (F.col("off") + F.col("local_seq")).alias("seq"),
+    # the shared hardened primitive (operators/distranks.py) — this
+    # query's original inline two-phase rank was the pattern's proof,
+    # but the extracted version also pins the cross-branch partition
+    # consistency (localCheckpoint) the inline copy silently relied
+    # on ReusedExchange for
+    numbered = global_row_number(
+        li,
+        [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        nparts=SEQ_PARTS,
+        out_col="seq",
+    ).select(
+        "seq",
         "l_orderkey",
         "l_linenumber",
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
@@ -164,4 +159,69 @@ def global_sequence_ids(spark, sf_dir):
     return (
         numbered.filter((F.col("seq") - 1) % SEQ_STRIDE == 0)
         .orderBy("seq")
+    )
+
+
+@query(
+    "exact_global_percentiles",
+    """
+    WITH pts AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, l_orderkey,
+                                l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM pts
+    )
+    SELECT max(n) AS n,
+           max(CASE WHEN rn = (n * 25 + 99) // 100 THEN cents END) AS p25_cents,
+           max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+           max(CASE WHEN rn = (n * 75 + 99) // 100 THEN cents END) AS p75_cents,
+           max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+    FROM ranked
+    """,
+)
+def exact_global_percentiles(spark, sf_dir):
+    """Exact whole-table p25/p50/p75/p99 of lineitem price cents by
+    the rank-ceil(q·n) rule — the GLOBAL total-order companion to the
+    per-group percentile_latency_bands. The oracle is the
+    single-partition rank window; the Spark plan is the two-phase
+    range rank (operators/distranks.global_row_number) + a single-row
+    count broadcast, so the fact-table sort parallelizes at any
+    scale. Unlike the ECDF/per-value de-skew (ks shape), this makes
+    NO bounded-domain assumption on the values — it is the pattern
+    for percentiles over unbounded-cardinality keys."""
+    from etl_mp_transactions_spark.operators.distranks import (
+        global_row_number,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n = pts.agg(F.count("*").alias("n"))
+    ranked = global_row_number(
+        pts,
+        [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        out_col="rn",
+    ).crossJoin(F.broadcast(n))
+
+    def pick(q_pct):
+        rank = F.expr(f"div(n * {q_pct} + 99, 100)")
+        return F.max(F.when(F.col("rn") == rank, F.col("cents")))
+
+    return ranked.agg(
+        F.max("n").alias("n"),
+        pick(25).alias("p25_cents"),
+        pick(50).alias("p50_cents"),
+        pick(75).alias("p75_cents"),
+        pick(99).alias("p99_cents"),
     )

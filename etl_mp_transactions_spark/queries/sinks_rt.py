@@ -168,3 +168,43 @@ def k2_bus_roundtrip(spark, sf_dir):
         .json(os.path.join(work, "messages"))
         .select(*_MSG_COLS)
     )
+
+
+@query(
+    "k1_schema_evolution_roundtrip",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+             AS o_orderstatus
+    FROM orders
+    """,
+)
+def k1_schema_evolution_roundtrip(spark, sf_dir):
+    """K1 schema-evolution gate: a v1 writer (2 columns) and a later
+    v2 writer (3 columns — a column ADDED, the only evolution parquet
+    supports without rewrite) append into the same table directory;
+    the read unifies them with ``mergeSchema`` and v1 rows surface
+    the new column as NULL. The oracle pins exactly that NULL
+    semantics. At 100 TB the cost model this encodes: mergeSchema
+    reconciles FOOTERS (per-file metadata), never data — adding a
+    column is O(1) in table size, which is why additive evolution is
+    the only kind a petabyte table tolerates."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(run_dir("k1_evolve"), "t")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("append")
+        .parquet(path)
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )

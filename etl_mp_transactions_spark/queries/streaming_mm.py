@@ -905,3 +905,58 @@ def multimodal_wht_spectrum(spark, sf_dir):
         F.col("media_type") == "audio"
     )
     return multimodal.wht_spectrum(assets).orderBy("asset_id", "frame_idx")
+
+
+@query(
+    "r16_stream_dedup_bounded_state",
+    # full oracle (not rows-only): byte-identical duplicates can never
+    # re-emit under dropDuplicatesWithinWatermark — while a key's
+    # state is live the dedup drops them, and once the watermark has
+    # passed first_ts + delay the replayed row (same event time) is on
+    # the wrong side of the same comparison — so the streamed output
+    # equals the distinct event set exactly
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def r16_stream_dedup_bounded_state(spark, sf_dir):
+    """R1 with BOUNDED state (11th stream==batch pin):
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes its event time + delay, so state size tracks the
+    watermark horizon instead of all history — the 100 TB difference
+    between this and r1's unbounded ``dropDuplicates`` (whose state
+    grows forever and eventually dominates the checkpoint). Staging
+    replays the first file (the duplicated-GCS-notification case, as
+    r1); the replay processes LAST, after the watermark has advanced
+    past the whole event range, and contributes zero rows. The
+    key-reuse caveat (same key, NEW event time after state expiry
+    re-emits) is the documented at-least-once window every bounded
+    dedup accepts; the within-horizon drop is pinned by
+    tests/test_streaming.py."""
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.streaming.filesource import (
+        staged_events_cached,
+        stream_dedup_run,
+    )
+
+    work = run_dir("stream_dedup_ww")
+    stage = os.path.join(work, "in")
+    cache = staged_events_cached(spark, sf_dir, n_files=4)
+    os.makedirs(stage, exist_ok=True)
+    for f in os.listdir(cache):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(cache, f), os.path.join(stage, f))
+    part = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))[0]
+    shutil.copy(
+        os.path.join(stage, part),
+        os.path.join(stage, f"replay-{uuid.uuid4().hex}.parquet"),
+    )
+    out = stream_dedup_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        key="event_id",
+        within_watermark=True,
+    )
+    return out.select("event_id", "user_id", "event_type")

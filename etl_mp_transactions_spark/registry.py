@@ -124,6 +124,7 @@ def _load_all() -> None:
         logistic,
         mdm,
         sinks_rt,
+        curriculum,
     )
 
     _LOADED = True
