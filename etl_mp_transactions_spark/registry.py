@@ -125,6 +125,7 @@ def _load_all() -> None:
         mdm,
         sinks_rt,
         curriculum,
+        ranking_eval,
     )
 
     _LOADED = True
