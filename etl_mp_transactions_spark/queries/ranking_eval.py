@@ -6,8 +6,11 @@ training, and exact NDCG@k ranking evaluation.
   corpus vector with a DIFFERENT label — the pair a contrastive /
   metric-learning run trains against (the "hardest negative", public
   technique from the triplet-loss literature, Schroff 2015). Anchors
-  are a deterministic bounded subset (vec_id % stride), the eval-set
-  shape; similarity is the exact integer dot product of micro-unit
+  are a deterministic FIXED-SIZE subset (vec_id % stride, capped at
+  MAX_ANCHORS — a stride alone scales anchors WITH the corpus and
+  turns the mine quadratic: the 10x sweep measured 27.6x before the
+  cap, 1.0x after), the eval-set shape; similarity is the exact
+  integer dot product of micro-unit
   quantized vectors (the kmeans_lloyd_step policy) so argmax is
   engine-exact with a vec_id tiebreak. Scale: anchors broadcast
   against the corpus — O(|corpus| · |anchors| · d) with bounded
@@ -34,6 +37,7 @@ from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 ANCHOR_STRIDE = 50
+MAX_ANCHORS = 40  # hard cap: anchors stay CONSTANT as the corpus grows
 NDCG_K = 8
 # round(1e9 / log2(i+1)) for ranks i=1..8 — computed once in Python,
 # used as literals by both engines (module docstring)
@@ -61,6 +65,7 @@ DCG_W = (
     anchors AS (
       SELECT vec_id AS anchor_id, label AS anchor_label, qv AS aqv
       FROM q WHERE vec_id % {ANCHOR_STRIDE} = 0
+        AND vec_id < {ANCHOR_STRIDE} * {MAX_ANCHORS}
     ),
     pairs AS (
       SELECT a.anchor_id, a.anchor_label, c.vec_id, c.label,
@@ -92,7 +97,10 @@ def hard_negative_mining(spark, sf_dir):
             "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
         ).alias("qv"),
     )
-    anchors = q.filter(F.col("vec_id") % ANCHOR_STRIDE == 0).select(
+    anchors = q.filter(
+        (F.col("vec_id") % ANCHOR_STRIDE == 0)
+        & (F.col("vec_id") < ANCHOR_STRIDE * MAX_ANCHORS)
+    ).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("qv").alias("aqv"),

@@ -69,6 +69,14 @@ GLOBAL_WIN_OK: dict[str, str] = {
     "stratified_allocation": "strata table (5 market segments)",
     "vocab_coverage": "<=32-row partition-offset table of the"
     " two-phase range rank+cumsum",
+    "curriculum_interleave": "<=32-row partition-offset table of the"
+    " two-phase range rank (schedule position)",
+    "exact_global_percentiles": "<=32-row partition-offset table of"
+    " the two-phase range rank",
+    "ndcg_ranking_eval": "8-row popularity head (TakeOrdered then"
+    " rank over NDCG_K rows)",
+    "pareto_concentration": "<=32x5-row partition-offset table of"
+    " the two-phase per-segment running sum",
 }
 
 
