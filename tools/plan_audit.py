@@ -170,10 +170,12 @@ def main() -> None:
         out.append("## Flagged nodes")
         out.append("")
         out.append(
-            "Every `bnlj` below is a deliberate SINGLE-ROW scalar broadcast"
-            " (grand total / vocab size / normalization constant crossJoin)"
-            " — constant-size build side, no row-pair blowup: the documented"
-            " acceptable class. Anything else appearing here is a regression."
+            "Every `bnlj` below is a deliberate CONSTANT-SIZE broadcast —"
+            " almost all single-row scalars (grand total / vocab size /"
+            " normalization constant crossJoin); the exceptions are fixed"
+            " small heads (ndcg_ranking_eval's 8-row popularity list) —"
+            " no row-pair blowup in either case: the documented acceptable"
+            " class. Anything else appearing here is a regression."
         )
         out.append("")
         for name, c in flagged:
