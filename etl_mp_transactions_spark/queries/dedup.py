@@ -5,6 +5,8 @@ possible by md5-derived portable hashing (operators/textdedup.py).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_mp_transactions_spark.operators import textdedup
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
@@ -162,4 +164,101 @@ def dedup_ngram_jaccard(spark, sf_dir):
     bounds the O(n²) pair count at scale."""
     return textdedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.9
+    )
+
+
+@query(
+    "dedup_incremental_new_vs_old",
+    f"""
+    WITH {minhash_band_ctes("documents")},
+    exact AS (
+      SELECT n.doc_id, min(o.doc_id) AS matched_old_id
+      FROM documents n JOIN documents o
+        ON md5(n.text) = md5(o.text)
+       AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+      GROUP BY n.doc_id
+    ),
+    nearc AS (
+      SELECT DISTINCT bn.doc_id AS new_id, bo.doc_id AS old_id
+      FROM bands bn JOIN bands bo ON bn.band_key = bo.band_key
+      WHERE bn.doc_id % 5 = 0 AND bo.doc_id % 5 <> 0
+    ),
+    near AS (
+      SELECT c.new_id AS doc_id, min(c.old_id) AS matched_old_id
+      FROM nearc c
+      JOIN sigs sa ON sa.doc_id = c.new_id
+      JOIN sigs sb ON sb.doc_id = c.old_id
+      WHERE len(list_filter(generate_series(1, 16),
+                            i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.9
+        AND c.new_id NOT IN (SELECT doc_id FROM exact)
+      GROUP BY c.new_id
+    )
+    SELECT doc_id, 'exact' AS dup_kind, matched_old_id FROM exact
+    UNION ALL
+    SELECT doc_id, 'near' AS dup_kind, matched_old_id FROM near
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_new_vs_old(spark, sf_dir):
+    """Incremental ingest dedup — the shape a continuously-crawled
+    corpus actually runs: dedupe the NEW batch (doc_id % 5 = 0, the
+    arriving 20%) against the EXISTING corpus, never the corpus
+    against itself. Two stages, each work-proportional to the BATCH:
+    exact content-hash equi-join (uniform md5 key), then MinHash band
+    join restricted to new-vs-old pairs (candidates ∝ batch × bucket
+    occupancy — the full self-join never happens; at 100 TB the old
+    side's band table is the persisted index a crawler maintains
+    incrementally). Exact matches are excluded from the near stage
+    (anti-join), and each flagged doc reports its smallest matching
+    old doc id for canonical attribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    newd = docs.filter(is_new).select(
+        "doc_id", F.md5("text").alias("ch")
+    )
+    oldd = docs.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), F.md5("text").alias("ch")
+    )
+    exact = newd.join(oldd, "ch").groupBy("doc_id").agg(
+        F.min("old_id").alias("matched_old_id")
+    )
+
+    sig = textdedup.minhash_signatures(docs)
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(16)])
+    band_arr = F.explode(
+        F.array(F.col("band_0"), F.col("band_1"))
+    ).alias("band_key")
+    bn = sig.filter(is_new).select(
+        "doc_id", band_arr, sig_arr.alias("sig")
+    )
+    bo = sig.filter(~is_new).select(
+        F.col("doc_id").alias("old_id"), band_arr, sig_arr.alias("osig")
+    )
+    agree = F.size(
+        F.filter(
+            F.expr("zip_with(sig, osig, (a, b) -> a = b)"),
+            lambda x: x,
+        )
+    )
+    near = (
+        bn.join(bo, "band_key")
+        .dropDuplicates(["doc_id", "old_id"])
+        .withColumn("est", agree / F.lit(16.0))
+        .filter(F.col("est") >= 0.9)
+        .join(exact.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.min("old_id").alias("matched_old_id"))
+    )
+    return (
+        exact.select(
+            "doc_id", F.lit("exact").alias("dup_kind"), "matched_old_id"
+        )
+        .unionByName(
+            near.select(
+                "doc_id",
+                F.lit("near").alias("dup_kind"),
+                "matched_old_id",
+            )
+        )
+        .orderBy("doc_id")
     )
