@@ -242,3 +242,117 @@ def ab_test_zscores(spark, sf_dir):
         F.round(m0 - m1, 12).alias("mean_diff_cents"),
         F.round((m0 - m1) / se, 12).alias("welch_z"),
     )
+
+
+@query(
+    "attribution_position_based",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS jid
+      FROM events
+    ),
+    journeys AS (
+      SELECT user_id, jid FROM seq WHERE is_p = 1 GROUP BY user_id, jid
+    ),
+    touches AS (
+      SELECT s.user_id, s.jid, s.event_id, s.event_type,
+             row_number() OVER (PARTITION BY s.user_id, s.jid
+                                ORDER BY s.ts, s.event_id) AS r,
+             count(*) OVER (PARTITION BY s.user_id, s.jid) AS m
+      FROM seq s JOIN journeys j
+        ON j.user_id = s.user_id AND j.jid = s.jid
+      WHERE s.is_p = 0
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN m = 1 THEN 1000000
+               WHEN m = 2 THEN 500000
+               WHEN r = 1 OR r = m THEN 400000
+               ELSE 200000 // (m - 2)
+                    + CASE WHEN r = 2
+                           THEN 200000 % (m - 2) ELSE 0 END
+             END AS credit_ppm
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches_credited,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credited
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def attribution_position_based(spark, sf_dir):
+    """Position-based (U-shaped 40/20/40) multi-touch attribution —
+    the standard companion to attribution_last_touch. Journeys are
+    purchase-terminated segments of each user's event sequence
+    (journey id = running count of PRIOR purchases, an exclusive-frame
+    per-user window); within a converting journey the first and last
+    touch get 40% each and the middles split 20% in exact ppm integers
+    (floor share + remainder pinned to the second touch, so every
+    journey credits exactly 1,000,000 ppm — order-free to aggregate).
+    All windows are per-user / per-journey partitioned; the rollup is
+    one uniform groupBy. Null-journey guard: a user's touches before
+    their first purchase have jid NULL in the exclusive frame —
+    COALESCE(.,0) joins them to journey 0 when it converts."""
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        is_p.alias("is_p"),
+        F.coalesce(
+            F.sum(is_p).over(
+                wseq.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("jid"),
+    )
+    journeys = (
+        seq.filter(F.col("is_p") == 1)
+        .groupBy("user_id", "jid")
+        .agg(F.lit(1).alias("_conv"))
+    )
+    wj = Window.partitionBy("user_id", "jid")
+    touches = (
+        seq.filter(F.col("is_p") == 0)
+        .join(journeys, ["user_id", "jid"])
+        .select(
+            "user_id",
+            "jid",
+            "event_type",
+            F.row_number()
+            .over(wj.orderBy("ts", "event_id"))
+            .alias("r"),
+            F.count("*").over(wj).alias("m"),
+        )
+    )
+    r, m = F.col("r"), F.col("m")
+    credit = (
+        F.when(m == 1, F.lit(1000000))
+        .when(m == 2, F.lit(500000))
+        .when((r == 1) | (r == m), F.lit(400000))
+        .otherwise(
+            F.expr("div(200000, m - 2)")
+            + F.when(r == 2, F.expr("200000 % (m - 2)")).otherwise(0)
+        )
+    )
+    return (
+        touches.select("event_type", credit.alias("credit_ppm"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches_credited"),
+            F.sum("credit_ppm").cast("bigint").alias("credit_ppm_total"),
+        )
+        .orderBy("event_type")
+    )
