@@ -219,3 +219,129 @@ def dau_mau_rolling(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+QSK_B = 256  # equi-width buckets
+QSK_SHARDS = 8
+
+
+@query(
+    "quantile_sketch_merge",
+    f"""
+    WITH pts AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             l_orderkey % {QSK_SHARDS} AS shard
+      FROM lineitem
+    ),
+    rng AS (
+      SELECT min(cents) AS lo, max(cents) AS hi FROM pts
+    ),
+    bucketed AS (
+      SELECT p.shard,
+             least({QSK_B} - 1,
+                   (p.cents - r.lo) * {QSK_B} // (r.hi - r.lo + 1))
+               AS b
+      FROM pts p CROSS JOIN rng r
+    ),
+    shard_hist AS (
+      SELECT shard, b, CAST(count(*) AS BIGINT) AS c
+      FROM bucketed GROUP BY shard, b
+    ),
+    merged AS (
+      SELECT b, CAST(sum(c) AS BIGINT) AS c FROM shard_hist GROUP BY b
+    ),
+    cum AS (
+      SELECT b, c,
+             sum(c) OVER (ORDER BY b) AS cumc,
+             sum(c) OVER () AS n
+      FROM merged
+    ),
+    picks AS (
+      SELECT max(n) AS n,
+             min(CASE WHEN cumc * 100 >= n * 50 THEN b END) AS b50,
+             min(CASE WHEN cumc * 100 >= n * 90 THEN b END) AS b90,
+             min(CASE WHEN cumc * 100 >= n * 99 THEN b END) AS b99
+      FROM cum
+    )
+    SELECT p.n,
+           r.lo + p.b50 * (r.hi - r.lo + 1) // {QSK_B} AS p50_lo_cents,
+           r.lo + p.b90 * (r.hi - r.lo + 1) // {QSK_B} AS p90_lo_cents,
+           r.lo + p.b99 * (r.hi - r.lo + 1) // {QSK_B} AS p99_lo_cents,
+           (r.hi - r.lo + 1 + {QSK_B} - 1) // {QSK_B} AS max_err_cents
+    FROM picks p CROSS JOIN rng r
+    """,
+)
+def quantile_sketch_merge(spark, sf_dir):
+    """Mergeable equi-width quantile sketch — the sketch family the
+    KMV/HLL/count-min trio was missing. Each shard (synthetic:
+    l_orderkey % {QSK_SHARDS}, standing in for executor partials)
+    builds a {QSK_B}-bucket integer histogram; histograms MERGE by
+    plain addition (groupBy sum — associative and commutative, so the
+    shard/partition layout can never change the answer), and
+    approximate quantiles read off the merged cumulative histogram as
+    the first bucket reaching rank ceil(q·n). The answer carries its
+    own error contract: a quantile estimate is the bucket's lower
+    bound, off by at most one bucket width (max_err_cents in-result).
+    At 100 TB this is the two-pass percentile plan that needs NO
+    range shuffle at all — one min/max scan, one bucket-count scan,
+    {QSK_B} rows to the driver — the cheap alternative to
+    exact_global_percentiles when a bounded error is acceptable.
+    All arithmetic exact BIGINT in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("l_orderkey") % QSK_SHARDS).alias("shard"),
+    )
+    rng = pts.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    width = F.col("hi") - F.col("lo") + 1
+    bucketed = pts.crossJoin(F.broadcast(rng)).select(
+        "shard",
+        F.least(
+            F.lit(QSK_B - 1),
+            F.expr(f"div((cents - lo) * {QSK_B}, hi - lo + 1)"),
+        ).alias("b"),
+    )
+    shard_hist = bucketed.groupBy("shard", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    merged = shard_hist.groupBy("b").agg(F.sum("c").alias("c"))
+    from pyspark.sql import Window
+
+    # <=256-row cumulative table — bounded by construction
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "b",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(q_pct):
+        return F.min(
+            F.when(
+                F.col("cumc") * 100 >= F.col("n") * q_pct, F.col("b")
+            )
+        )
+
+    picks = cum.agg(
+        F.max("n").alias("n"),
+        pick(50).alias("b50"),
+        pick(90).alias("b90"),
+        pick(99).alias("b99"),
+    )
+    return picks.crossJoin(F.broadcast(rng)).select(
+        "n",
+        (F.col("lo") + F.expr(f"div(b50 * (hi - lo + 1), {QSK_B})")).alias(
+            "p50_lo_cents"
+        ),
+        (F.col("lo") + F.expr(f"div(b90 * (hi - lo + 1), {QSK_B})")).alias(
+            "p90_lo_cents"
+        ),
+        (F.col("lo") + F.expr(f"div(b99 * (hi - lo + 1), {QSK_B})")).alias(
+            "p99_lo_cents"
+        ),
+        F.expr(f"div(hi - lo + 1 + {QSK_B} - 1, {QSK_B})").alias(
+            "max_err_cents"
+        ),
+    )

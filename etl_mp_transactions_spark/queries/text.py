@@ -190,3 +190,128 @@ def sequence_packing(spark, sf_dir):
     return textstats.pack_sequences(docs, budget=2048, by="source").select(
         "doc_id", "source", "n_tokens", "bin_id"
     )
+
+
+RAKE_STOPS = ("a", "the", "and", "of", "to", "in", "value", "table", "row")
+RAKE_TOP = 15
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPS)
+
+
+@query(
+    "text_rake_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u.i, toks.ws[u.i] AS w
+      FROM toks, unnest(generate_series(1, len(ws))) AS u(i)
+      WHERE toks.ws[u.i] <> ''
+    ),
+    nonstop AS (
+      SELECT doc_id, i, w,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+               AS grp
+      FROM pos WHERE w NOT IN ({_RAKE_STOP_SQL})
+    ),
+    phrases AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY i) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, grp
+    ),
+    pwords AS (
+      SELECT p.phrase, p.plen, u.w
+      FROM phrases p, unnest(string_split(p.phrase, ' ')) AS u(w)
+    ),
+    stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM pwords GROUP BY w
+    ),
+    scored AS (
+      SELECT pw.phrase,
+             CAST(sum(s.degree * 1000000000 // s.freq) AS BIGINT)
+               AS score_nano
+      FROM (SELECT DISTINCT phrase FROM phrases) dp
+      JOIN pwords pw ON pw.phrase = dp.phrase
+      JOIN stats s ON s.w = pw.w
+      GROUP BY pw.phrase
+      -- a distinct phrase's words counted once per occurrence IN the
+      -- phrase: pwords repeats per (doc, grp) occurrence, so divide
+      -- by the occurrence count
+    ),
+    occ AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phrases GROUP BY phrase
+    )
+    SELECT s.phrase AS phrase, o.n_occurrences,
+           s.score_nano // o.n_occurrences AS score_nano
+    FROM scored s JOIN occ o ON o.phrase = s.phrase
+    ORDER BY score_nano DESC, s.phrase
+    LIMIT {RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands
+    per doc: island id = position − non-stop row_number, a per-doc
+    partitioned window), each word scores degree/freq (degree =
+    Σ length of phrases containing it), and a phrase scores the sum
+    of its word scores. Scores are exact nano-unit integers (floor
+    division — the picorank policy); the per-occurrence word sum for
+    a repeated phrase divides back by its occurrence count, so the
+    result is occurrence-invariant. The stoplist is corpus-
+    appropriate (the fixture's high-frequency function-ish tokens).
+    Scale: corpus-linear explodes + uniform-key groupBys; the only
+    global step is the top-{RAKE_TOP} TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "w"),
+    ).filter(F.col("w") != "").select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "w"
+    )
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    nonstop = pos.filter(~F.col("w").isin(*RAKE_STOPS)).withColumn(
+        "grp", F.col("i") - F.row_number().over(wdoc)
+    )
+    phrases = nonstop.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(i, w))),"
+            " s -> s.w), ' ')"
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    pwords = phrases.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    stats = pwords.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored = (
+        pwords.join(stats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr("div(degree * 1000000000, freq)"))
+            .cast("bigint")
+            .alias("score_sum")
+        )
+    )
+    occ = phrases.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    return (
+        scored.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.expr("div(score_sum, n_occurrences)").alias("score_nano"),
+        )
+        .orderBy(F.desc("score_nano"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+    )
