@@ -75,6 +75,8 @@ GLOBAL_WIN_OK: dict[str, str] = {
     " the two-phase range rank",
     "ndcg_ranking_eval": "8-row popularity head (TakeOrdered then"
     " rank over NDCG_K rows)",
+    "quantile_sketch_merge": "<=256-row merged histogram cumulative"
+    " (bucket count fixed by construction)",
     "pareto_concentration": "<=32x5-row partition-offset table of"
     " the two-phase per-segment running sum",
 }
