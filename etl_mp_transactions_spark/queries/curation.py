@@ -7,6 +7,8 @@ from the per-stage ones."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_mp_transactions_spark.operators.curation import curate_corpus
 from etl_mp_transactions_spark.queries.dedup import minhash_band_ctes
 from etl_mp_transactions_spark.queries.text import QUALITY_FEATURES_SQL, QUALITY_SQL
@@ -53,4 +55,97 @@ def corpus_curation(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         quality_min=_QUALITY_MIN,
         neardup_threshold=0.9,
+    )
+
+
+@query(
+    "corpus_datacard",
+    """
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             md5(text) AS ch
+      FROM documents
+    ),
+    dup AS (
+      SELECT source, ch, CAST(count(*) AS BIGINT) AS copies
+      FROM base GROUP BY source, ch
+    ),
+    dupagg AS (
+      SELECT source,
+             CAST(sum(CASE WHEN copies > 1 THEN copies ELSE 0 END)
+                  AS BIGINT) AS n_dup_docs
+      FROM dup GROUP BY source
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(b.n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT b.lang) AS BIGINT) AS n_langs,
+           max(d.n_dup_docs) AS n_exact_dup_docs,
+           max(d.n_dup_docs) * 1000000 // count(*) AS dup_ppm,
+           CAST(sum(b.n_chars) AS BIGINT) * 1000000
+             // CAST(sum(b.n_tok) AS BIGINT) AS chars_per_tok_micro
+    FROM base b JOIN dupagg d ON d.source = b.source
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+)
+def corpus_datacard(spark, sf_dir):
+    """The dataset-card summary every corpus release ships (size,
+    composition, duplication, token economics) as ONE exact query:
+    per source — doc/token/char totals, language spread, exact-dup
+    document count (docs whose content hash repeats within the
+    source) with ppm rate, and mean chars-per-token in micro units.
+    All integers; the dup stage is one uniform content-hash groupBy.
+    Scale: two shuffles (hash groupBy + source rollup) regardless of
+    corpus size — the report a 100 TB curation run prints last."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).alias("n_tok"),
+        F.md5("text").alias("ch"),
+    )
+    dup = base.groupBy("source", "ch").agg(
+        F.count("*").cast("bigint").alias("copies")
+    )
+    dupagg = dup.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("copies") > 1, F.col("copies")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dup_docs")
+    )
+    return (
+        base.join(dupagg, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.max("n_dup_docs").alias("n_exact_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "n_exact_dup_docs",
+            F.expr("div(n_exact_dup_docs * 1000000, n_docs)").alias(
+                "dup_ppm"
+            ),
+            F.expr("div(total_chars * 1000000, total_tokens)").alias(
+                "chars_per_tok_micro"
+            ),
+        )
+        .orderBy("source")
     )

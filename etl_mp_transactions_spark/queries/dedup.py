@@ -332,3 +332,146 @@ def dedup_incremental_new_vs_old(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_containment_nearsubset",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(text, '\\s+')) AS tokens
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.tokens, b.tokens)) AS BIGINT)
+               AS inter,
+             CAST(len(a.tokens) AS BIGINT) AS na,
+             CAST(len(b.tokens) AS BIGINT) AS nb
+      FROM toks a
+      JOIN toks b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           inter * 1000000 // na AS containment_a_ppm,
+           inter * 1000000 // nb AS containment_b_ppm
+    FROM pairs
+    WHERE inter * 10 >= na * 9 OR inter * 10 >= nb * 9
+    """,
+)
+def dedup_containment_nearsubset(spark, sf_dir):
+    """Near-SUBSET duplication: containment C(A|B) = |A∩B| / |A| ≥
+    0.9 in either direction over (lang, source)-blocked pairs — the
+    asymmetric measure that catches a document embedded inside a
+    longer one, which symmetric Jaccard structurally misses (a 100-
+    token doc inside a 1000-token doc has J ≈ 0.1 but C = 1.0; this
+    is how benchmark pages hide inside crawl dumps). The threshold
+    compares as the exact rational 10·inter ≥ 9·|A| — no float
+    anywhere; outputs are floor-ppm. The pair stage runs at the
+    DISTINCT-TOKEN-SET level (set id = md5 of the sorted token
+    array): identical sets resolve to containment 1.0 with no
+    verification, cross-set pairs verify within (lang, source)
+    blocks, and doc pairs re-expand through hash joins with
+    orientation-correct ppm values. The doc-level blocked join this
+    replaced measured 57.7s / 21.3x at the 10x step on the dup-heavy
+    scale corpus; the set-level version measures 20.4s / 4.6x — the
+    same collapse-before-quadratic-work rule as the minhash family
+    (length pruning cannot help here: the smaller side of a pair can
+    always be 90%-contained regardless of length ratio, so unlike
+    Jaccard there is no sound size filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(
+            F.array_distinct(F.split(F.col("text"), r"\s+"))
+        ).alias("tokens"),
+    ).withColumn(
+        "sid", F.md5(F.concat_ws("\u0001", F.col("tokens")))
+    )
+    members = toks.select("lang", "source", "sid", "doc_id")
+    sets = toks.dropDuplicates(["lang", "source", "sid"]).select(
+        "lang",
+        "source",
+        "sid",
+        "tokens",
+        F.size("tokens").cast("bigint").alias("n"),
+    )
+    # identical token sets: containment 1.0 both ways, no verify
+    same = (
+        members.select("lang", "source", "sid", F.col("doc_id").alias("doc_a"))
+        .join(
+            members.select(
+                "lang", "source", "sid", F.col("doc_id").alias("doc_b")
+            ),
+            ["lang", "source", "sid"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.lit(1000000).cast("bigint").alias("containment_a_ppm"),
+            F.lit(1000000).cast("bigint").alias("containment_b_ppm"),
+        )
+    )
+    a = sets.select(
+        "lang",
+        "source",
+        F.col("sid").alias("sid_a"),
+        F.col("tokens").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        "lang",
+        "source",
+        F.col("sid").alias("sid_b"),
+        F.col("tokens").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    setpairs = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("sid_a") < F.col("sid_b"))
+        .select(
+            "lang",
+            "source",
+            "sid_a",
+            "sid_b",
+            inter.alias("inter"),
+            "na",
+            "nb",
+        )
+        .filter(
+            (F.col("inter") * 10 >= F.col("na") * 9)
+            | (F.col("inter") * 10 >= F.col("nb") * 9)
+        )
+    )
+    ma = members.select(
+        "lang", "source", F.col("sid").alias("sid_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        "lang", "source", F.col("sid").alias("sid_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        setpairs.join(ma, ["lang", "source", "sid_a"])
+        .join(mb, ["lang", "source", "sid_b"])
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            # orientation: containment_a belongs to doc_a's set
+            F.when(
+                F.col("da") < F.col("db"),
+                F.expr("div(inter * 1000000, na)"),
+            )
+            .otherwise(F.expr("div(inter * 1000000, nb)"))
+            .alias("containment_a_ppm"),
+            F.when(
+                F.col("da") < F.col("db"),
+                F.expr("div(inter * 1000000, nb)"),
+            )
+            .otherwise(F.expr("div(inter * 1000000, na)"))
+            .alias("containment_b_ppm"),
+        )
+    )
+    return same.unionByName(cross)
