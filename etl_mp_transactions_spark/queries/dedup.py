@@ -5,9 +5,10 @@ possible by md5-derived portable hashing (operators/textdedup.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from etl_mp_transactions_spark.operators import textdedup
+from etl_mp_transactions_spark.operators import containment, textdedup
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -370,15 +371,22 @@ def dedup_containment_nearsubset(spark, sf_dir):
     anywhere; outputs are floor-ppm. The pair stage runs at the
     DISTINCT-TOKEN-SET level (set id = md5 of the sorted token
     array): identical sets resolve to containment 1.0 with no
-    verification, cross-set pairs verify within (lang, source)
-    blocks, and doc pairs re-expand through hash joins with
-    orientation-correct ppm values. The doc-level blocked join this
-    replaced measured 57.7s / 21.3x at the 10x step on the dup-heavy
-    scale corpus; the set-level version measures 20.4s / 4.6x — the
-    same collapse-before-quadratic-work rule as the minhash family
-    (length pruning cannot help here: the smaller side of a pair can
-    always be 90%-contained regardless of length ratio, so unlike
-    Jaccard there is no sound size filter)."""
+    verification; cross-set pairs come from the ADAPTIVE engine in
+    operators/containment.py — a dictionary-bitmap popcount blocked
+    join when block vocabularies are small (this corpus family:
+    ~31-token blocks, where the TRUE answer is dense — measured
+    output grows ~102× at a 10× data step, so pair enumeration is
+    output-bound and the win is a ~free per-pair verify plus a G×G
+    grid split for task parallelism) and an asymmetric PPJoin
+    prefix inverted index for Zipfian vocabularies (lossless:
+    inter ≥ ⌈0.9·ns⌉ forces a shared token among the smaller side's
+    rarest ns − ⌈0.9·ns⌉ + 1; length-ratio pruning stays unsound for
+    containment, the prefix bound is the sound replacement). Both
+    paths are exact and pinned equal by tests; doc pairs re-expand
+    through hash joins with orientation-correct ppm values. Lineage
+    at the 10× step on the dup-heavy scale corpus: doc-level blocked
+    join 57.7s / 21.3× → r7 set-level blocked join 20.4s / 4.6× →
+    adaptive bitmap pair stage (BENCH_SCALE_r8)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -415,38 +423,10 @@ def dedup_containment_nearsubset(spark, sf_dir):
             F.lit(1000000).cast("bigint").alias("containment_b_ppm"),
         )
     )
-    a = sets.select(
-        "lang",
-        "source",
-        F.col("sid").alias("sid_a"),
-        F.col("tokens").alias("ta"),
-        F.col("n").alias("na"),
-    )
-    b = sets.select(
-        "lang",
-        "source",
-        F.col("sid").alias("sid_b"),
-        F.col("tokens").alias("tb"),
-        F.col("n").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
-    setpairs = (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("sid_a") < F.col("sid_b"))
-        .select(
-            "lang",
-            "source",
-            "sid_a",
-            "sid_b",
-            inter.alias("inter"),
-            "na",
-            "nb",
-        )
-        .filter(
-            (F.col("inter") * 10 >= F.col("na") * 9)
-            | (F.col("inter") * 10 >= F.col("nb") * 9)
-        )
-    )
+    # adaptive pair stage: dictionary-bitmap popcount on small-vocab
+    # blocks, asymmetric prefix index on Zipfian vocabularies — both
+    # exact; see operators/containment.py
+    setpairs = containment.containment_set_pairs(sets)
     ma = members.select(
         "lang", "source", F.col("sid").alias("sid_a"), F.col("doc_id").alias("da")
     )
