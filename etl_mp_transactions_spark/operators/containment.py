@@ -61,6 +61,34 @@ GRID_G = 4
 _REQ = "div(9 * {n} + 9, 10)"
 
 
+def doc_token_sets(docs: DataFrame):
+    """Canonical distinct-token-set derivation over ``documents`` —
+    the single source both the production query
+    (queries/dedup.py ``dedup_containment_nearsubset``) and the
+    path-equality tests use, so they provably exercise the same set
+    ids. Returns ``(toks, sets)``: ``toks`` keeps ``doc_id`` for
+    member re-expansion; ``sets`` is one row per distinct set with
+    (lang, source, sid, tokens, n). The sid separator is "\\u0001"
+    (not ""): separator-less concat_ws would alias distinct token
+    arrays (["ab","c"] vs ["a","bc"]) to one sid."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(
+            F.array_distinct(F.split(F.col("text"), r"\s+"))
+        ).alias("tokens"),
+    ).withColumn("sid", F.md5(F.concat_ws("\u0001", F.col("tokens"))))
+    sets = toks.dropDuplicates(["lang", "source", "sid"]).select(
+        "lang",
+        "source",
+        "sid",
+        "tokens",
+        F.size("tokens").cast("bigint").alias("n"),
+    )
+    return toks, sets
+
+
 def block_vocab_max(sets: DataFrame) -> int:
     """Max distinct-token vocabulary over (lang, source) blocks — the
     1-row dispatch probe (bounded collect, documented class)."""
@@ -129,7 +157,9 @@ def pairs_bitmap(sets: DataFrame, vmax: int) -> DataFrame:
     )
     # G×G grid: pair (x, y) meets exactly in cell (bkt(x), bkt(y))
     g = F.sequence(F.lit(0), F.lit(GRID_G - 1))
-    bkt = F.pmod(F.abs(F.hash("sid")), F.lit(GRID_G))
+    # pmod alone is non-negative for negative hashes; abs(hash) would
+    # raise ARITHMETIC_OVERFLOW under ANSI mode at hash == Int.MinValue
+    bkt = F.pmod(F.hash("sid"), F.lit(GRID_G))
     a = bm.select(
         "lang",
         "source",

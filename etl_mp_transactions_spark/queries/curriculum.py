@@ -51,7 +51,7 @@ def _tokens():
     WITH per_doc AS (
       SELECT source,
              n_chars,
-             len(list_filter(string_split(lower(text), ' '),
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
                              x -> x <> '')) AS n_tok
       FROM documents
     ),
@@ -150,9 +150,9 @@ def doremi_domain_reweight(spark, sf_dir):
     WITH scored AS (
       SELECT doc_id, source,
              len(list_distinct(list_filter(
-                 string_split(lower(text), ' '), x -> x <> '')))
+                 string_split_regex(lower(text), '\\s+'), x -> x <> '')))
                * 1000000
-               // len(list_filter(string_split(lower(text), ' '),
+               // len(list_filter(string_split_regex(lower(text), '\\s+'),
                                   x -> x <> '')) AS ttr_micro
       FROM documents
     ),

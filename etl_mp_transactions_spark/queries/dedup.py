@@ -5,7 +5,6 @@ possible by md5-derived portable hashing (operators/textdedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.operators import containment, textdedup
@@ -386,26 +385,10 @@ def dedup_containment_nearsubset(spark, sf_dir):
     through hash joins with orientation-correct ppm values. Lineage
     at the 10× step on the dup-heavy scale corpus: doc-level blocked
     join 57.7s / 21.3× → r7 set-level blocked join 20.4s / 4.6× →
-    adaptive bitmap pair stage (BENCH_SCALE_r8)."""
+    adaptive bitmap pair stage 12.7s / 1.47x (BENCH_SCALE_r8.json)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(
-            F.array_distinct(F.split(F.col("text"), r"\s+"))
-        ).alias("tokens"),
-    ).withColumn(
-        "sid", F.md5(F.concat_ws("\u0001", F.col("tokens")))
-    )
+    toks, sets = containment.doc_token_sets(docs)
     members = toks.select("lang", "source", "sid", "doc_id")
-    sets = toks.dropDuplicates(["lang", "source", "sid"]).select(
-        "lang",
-        "source",
-        "sid",
-        "tokens",
-        F.size("tokens").cast("bigint").alias("n"),
-    )
     # identical token sets: containment 1.0 both ways, no verify
     same = (
         members.select("lang", "source", "sid", F.col("doc_id").alias("doc_a"))

@@ -220,7 +220,7 @@ def ndcg_ranking_eval(spark, sf_dir):
     scored = (
         cust.select(F.col("c_custkey").alias("custkey"))
         .crossJoin(F.broadcast(pop))
-        .join(F.broadcast(bought.join(F.broadcast(pop), "part")),
+        .join(bought.join(F.broadcast(pop), "part"),
               ["custkey", "rank"], "left")
         .select(
             "custkey",

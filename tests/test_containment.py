@@ -6,29 +6,16 @@ its exact-equality coverage here, forced, including on a synthetic
 Zipfian fixture large-vocab enough that the auto-dispatch itself
 would choose it."""
 
-from pyspark.sql import functions as F
-
 from etl_mp_transactions_spark.operators import containment
 from etl_mp_transactions_spark.sources.tables import load_table
 
 
 def _sets(spark, sf_dir):
+    # the exact production set derivation (shared helper) -- the test
+    # exercises the same sid recipe as dedup_containment_nearsubset
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(
-            F.array_distinct(F.split(F.col("text"), r"\s+"))
-        ).alias("tokens"),
-    ).withColumn("sid", F.md5(F.concat_ws("", F.col("tokens"))))
-    return toks.dropDuplicates(["lang", "source", "sid"]).select(
-        "lang",
-        "source",
-        "sid",
-        "tokens",
-        F.size("tokens").cast("bigint").alias("n"),
-    )
+    _, sets = containment.doc_token_sets(docs)
+    return sets
 
 
 def _rows(df):
@@ -69,21 +56,7 @@ def test_paths_agree_on_zipfian_fixture(spark):
     docs = spark.createDataFrame(
         rows, ["doc_id", "lang", "source", "text"]
     )
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_sort(
-            F.array_distinct(F.split(F.col("text"), r"\s+"))
-        ).alias("tokens"),
-    ).withColumn("sid", F.md5(F.concat_ws("", F.col("tokens"))))
-    sets = toks.dropDuplicates(["lang", "source", "sid"]).select(
-        "lang",
-        "source",
-        "sid",
-        "tokens",
-        F.size("tokens").cast("bigint").alias("n"),
-    )
+    _, sets = containment.doc_token_sets(docs)
     assert containment.block_vocab_max(sets) > containment.BITMAP_VOCAB_MAX
     bm = _rows(containment.containment_set_pairs(sets, force="bitmap"))
     px = _rows(containment.containment_set_pairs(sets, force="prefix"))
