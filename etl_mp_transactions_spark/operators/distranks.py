@@ -31,9 +31,14 @@ silently corrupt (duplicate/skipped ranks). The fix is a lazy
 one shared LogicalRDD, so both branches read the SAME materialized
 partitioning by construction. The cost (one executor-storage
 materialization of the projected columns) is the price of
-cross-branch partition determinism; at cluster scale the equivalent
-is a temp-table write, and the input should be projected to the
-order/value columns first (callers here pass narrow frames).
+cross-branch partition determinism; localCheckpoint is EXECUTOR
+storage (non-reliable — a lost executor fails the job on a real
+cluster), so every helper takes ``materialize="table"`` (or session
+conf ``spark.etlmp.distranks.materialize=table``) to write the
+partitioned frame to reliable storage instead and read it back —
+``__pid`` travels as data, so partition consistency survives any
+reread split. Input should be projected to the order/value columns
+first (callers here pass narrow frames).
 
 Reference parity: the reference scores/ranks in single-process pandas
 (src/ai.py:1 operates on a whole file in memory); these helpers are
@@ -42,10 +47,45 @@ the distributed equivalent of its implicit total orders.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_PARTS = 32
+
+# spark.etlmp.distranks.materialize: "local" (default) | "table".
+# localCheckpoint stores partitions in EXECUTOR storage -- on a real
+# cluster a lost executor loses its partitions and the job fails
+# (non-reliable storage). "table" writes the range-partitioned frame
+# (with its frozen __pid column) to reliable storage
+# (spark.etlmp.distranks.materializeDir, default the warehouse dir)
+# and reads it back: __pid is then DATA, so every downstream branch
+# sees the same partition assignment no matter how the reread is
+# split. Both paths produce identical ranks (test-pinned).
+MATERIALIZE_CONF = "spark.etlmp.distranks.materialize"
+MATERIALIZE_DIR_CONF = "spark.etlmp.distranks.materializeDir"
+
+
+def _materialize(parts: DataFrame, materialize: str | None) -> DataFrame:
+    """Freeze the range partitioning so all plan branches share it
+    (module docstring). ``parts`` must already carry ``__pid``."""
+    spark = parts.sparkSession
+    how = materialize or spark.conf.get(MATERIALIZE_CONF, "local")
+    if how == "local":
+        return parts.localCheckpoint(eager=False)
+    if how == "table":
+        base = spark.conf.get(
+            MATERIALIZE_DIR_CONF,
+            spark.conf.get("spark.sql.warehouse.dir"),
+        )
+        path = f"{base.rstrip('/')}/distranks_mat_{uuid.uuid4().hex}"
+        parts.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    raise ValueError(
+        f"unknown distranks materialize mode {how!r}"
+        " (expected 'local' or 'table')"
+    )
 
 
 def _idiv(a: Column, b: Column) -> Column:
@@ -60,6 +100,7 @@ def global_row_number(
     order: list[Column],
     nparts: int = DEFAULT_PARTS,
     out_col: str = "rn",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global row_number over ``order`` (must be a
     total order — include a unique tiebreak column) via the
@@ -68,7 +109,8 @@ def global_row_number(
     <= nparts-row offset table."""
     parts = df.repartitionByRange(nparts, *order).withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)  # single shared partitioning (module docstring)
+    )
+    parts = _materialize(parts, materialize)  # shared partitioning
     wp = Window.partitionBy("__pid").orderBy(*order)
     local = parts.withColumn("__lrn", F.row_number().over(wp))
     counts = local.groupBy("__pid").agg(F.count("*").alias("__n"))
@@ -93,6 +135,7 @@ def global_running_sum(
     partition_cols: list[str] | None = None,
     nparts: int = DEFAULT_PARTS,
     out_col: str = "cum",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact inclusive running sum of ``value_col`` over ``order``
     (optionally per ``partition_cols`` group), two-phase. With
@@ -103,7 +146,8 @@ def global_running_sum(
     sort_exprs = [F.asc(c) for c in pcols] + order
     parts = df.repartitionByRange(nparts, *sort_exprs).withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)  # single shared partitioning (module docstring)
+    )
+    parts = _materialize(parts, materialize)  # shared partitioning
     wloc = (
         Window.partitionBy("__pid", *pcols)
         .orderBy(*order)
@@ -135,6 +179,7 @@ def global_order_stats(
     order: list[Column],
     sums: dict[str, Column],
     nparts: int = DEFAULT_PARTS,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Inclusive running sums of several expressions over one total
     order in a SINGLE two-phase pass (one range shuffle, one
@@ -143,7 +188,8 @@ def global_order_stats(
     table: nparts rows x len(sums) columns, broadcast."""
     parts = df.repartitionByRange(nparts, *order).withColumn(
         "__pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)  # single shared partitioning (module docstring)
+    )
+    parts = _materialize(parts, materialize)  # shared partitioning
     for name, expr in sums.items():
         parts = parts.withColumn(f"__v_{name}", expr)
     wloc = (

@@ -43,6 +43,21 @@ _BL_SUM_SQL = " + ".join(
 _BL_SUM_SPARK = " + ".join(
     f"CASE WHEN w >= {1 << i} THEN 1 ELSE 0 END" for i in range(_WBITS)
 )
+# linear-counting estimate round(m*ln(m/v)) has exactly 64 possible
+# inputs (v = empty registers, 1..64) -- precompute them ONCE in
+# Python and inject as integer literals into BOTH engines, so no
+# engine ever calls libm ln() on the result path (the codebase's
+# ndcg discount-table rule)
+import math as _math
+
+_LC_EST = tuple(
+    round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+)
+_LC_CASE = (
+    "CASE {v} "
+    + " ".join(f"WHEN {i + 1} THEN {e}" for i, e in enumerate(_LC_EST))
+    + " END"
+)
 
 
 @query(
@@ -79,8 +94,7 @@ _BL_SUM_SPARK = " + ".join(
                         * {1 << (_WBITS + 1)}) / s.s_num
                        <= 2.5 * {HLL_M}
                        AND {HLL_M} - s.regs_used > 0
-                  THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
-                                    / ({HLL_M} - s.regs_used))
+                  THEN {_LC_CASE.format(v=f"({HLL_M} - s.regs_used)")}
                   ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M}
                         * {1 << (_WBITS + 1)}) / s.s_num
              END) AS BIGINT) AS est_distinct,
@@ -134,14 +148,12 @@ def hll_from_definition(spark, sf_dir):
         / F.col("s_num")
     )
     v_empty = F.lit(HLL_M) - F.col("regs_used")
-    est = F.round(
-        F.when(
-            (raw <= 2.5 * HLL_M) & (v_empty > 0),
-            HLL_M
-            * F.log(F.lit(float(HLL_M)) / v_empty.cast("double")),
-        ).otherwise(raw),
-        0,
-    ).cast("bigint")
+    lc = F.lit(None).cast("bigint")
+    for v, e in enumerate(_LC_EST, start=1):
+        lc = F.when(v_empty == v, F.lit(e).cast("bigint")).otherwise(lc)
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v_empty > 0), lc
+    ).otherwise(F.round(raw, 0).cast("bigint"))
     return s.crossJoin(F.broadcast(exact)).select(
         F.lit(HLL_M).alias("m"),
         v_empty.alias("v_empty"),

@@ -125,3 +125,55 @@ def test_ntile_matches_ansi_window(spark, sf_dir):
             .alias("t"),
         )
         assert mine.exceptAll(ref).count() == 0, k
+
+
+def test_table_materialization_matches_local(spark, sf_dir, tmp_path):
+    # materialize="table" (reliable storage for real clusters; the
+    # localCheckpoint substitute) must produce IDENTICAL ranks and
+    # running sums, including under the chained-call regression shape
+    spark.conf.set(
+        "spark.etlmp.distranks.materializeDir", str(tmp_path)
+    )
+    try:
+        facts = _facts(spark, sf_dir)
+        order = [F.desc("cents"), F.asc("custkey")]
+        loc = global_row_number(
+            facts, order, out_col="rn", materialize="local"
+        )
+        tab = global_row_number(
+            facts, order, out_col="rn", materialize="table"
+        )
+        assert loc.exceptAll(tab).count() == 0
+        assert tab.exceptAll(loc).count() == 0
+        # chained through the table path: ranks stay dense
+        r = global_row_number(
+            tab,
+            [F.desc("frequency"), F.asc("custkey")],
+            out_col="rn2",
+            materialize="table",
+        )
+        row = r.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("rn2").alias("nd"),
+            F.max("rn2").alias("mx"),
+        ).collect()[0]
+        assert row["nd"] == row["n"] == row["mx"]
+        cum_l = global_running_sum(
+            facts, "cents", order, out_col="cum", materialize="local"
+        ).select("custkey", "cum")
+        cum_t = global_running_sum(
+            facts, "cents", order, out_col="cum", materialize="table"
+        ).select("custkey", "cum")
+        assert cum_l.exceptAll(cum_t).count() == 0
+        stats_t = global_order_stats(
+            facts,
+            order,
+            {"k": F.lit(1), "cum": F.col("cents")},
+            materialize="table",
+        )
+        assert (
+            stats_t.select("custkey", "cum").exceptAll(cum_l).count()
+            == 0
+        )
+    finally:
+        spark.conf.unset("spark.etlmp.distranks.materializeDir")
