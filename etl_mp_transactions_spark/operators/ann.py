@@ -408,3 +408,100 @@ def neardup_pairs_banded(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+def hard_negatives_banded(
+    embeddings: DataFrame,
+    n_bits: int | None = None,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Full-corpus hard-negative mining: for EVERY vector, the most
+    similar cross-label vector among its LSH band candidates.
+
+    The eval-set variant (queries/ranking_eval.py
+    ``hard_negative_mining``) broadcasts a fixed 40-anchor set
+    against the corpus — exact, but an eval contract, not a mining
+    operator. This is the mining shape: every vector is an anchor,
+    candidates come from the same deterministic sign-bit banding as
+    ``neardup_pairs_banded`` (8 bands x corpus-adaptive bits,
+    ``adaptive_band_bits`` holding per-bucket occupancy ~constant as
+    the corpus grows), restricted to cross-label pairs, then the
+    exact integer micro-unit dot product picks the per-anchor argmax
+    (vec_id tiebreak — engine-exact, no float anywhere on the rank
+    path). Anchors whose buckets contain no cross-label vector emit
+    nothing: by the LSH contract no candidate was "hard" (collision
+    probability p^r per band falls fast below the near-dup regime),
+    which is the semantics a contrastive-training miner wants.
+
+    Scale: band equi-join + per-anchor window partitioned by anchor
+    (state bounded by bucket occupancy x bands); no corpus-
+    proportional broadcast, no crossJoin, no global window. Work is
+    ~n x occupancy, not n^2 — the 100 TB shape the 40-anchor
+    variant's docstring promised.
+    """
+    if n_bits is None:
+        n_bits = adaptive_band_bits(embeddings.count())
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        "embedding",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv"),
+    )
+    bands = base.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket("embedding", n_bits, offset=b * BAND_SLOT_BITS)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b", "bkey"),
+    )
+    cand = (
+        bands.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "b",
+            "bkey",
+        )
+        .join(
+            bands.select(
+                F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("negative_label"),
+                "b",
+                "bkey",
+            ),
+            ["b", "bkey"],
+        )
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .select("anchor_id", "anchor_label", "negative_id", "negative_label")
+        .dropDuplicates(["anchor_id", "negative_id"])
+    )
+    qa = base.select(F.col("vec_id").alias("anchor_id"), F.col("qv").alias("aqv"))
+    qn = base.select(F.col("vec_id").alias("negative_id"), F.col("qv").alias("nqv"))
+    qdot = F.expr(
+        "aggregate(zip_with(aqv, nqv, (a, b) -> a * b),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("qdot"), F.asc("negative_id")
+    )
+    return (
+        cand.join(qa, "anchor_id")
+        .join(qn, "negative_id")
+        .withColumn("qdot", qdot)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "qdot",
+        )
+    )

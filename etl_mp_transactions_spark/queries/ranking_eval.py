@@ -14,9 +14,12 @@ training, and exact NDCG@k ranking evaluation.
   quantized vectors (the kmeans_lloyd_step policy) so argmax is
   engine-exact with a vec_id tiebreak. Scale: anchors broadcast
   against the corpus — O(|corpus| · |anchors| · d) with bounded
-  anchors; a full-corpus mining run swaps the broadcast for the
-  banded ANN paths (operators/ann.py ann_lsh_bucketed / ivf_topk),
-  same downstream contract.
+  anchors. The eval-set contract only; the mining operator is below.
+- hard_negative_mining_full: EVERY vector is an anchor; candidates
+  come from the deterministic corpus-adaptive sign-bit LSH bands
+  (operators/ann.hard_negatives_banded), cross-label only, with the
+  same exact integer argmax verify — work ~ n x bucket occupancy,
+  never n^2, no corpus-proportional broadcast.
 - ndcg_ranking_eval: exact NDCG@8 per customer for the global
   popularity ranking (top-8 parts by total quantity) scored against
   what each customer actually bought. The log2 position discounts are
@@ -33,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.operators import ann
+from etl_mp_transactions_spark.queries.similarity import _BANDS_SQL
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -263,3 +268,70 @@ def ndcg_ranking_eval(spark, sf_dir):
         )
         .orderBy("custkey")
     )
+
+@query(
+    "hard_negative_mining_full",
+    f"""
+    WITH params AS (
+      SELECT least(8, greatest(4,
+               CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+      FROM embeddings
+    ),
+    sigs AS (
+      {_BANDS_SQL}
+    ),
+    bands AS (
+      SELECT vec_id, b, substr(sig8, 1, (SELECT bits FROM params)) AS bkey
+      FROM sigs
+    ),
+    q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, nb.vec_id AS negative_id
+      FROM bands a
+      JOIN bands nb ON a.b = nb.b AND a.bkey = nb.bkey
+      JOIN q qa ON qa.vec_id = a.vec_id
+      JOIN q qn ON qn.vec_id = nb.vec_id
+      WHERE qa.label <> qn.label
+    ),
+    scored AS (
+      SELECT c.anchor_id, qa.label AS anchor_label,
+             c.negative_id, qn.label AS negative_label,
+             (SELECT CAST(sum(qa.qv[u.pos] * qn.qv[u.pos]) AS BIGINT)
+              FROM unnest(generate_series(1, len(qa.qv))) AS u(pos))
+               AS qdot
+      FROM cand c
+      JOIN q qa ON qa.vec_id = c.anchor_id
+      JOIN q qn ON qn.vec_id = c.negative_id
+    ),
+    best AS (
+      SELECT anchor_id, anchor_label, negative_id, negative_label, qdot,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY qdot DESC, negative_id) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, qdot
+    FROM best WHERE rn = 1
+    ORDER BY anchor_id
+    """,
+)
+def hard_negative_mining_full(spark, sf_dir):
+    """Full-corpus hard-negative mining — EVERY vector is an anchor
+    (operators/ann.hard_negatives_banded): candidates from the
+    deterministic 8-band corpus-adaptive sign-bit LSH (the
+    embedding_neardup_banded index, oracle-mirrored bit-for-bit),
+    cross-label only, argmax by exact integer micro-unit dot with
+    vec_id tiebreak. Anchors with no cross-label band collision emit
+    nothing (documented LSH-miner semantics). The fixed-40-anchor
+    exact variant (``hard_negative_mining``) stays as the eval-set
+    contract; this is the mining operator its docstring previously
+    only promised. Scale: band equi-join + per-anchor bounded window,
+    no corpus broadcast, no crossJoin — work ~ n x bucket occupancy."""
+    return ann.hard_negatives_banded(
+        load_table(spark, sf_dir, "embeddings"), n_bits=None, n_bands=8
+    ).orderBy("anchor_id")
+

