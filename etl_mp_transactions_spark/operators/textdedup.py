@@ -163,11 +163,61 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sig
 
 
+def capped_bucket(
+    df: DataFrame,
+    bucket_col: str,
+    order_col: str,
+    cap: int,
+    on_overflow: str = "error",
+) -> DataFrame:
+    """Per-bucket row cap for LSH band joins, with LOUD overflow.
+
+    A band bucket with B rows costs B^2 join work, so callers cap it.
+    But the cap exists only on the Spark side — the DuckDB oracles
+    join uncapped — so a silently-dropped row is a silent correctness
+    divergence at whatever SF first overflows. Two modes:
+
+    - ``on_overflow="error"`` (default): nothing is dropped; any row
+      past the cap raises through ``assert_true`` with a message
+      naming the fix (raise the cap or switch modes). The cap becomes
+      a detector: tested SFs sit far below it, and the first corpus
+      that doesn't fails fast instead of diverging.
+    - ``on_overflow="drop"``: the documented bounded-loss behavior
+      for adversarial production corpora (each bucket keeps its first
+      ``cap`` rows in deterministic ``order_col`` order; rows past it
+      lose only that band's candidacy — other bands still vote).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(bucket_col).orderBy(order_col)
+    pos = df.withColumn("_bpos", F.row_number().over(w))
+    if on_overflow == "drop":
+        out = pos.filter(F.col("_bpos") <= cap)
+    elif on_overflow == "error":
+        out = pos.filter(
+            F.assert_true(
+                F.col("_bpos") <= F.lit(cap),
+                F.lit(
+                    f"LSH band bucket exceeded cap {cap}: candidates"
+                    " would be silently lost vs the uncapped oracle;"
+                    " raise the cap or pass on_overflow='drop'"
+                ),
+            ).isNull()
+        )
+    else:
+        raise ValueError(
+            f"unknown on_overflow mode {on_overflow!r}"
+            " (expected 'error' or 'drop')"
+        )
+    return out.drop("_bpos")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
     id_col: str = "doc_id",
     band_bucket_cap: int = 2048,
+    cap_overflow: str = "error",
 ) -> DataFrame:
     """Near-dup candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -190,12 +240,14 @@ def minhash_lsh_pairs(
     near-identical corpus can put ALL signatures in one bucket. Each
     bucket keeps only its first `cap` signatures (row_number over the
     deterministic sk order), so per-bucket work is ≤ cap² no matter
-    the corpus. Signatures past the cap lose only that band's
-    candidacy (other bands still vote); identical-signature pairs are
-    unaffected (handled before banding). The default is far above any
-    honest bucket (sf0.1 max observed: 79) — it exists to turn a
-    quadratic blowup into a bounded loss, the standard capped-LSH
-    tradeoff.
+    the corpus. The default cap is far above any honest bucket
+    (sf0.1 max observed: 79). With cap_overflow="error" (default) the
+    cap is a DETECTOR: overflow raises via capped_bucket instead of
+    silently diverging from the uncapped oracle; pass
+    cap_overflow="drop" for the bounded-loss production behavior
+    (rows past the cap lose only that band's candidacy — other bands
+    still vote; identical-signature pairs are unaffected, handled
+    before banding).
     """
     sig = minhash_signatures(docs, id_col)
     hcols = [F.col(f"h{i}").cast("string") for i in range(NUM_HASHES)]
@@ -221,13 +273,8 @@ def minhash_lsh_pairs(
         ).alias("band_key"),
     )
     if band_bucket_cap is not None:
-        from pyspark.sql.window import Window
-
-        wcap = Window.partitionBy("band_key").orderBy("sk")
-        bands = (
-            bands.withColumn("_bpos", F.row_number().over(wcap))
-            .filter(F.col("_bpos") <= band_bucket_cap)
-            .drop("_bpos")
+        bands = capped_bucket(
+            bands, "band_key", "sk", band_bucket_cap, cap_overflow
         )
     cand = (
         bands.select(F.col("sk").alias("sk_a"), "band_key")

@@ -230,8 +230,6 @@ def dedup_incremental_new_vs_old(spark, sf_dir):
         F.min("old_id").alias("matched_old_id")
     )
 
-    from pyspark.sql import Window
-
     sig = textdedup.minhash_signatures(docs)
     hcols = [F.col(f"h{i}").cast("string") for i in range(16)]
     sigk = sig.withColumn("sk", F.md5(F.concat_ws(",", *hcols)))
@@ -259,30 +257,14 @@ def dedup_incremental_new_vs_old(spark, sf_dir):
     bandx = F.explode(F.array("band_0", "band_1")).alias("band_key")
     bn = uniq_new.select("sk", "sig", bandx)
     bo = uniq_old.select("osk", "osig", bandx)
-    # per-bucket cap per side: the bounded-loss guard against an
-    # adversarial bucket (textdedup.minhash_lsh_pairs policy; honest
-    # buckets are far below it, so no candidate loss at tested SFs)
+    # per-bucket cap per side, LOUD on overflow: the oracle joins
+    # uncapped, so a dropped row would be a silent divergence — the
+    # default mode raises instead (textdedup.capped_bucket; honest
+    # buckets are far below 2048, production adversarial corpora can
+    # opt into on_overflow="drop" bounded loss)
     cap = 2048
-    bn = (
-        bn.withColumn(
-            "_p",
-            F.row_number().over(
-                Window.partitionBy("band_key").orderBy("sk")
-            ),
-        )
-        .filter(F.col("_p") <= cap)
-        .drop("_p")
-    )
-    bo = (
-        bo.withColumn(
-            "_p",
-            F.row_number().over(
-                Window.partitionBy("band_key").orderBy("osk")
-            ),
-        )
-        .filter(F.col("_p") <= cap)
-        .drop("_p")
-    )
+    bn = textdedup.capped_bucket(bn, "band_key", "sk", cap)
+    bo = textdedup.capped_bucket(bo, "band_key", "osk", cap)
     agree = F.size(
         F.filter(
             F.expr("zip_with(sig, osig, (a, b) -> a = b)"),
