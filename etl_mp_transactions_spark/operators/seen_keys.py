@@ -14,14 +14,30 @@ tests/test_seen_keys.py. At scale the seen table is partitioned (e.g.
 by company_id) so the anti-join build side stays per-partition small
 and broadcastable; for billions of keys switch the broadcast to a
 shuffled join on the bucketed key — the code path is the same.
+
+Retention: the reference's Redis keys expire via TTL
+(src/redis_tools.py:5,18 — the EXPIRE on every SET); without an
+analog the batch store appends forever and the anti-join build side
+grows without bound. ``compact(retention=..., now=...)`` is that
+analog: every ``commit`` stamps its keys with a caller-supplied
+``seen_at`` timestamp (NULL = no TTL, the Redis PERSIST case), and
+compaction rewrites the store keeping one row per key (latest
+seen_at), dropping keys whose latest sighting is older than
+``now − retention``, and coalescing the append-forever small files
+into one generation (atomic directory swap). An expired key is
+re-admitted on its next sighting — exactly Redis-after-TTL.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+TS_COL = "seen_at"
 
 
 class SeenKeysStore:
@@ -37,14 +53,33 @@ class SeenKeysStore:
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
 
-    def seen(self) -> DataFrame:
+    def table(self) -> DataFrame:
+        """Full store frame (key, seen_at). mergeSchema covers stores
+        written before the retention column existed (their rows read
+        as seen_at NULL = no TTL)."""
         if self._exists():
-            return self.spark.read.parquet(self.path).select(self.key)
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                self.path
+            )
+            if TS_COL not in df.columns:
+                df = df.withColumn(
+                    TS_COL, F.lit(None).cast("timestamp_ntz")
+                )
+            return df.select(self.key, TS_COL)
         from pyspark.sql import types as T
 
         return self.spark.createDataFrame(
-            [], T.StructType([T.StructField(self.key, T.StringType())])
+            [],
+            T.StructType(
+                [
+                    T.StructField(self.key, T.StringType()),
+                    T.StructField(TS_COL, T.TimestampNTZType()),
+                ]
+            ),
         )
+
+    def seen(self) -> DataFrame:
+        return self.table().select(self.key)
 
     def filter_new(
         self, batch: DataFrame, order_by: list[str] | None = None
@@ -70,12 +105,60 @@ class SeenKeysStore:
             deduped = batch.dropDuplicates([self.key])
         return deduped.join(F.broadcast(self.seen()), self.key, "left_anti")
 
-    def commit(self, new_rows: DataFrame) -> None:
-        """Append the surviving keys to the store."""
-        new_rows.select(self.key).write.mode("append").parquet(self.path)
+    def commit(
+        self, new_rows: DataFrame, seen_at: datetime | None = None
+    ) -> None:
+        """Append the surviving keys, stamped with ``seen_at`` (the
+        batch's processing time, passed by the caller for
+        determinism; NULL = key never expires)."""
+        new_rows.select(
+            self.key,
+            F.lit(seen_at).cast("timestamp_ntz").alias(TS_COL),
+        ).write.mode("append").parquet(self.path)
+
+    def compact(
+        self,
+        retention: timedelta | None = None,
+        now: datetime | None = None,
+        nparts: int = 1,
+    ) -> dict:
+        """Rewrite the store: one row per key (latest seen_at), keys
+        older than ``now − retention`` dropped (module docstring —
+        the Redis TTL analog), output coalesced to ``nparts`` files.
+        NULL seen_at never expires (Redis PERSIST). The rewrite goes
+        to a sibling directory and swaps in via rename, so a reader
+        racing the compaction sees the old generation, never a
+        partial one. Returns {"kept": n, "dropped": n}."""
+        if retention is not None and now is None:
+            raise ValueError("retention requires an explicit now=")
+        if not self._exists():
+            return {"kept": 0, "dropped": 0}
+        latest = self.table().groupBy(self.key).agg(
+            F.max(TS_COL).alias(TS_COL)
+        )
+        total = latest.count()
+        if retention is not None:
+            cutoff = now - retention
+            latest = latest.filter(
+                F.col(TS_COL).isNull()
+                | (F.col(TS_COL) >= F.lit(cutoff).cast("timestamp_ntz"))
+            )
+        tmp = self.path.rstrip("/") + ".compacting"
+        old = self.path.rstrip("/") + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        latest.repartition(nparts).write.mode("overwrite").parquet(tmp)
+        kept = self.spark.read.parquet(tmp).count()
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return {"kept": kept, "dropped": total - kept}
 
     def process(
-        self, batch: DataFrame, order_by: list[str] | None = None
+        self,
+        batch: DataFrame,
+        order_by: list[str] | None = None,
+        seen_at: datetime | None = None,
     ) -> DataFrame:
         """filter_new + commit in one step; returns the new rows.
 
@@ -86,5 +169,5 @@ class SeenKeysStore:
         ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``
         for executor-failure-tolerant truncation.)"""
         new_rows = self.filter_new(batch, order_by).localCheckpoint(eager=True)
-        self.commit(new_rows)
+        self.commit(new_rows, seen_at=seen_at)
         return new_rows

@@ -32,9 +32,11 @@ overwrite instead of duplicate.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.operators.seen_keys import SeenKeysStore
 from etl_mp_transactions_spark.operators.silver import silver_transactions
 from etl_mp_transactions_spark.queries.relational import _FLAGSHIP_ORACLE
 from etl_mp_transactions_spark.registry import query
@@ -208,3 +210,49 @@ def k1_schema_evolution_roundtrip(spark, sf_dir):
         .parquet(path)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )
+
+
+@query(
+    "seen_keys_retention_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS k FROM documents),
+    b1 AS (SELECT DISTINCT k FROM d WHERE doc_id % 3 = 0),
+    b2 AS (SELECT DISTINCT k FROM d WHERE doc_id % 3 = 1),
+    b3 AS (SELECT DISTINCT k FROM d WHERE doc_id % 3 = 2),
+    b2n AS (SELECT k FROM b2 WHERE k NOT IN (SELECT k FROM b1)),
+    b3n AS (SELECT k FROM b3 WHERE k NOT IN (SELECT k FROM b1)
+                                AND k NOT IN (SELECT k FROM b2))
+    SELECT k AS key, TIMESTAMP '2024-01-10 00:00:00' AS seen_at FROM b2n
+    UNION ALL
+    SELECT k, TIMESTAMP '2024-01-20 00:00:00' FROM b3n
+    UNION ALL
+    SELECT k, TIMESTAMP '2024-01-25 00:00:00' FROM b1
+    ORDER BY key, seen_at
+    """,
+)
+def seen_keys_retention_roundtrip(spark, sf_dir):
+    """Exactly-once seen-keys store with Redis-TTL-analog retention
+    (operators/seen_keys.py, reference src/redis_tools.py:5,18):
+    three daily batches of content hashes commit at T1/T2/T3, a
+    compaction at now=Jan-25 with retention=20d expires the T1
+    generation (cutoff Jan-05) and collapses the append-forever
+    files to one, and the T1 batch replayed afterwards is
+    RE-ADMITTED at T4 — Redis-after-TTL semantics, pinned by value:
+    the final store must hold exactly batch-2's new keys at T2,
+    batch-3's new keys at T3, and every batch-1 key at T4 (no batch-1
+    key can be retained from before the expiry, or the T4 rows would
+    be missing). The oracle derives the same sets relationally —
+    anti-join lineage included. At 100 TB compaction is the
+    maintenance op bounding the anti-join build side."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.md5("text").alias("key"))
+    store = SeenKeysStore(
+        spark, os.path.join(run_dir("seenkeys"), "store"), key="key"
+    )
+    t1, t2, t3 = datetime(2024, 1, 1), datetime(2024, 1, 10), datetime(2024, 1, 20)
+    t4 = datetime(2024, 1, 25)
+    for ts, m in ((t1, 0), (t2, 1), (t3, 2)):
+        store.process(d.filter(F.col("doc_id") % 3 == m), seen_at=ts)
+    store.compact(retention=timedelta(days=20), now=t4)
+    store.process(d.filter(F.col("doc_id") % 3 == 0), seen_at=t4)
+    return store.table().orderBy("key", "seen_at")
