@@ -47,6 +47,11 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # box-load attribution (VERDICT r7 task #4): loadavg at start/end
+    # makes round-over-round headline deltas attributable — on a
+    # quiet box (1-min loadavg well under the cpu count at start) a
+    # delta is a plan change; on a loaded box it is noise.
+    load_start = os.getloadavg()
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
     # absorb JVM/codegen warmup so the first headline query isn't
@@ -96,6 +101,8 @@ def main() -> None:
     # (BENCH_r02/r03 recorded "parsed": null). Keep stdout to the headline
     # set and park the full per-query map in BENCH_FULL_LOCAL.json.
     full = {
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "full_registry_total": round(sum(timings.values()), 3),
         "n_queries": len(timings),
         "headline_runs": n_runs,
@@ -107,10 +114,16 @@ def main() -> None:
                      "BENCH_FULL_LOCAL.json"), "w"
     ) as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
+    load_end = os.getloadavg()
+    quiet_box = load_start[0] < 0.5 * cpus  # headline comparability flag
     out = {
         # headline total stays the headline metric (baseline-comparable);
         # per-query values are medians of n_runs since r5
         "metric": "headline_queries_total_wall",
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "quiet_box": quiet_box,
+        "cpus": cpus,
         "value": round(sum(timings[n] for n in HEADLINE), 3),
         "unit": "sec",
         "headline_runs": n_runs,
