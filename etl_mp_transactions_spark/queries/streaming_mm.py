@@ -22,6 +22,7 @@ import os
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.operators import multimodal
+from etl_mp_transactions_spark.streaming import filesource
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 from etl_mp_transactions_spark.workdirs import run_dir
@@ -960,3 +961,88 @@ def r16_stream_dedup_bounded_state(spark, sf_dir):
         within_watermark=True,
     )
     return out.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "r17_stream_incremental_dedup",
+    """
+    WITH newd AS (
+      SELECT doc_id, (doc_id // 5) % 4 AS g, md5(text) AS ch
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    oldc AS (
+      SELECT DISTINCT md5(text) AS ch
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    fresh AS (
+      SELECT * FROM newd WHERE ch NOT IN (SELECT ch FROM oldc)
+    ),
+    win AS (
+      SELECT ch, doc_id,
+             row_number() OVER (PARTITION BY ch ORDER BY g, doc_id) AS rn
+      FROM fresh
+    )
+    SELECT ch, doc_id AS canonical_doc_id FROM win WHERE rn = 1
+    ORDER BY ch
+    """,
+)
+def r17_stream_incremental_dedup(spark, sf_dir):
+    """Streaming incremental corpus dedup (12th stream==batch pin;
+    streaming/filesource.stream_incremental_dedup_run): the NEW 20%
+    of documents (doc_id % 5 = 0) arrives as four files — one
+    micro-batch each, file mtimes pin the processing order — and each
+    micro-batch anti-joins content hashes against the persisted
+    corpus index, bootstrapped from the OLD 80%. A fifth file
+    replays batch 0 after the fact and must contribute ZERO rows.
+    Both sinks (survivor output, key commit) overwrite their own
+    batch= partition and the anti-join excludes the current batch's
+    partition, so any foreachBatch replay recomputes byte-identical
+    partitions — exactly-once without a transaction log (operator
+    docstring). The full-value oracle derives the same winners
+    relationally: first batch containing the hash, min doc_id within
+    it. The batch twin is dedup_incremental_new_vs_old; the bounded-
+    state story is SeenKeysStore.compact over the same partition
+    layout."""
+    import shutil
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = run_dir("r17_incdedup")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    newd = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "g", (F.col("doc_id") / 5).cast("long") % 4
+    )
+    t0 = 1700000000  # fixed epoch: mtime order == batch order
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        newd.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    # replay of batch 0, newest mtime -> processed last, contributes 0
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    store_dir = os.path.join(work, "store")
+    filesource.bootstrap_seen_store(
+        spark,
+        docs.filter(F.col("doc_id") % 5 != 0).select(
+            F.md5("text").alias("ch")
+        ).distinct(),
+        store_dir,
+    )
+    out = filesource.stream_incremental_dedup_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        store_dir,
+    )
+    return out.orderBy("ch")

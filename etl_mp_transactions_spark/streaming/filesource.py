@@ -480,3 +480,99 @@ def staged_event_batches_cached(
                 shutil.rmtree(target, ignore_errors=True)
                 os.rename(staging, target)
     return target
+
+
+def stream_incremental_dedup_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    store_dir: str,
+) -> DataFrame:
+    """Streaming incremental corpus dedup (R17): new documents arrive
+    as files; each micro-batch anti-joins its content hashes against
+    the persisted corpus index (a batch-partitioned parquet key
+    store), emits the survivors, and commits their keys — the
+    streaming twin of the batch ``dedup_incremental_new_vs_old``
+    (queries/dedup.py) and the scaled shape of the reference's
+    Redis-checked ingest loop (src/redis_tools.py:38-54 +
+    main.py:92-131, one notification = one micro-batch).
+
+    REPLAY SAFETY WITHOUT A LEDGER: foreachBatch may re-run a batch
+    id after a failure, and the naive write-then-commit order breaks
+    either way it interleaves (commit-first makes the rerun's
+    anti-join empty and wipes the rewritten output; output-first
+    duplicates keys). Here BOTH sinks are deterministic functions of
+    (batch content, batch id, store-minus-this-batch): the anti-join
+    reads every store partition EXCEPT ``batch=<this id>``, and both
+    the output and the key commit overwrite their own
+    ``batch=<id>`` partition. Any rerun recomputes byte-identical
+    partitions — idempotent under arbitrary replay, no transaction
+    log needed. Bootstrap corpus keys load under ``batch=-1`` via
+    :func:`bootstrap_seen_store`.
+
+    State is BOUNDED the same way the batch store is: the partition
+    layout is exactly SeenKeysStore's append pattern, so
+    ``SeenKeysStore(spark, store_dir).compact(retention=, now=)``
+    applies between runs (drop expired keys, collapse partitions) —
+    run it while the stream is stopped, as with any file-store
+    maintenance.
+    """
+    key_schema = "ch string"
+
+    def _seen_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(store_dir, d)
+            for d in sorted(os.listdir(store_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(store_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], key_schema)
+        return spark.read.schema(key_schema).parquet(*dirs)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        keyed = batch_df.withColumn("ch", F.md5("text"))
+        w = Window.partitionBy("ch").orderBy("doc_id")
+        first = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_rows = first.join(
+            F.broadcast(_seen_except(batch_id)), "ch", "left_anti"
+        ).localCheckpoint(eager=True)
+        new_rows.select(
+            "ch", F.col("doc_id").alias("canonical_doc_id")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        new_rows.select("ch").write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["documents"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "ch string, canonical_doc_id long"
+    ).parquet(os.path.join(out_dir, "batch=*"))
+
+
+def bootstrap_seen_store(
+    spark: SparkSession, keys: DataFrame, store_dir: str
+) -> None:
+    """Load an existing corpus's content hashes into the incremental
+    store as the ``batch=-1`` generation (``keys``: one string column
+    named ch)."""
+    keys.select("ch").write.mode("overwrite").parquet(
+        os.path.join(store_dir, "batch=-1")
+    )
