@@ -124,11 +124,22 @@ def test_minhash_band_bucket_cap_bounds_adversarial_corpus(spark):
     max_bucket = bucket_sizes.agg(F.max("count")).collect()[0][0]
     assert max_bucket > 50, "fixture failed to create a pathological bucket"
 
-    capped = textdedup.minhash_lsh_pairs(docs, threshold=0.9, band_bucket_cap=50)
+    # default mode: overflow is LOUD (the oracle joins uncapped, so a
+    # silent drop is a silent divergence — capped_bucket policy)
+    import pytest
+
+    with pytest.raises(Exception, match="exceeded cap 50"):
+        textdedup.minhash_lsh_pairs(
+            docs, threshold=0.9, band_bucket_cap=50
+        ).collect()
+    # opt-in bounded loss: the cap only drops candidates, never
+    # invents them
+    capped = textdedup.minhash_lsh_pairs(
+        docs, threshold=0.9, band_bucket_cap=50, cap_overflow="drop"
+    )
     uncapped = textdedup.minhash_lsh_pairs(docs, threshold=0.9, band_bucket_cap=None)
     got_c = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     got_u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
-    # the cap only drops candidates, never invents them
     assert got_c <= got_u
 
 
