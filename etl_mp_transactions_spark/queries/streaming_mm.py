@@ -1046,3 +1046,112 @@ def r17_stream_incremental_dedup(spark, sf_dir):
         store_dir,
     )
     return out.orderBy("ch")
+
+from etl_mp_transactions_spark.queries.dedup import minhash_band_ctes  # noqa: E402
+
+
+@query(
+    "r18_stream_neardup_index",
+    f"""
+    WITH {minhash_band_ctes("documents")},
+    grp AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN (doc_id // 5) % 4
+                  ELSE -1 END AS g
+      FROM documents
+    ),
+    sk AS (
+      SELECT s.doc_id, md5(array_to_string(s.sig, ',')) AS sk, s.sig
+      FROM sigs s
+    ),
+    ex AS (
+      SELECT n.doc_id, min(o.doc_id) AS matched_old_id
+      FROM sk n
+      JOIN grp gn ON gn.doc_id = n.doc_id
+      JOIN sk o ON o.sk = n.sk
+      JOIN grp go ON go.doc_id = o.doc_id
+      WHERE gn.g >= 0 AND go.g < gn.g
+      GROUP BY n.doc_id
+    ),
+    nearc AS (
+      SELECT DISTINCT bn.doc_id AS nid, bo.doc_id AS oid
+      FROM bands bn
+      JOIN bands bo ON bn.band_key = bo.band_key
+      JOIN grp gn ON gn.doc_id = bn.doc_id
+      JOIN grp go ON go.doc_id = bo.doc_id
+      WHERE gn.g >= 0 AND go.g < gn.g
+    ),
+    near AS (
+      SELECT c.nid AS doc_id, min(c.oid) AS matched_old_id
+      FROM nearc c
+      JOIN sk sa ON sa.doc_id = c.nid
+      JOIN sk sb ON sb.doc_id = c.oid
+      WHERE len(list_filter(generate_series(1, 16),
+                            i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.9
+        AND sa.sk <> sb.sk
+        AND c.nid NOT IN (SELECT doc_id FROM ex)
+      GROUP BY c.nid
+    )
+    SELECT doc_id, 'exact_sig' AS dup_kind, matched_old_id FROM ex
+    UNION ALL
+    SELECT doc_id, 'near' AS dup_kind, matched_old_id FROM near
+    ORDER BY doc_id
+    """,
+)
+def r18_stream_neardup_index(spark, sf_dir):
+    """Streaming NEAR-dup against an incrementally-maintained MinHash
+    band index (13th stream==batch pin; streaming/filesource.
+    stream_neardup_index_run) — with r17's exact stage this completes
+    the streaming twin of dedup_incremental_new_vs_old: the NEW 20%
+    of documents arrives as four mtime-ordered files; each
+    micro-batch resolves identical-signature matches by signature-key
+    join (est = 1.0, no verify) and cross-signature near-dups by band
+    join against the DISTINCT persisted signatures (bootstrapped from
+    the old 80%), verified at est >= 0.9, smallest prior doc id for
+    attribution; then the batch's own signatures join the index.
+    Replay safety is the r17 no-ledger construction (per-batch
+    partition overwrite + self-exclusion + already-indexed-doc skip).
+    The oracle re-derives every stage relationally with the portable
+    md5 minhash family, including the arrival-order condition (a doc
+    in batch g only matches docs from batches < g or the bootstrap
+    corpus)."""
+    import shutil
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = run_dir("r18_neardup")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    newd = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "g", (F.col("doc_id") / 5).cast("long") % 4
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        newd.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    index_dir = os.path.join(work, "index")
+    filesource.bootstrap_neardup_index(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), index_dir
+    )
+    out = filesource.stream_neardup_index_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        index_dir,
+        threshold=0.9,
+    )
+    return out.orderBy("doc_id")
+

@@ -576,3 +576,159 @@ def bootstrap_seen_store(
     keys.select("ch").write.mode("overwrite").parquet(
         os.path.join(store_dir, "batch=-1")
     )
+
+
+def stream_neardup_index_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    index_dir: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Streaming NEAR-dup against an incrementally-maintained MinHash
+    band index (R18) — the near-duplicate stage of the continuous-
+    crawl ingest loop, completing the streaming twin of the batch
+    ``dedup_incremental_new_vs_old`` (r17 covers its exact stage).
+
+    Each micro-batch: signatures for the arriving docs
+    (textdedup.minhash_signatures — 16 portable md5-derived hashes, 2
+    LSH bands), identical-signature matches by signature-key join
+    (est ≡ 1.0, no verification), cross-signature candidates by band
+    join against the DISTINCT persisted signatures (the
+    dedup_minhash_lsh collapse lesson — buckets never hold doc
+    copies), zip_with agreement verify at est ≥ threshold, smallest
+    matching prior doc id for canonical attribution. Then ALL
+    arriving docs' signature rows commit to the index — they are
+    corpus now.
+
+    Replay safety is r17's no-ledger construction: both sinks
+    overwrite their own ``batch=<id>`` partition, matching reads
+    every index partition EXCEPT ``batch=<id>``, and docs whose ids
+    are already indexed are skipped entirely (an at-least-once
+    re-delivered FILE contributes zero; a re-run BATCH recomputes
+    byte-identical partitions). Bootstrap the existing corpus with
+    :func:`bootstrap_neardup_index` (``batch=-1``). State is the
+    parquet index — SeenKeysStore.compact's layout, same maintenance
+    story.
+    """
+    from etl_mp_transactions_spark.operators import textdedup
+
+    nh = textdedup.NUM_HASHES
+    idx_schema = (
+        "doc_id long, sk string, sig array<bigint>,"
+        " band_0 string, band_1 string"
+    )
+
+    def _index_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(index_dir, d)
+            for d in sorted(os.listdir(index_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(index_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], idx_schema)
+        return spark.read.schema(idx_schema).parquet(*dirs)
+
+    def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        old = _index_except(batch_id)
+        fresh = batch_df.join(
+            F.broadcast(old.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+        sig = textdedup.minhash_signatures(fresh)
+        hcols = [F.col(f"h{i}").cast("string") for i in range(nh)]
+        sig_arr = F.array(*[F.col(f"h{i}") for i in range(nh)])
+        rows = sig.withColumn("sk", F.md5(F.concat_ws(",", *hcols))).select(
+            "doc_id", "sk", sig_arr.alias("sig"), "band_0", "band_1"
+        ).localCheckpoint(eager=True)
+        old_min = old.groupBy("sk").agg(F.min("doc_id").alias("old_id"))
+        exact = (
+            rows.join(old_min, "sk")
+            .groupBy("doc_id")
+            .agg(F.min("old_id").alias("matched_old_id"))
+        )
+        old_sig = old.dropDuplicates(["sk"]).select(
+            F.col("sk").alias("osk"),
+            F.col("sig").alias("osig"),
+            "band_0",
+            "band_1",
+        )
+        osk_min = old_min.select(F.col("sk").alias("osk"), "old_id")
+        bandx = F.explode(F.array("band_0", "band_1")).alias("band_key")
+        bn = rows.dropDuplicates(["sk"]).select("sk", "sig", bandx)
+        bo = old_sig.select("osk", "osig", bandx)
+        agree = F.size(
+            F.filter(
+                F.expr("zip_with(sig, osig, (a, b) -> a = b)"),
+                lambda x: x,
+            )
+        )
+        cross = (
+            bn.join(bo, "band_key")
+            .filter(F.col("sk") != F.col("osk"))
+            .dropDuplicates(["sk", "osk"])
+            .withColumn("est", agree / F.lit(float(nh)))
+            .filter(F.col("est") >= threshold)
+            .select("sk", "osk")
+        )
+        cross_min = (
+            cross.join(osk_min, "osk")
+            .groupBy("sk")
+            .agg(F.min("old_id").alias("cross_old"))
+        )
+        near = (
+            rows.select("doc_id", "sk")
+            .join(cross_min, "sk")
+            .join(exact.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id", F.col("cross_old").alias("matched_old_id")
+            )
+        )
+        out = exact.select(
+            "doc_id",
+            F.lit("exact_sig").alias("dup_kind"),
+            "matched_old_id",
+        ).unionByName(
+            near.select(
+                "doc_id", F.lit("near").alias("dup_kind"), "matched_old_id"
+            )
+        ).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        rows.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["documents"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "doc_id long, dup_kind string, matched_old_id long"
+    ).parquet(os.path.join(out_dir, "batch=*"))
+
+
+def bootstrap_neardup_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> None:
+    """Index an existing corpus's signatures as ``batch=-1``."""
+    from etl_mp_transactions_spark.operators import textdedup
+
+    nh = textdedup.NUM_HASHES
+    sig = textdedup.minhash_signatures(docs)
+    hcols = [F.col(f"h{i}").cast("string") for i in range(nh)]
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(nh)])
+    sig.withColumn("sk", F.md5(F.concat_ws(",", *hcols))).select(
+        "doc_id", "sk", sig_arr.alias("sig"), "band_0", "band_1"
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "batch=-1")
+    )

@@ -105,3 +105,46 @@ def test_batch_rerun_is_byte_identical(spark, sf_dir, tmp_path):
         )
     )
     assert second == first
+
+
+def test_neardup_index_replay_and_kinds(spark, sf_dir, tmp_path):
+    """R18 (stream_neardup_index_run): replayed file contributes
+    zero (already-indexed docs are skipped), output kinds are only
+    exact_sig/near, and matched ids always precede the doc in
+    arrival order (batch g only matches bootstrap or batches < g)."""
+    from etl_mp_transactions_spark.streaming.filesource import (
+        bootstrap_neardup_index,
+        stream_neardup_index_run,
+    )
+
+    stage = str(tmp_path / "in")
+    docs = _stage_docs(spark, sf_dir, stage, groups=[0, 1])
+    index = str(tmp_path / "index")
+    bootstrap_neardup_index(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), index
+    )
+    out1 = stream_neardup_index_run(
+        spark, stage, str(tmp_path / "ck"), str(tmp_path / "out"), index
+    )
+    rows1 = sorted(
+        (r["doc_id"], r["dup_kind"], r["matched_old_id"])
+        for r in out1.collect()
+    )
+    assert len(rows1) > 0
+    assert {k for _, k, _ in rows1} <= {"exact_sig", "near"}
+    # replay f0 -> already-indexed docs skipped, zero contribution
+    shutil.copy(
+        os.path.join(stage, "f0.parquet"),
+        os.path.join(stage, "replay.parquet"),
+    )
+    os.utime(
+        os.path.join(stage, "replay.parquet"), (1700000100, 1700000100)
+    )
+    out2 = stream_neardup_index_run(
+        spark, stage, str(tmp_path / "ck"), str(tmp_path / "out"), index
+    )
+    rows2 = sorted(
+        (r["doc_id"], r["dup_kind"], r["matched_old_id"])
+        for r in out2.collect()
+    )
+    assert rows2 == rows1
