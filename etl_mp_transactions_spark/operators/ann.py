@@ -327,6 +327,7 @@ def neardup_pairs(
 
 
 BAND_SLOT_BITS = 8  # dims reserved per band (64-dim vecs / 8 bands)
+MINE_BUCKET_CAP = 256  # hard_negatives_banded candidate-side bucket cap
 
 
 def adaptive_band_bits(n_rows: int, lo: int = 4, hi: int = BAND_SLOT_BITS) -> int:
@@ -424,21 +425,29 @@ def hard_negatives_banded(
     against the corpus — exact, but an eval contract, not a mining
     operator. This is the mining shape: every vector is an anchor,
     candidates come from the same deterministic sign-bit banding as
-    ``neardup_pairs_banded`` (8 bands x corpus-adaptive bits,
-    ``adaptive_band_bits`` holding per-bucket occupancy ~constant as
-    the corpus grows), restricted to cross-label pairs, then the
-    exact integer micro-unit dot product picks the per-anchor argmax
-    (vec_id tiebreak — engine-exact, no float anywhere on the rank
-    path). Anchors whose buckets contain no cross-label vector emit
-    nothing: by the LSH contract no candidate was "hard" (collision
-    probability p^r per band falls fast below the near-dup regime),
-    which is the semantics a contrastive-training miner wants.
+    ``neardup_pairs_banded`` (corpus-adaptive bits via
+    ``adaptive_band_bits``), restricted to cross-label pairs, and the
+    exact integer micro-unit dot picks the per-anchor argmax (vec_id
+    tiebreak — no float anywhere on the rank path). Anchors whose
+    buckets hold no cross-label vector emit nothing (LSH-miner
+    semantics). Two scale decisions, both r9 sweep-driven (first
+    version measured 12.7x at the 10x step):
 
-    Scale: band equi-join + per-anchor window partitioned by anchor
-    (state bounded by bucket occupancy x bands); no corpus-
-    proportional broadcast, no crossJoin, no global window. Work is
-    ~n x occupancy, not n^2 — the 100 TB shape the 40-anchor
-    variant's docstring promised.
+    - NO pair materialization: an argmax is duplicate-insensitive, so
+      the band self-join needs no dropDuplicates and no per-anchor
+      window — the quantized vectors ride THROUGH the join (the
+      containment pairs_bitmap pattern) and a single
+      ``max(struct(qdot, -negative_id))`` groupBy with map-side
+      combine collapses everything to one row per anchor. The only
+      shuffles are the band-row equi-join (n x n_bands rows, linear)
+      and the final n-row aggregate; candidate volume never crosses
+      the wire.
+    - candidate-side bucket cap (``MINE_BUCKET_CAP``, deterministic
+      vec_id order, oracle-mirrored): buckets are occupancy-targeted
+      by adaptive_band_bits, but an adversarial corpus can still pile
+      one bucket; the cap bounds per-anchor work at
+      n_bands x cap regardless. Anchors probe with ALL their bands,
+      so no anchor is lost.
     """
     if n_bits is None:
         n_bits = adaptive_band_bits(embeddings.count())
@@ -453,6 +462,7 @@ def hard_negatives_banded(
     bands = base.select(
         "vec_id",
         "label",
+        "qv",
         F.posexplode(
             F.array(
                 *[
@@ -462,46 +472,60 @@ def hard_negatives_banded(
             )
         ).alias("b", "bkey"),
     )
-    cand = (
+    wcap = Window.partitionBy("b", "bkey").orderBy("vec_id")
+    neg_bands = (
+        bands.withColumn("_p", F.row_number().over(wcap))
+        .filter(F.col("_p") <= MINE_BUCKET_CAP)
+        .drop("_p")
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(aqv, nqv, (a, b) -> a * b),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored = (
         bands.select(
             F.col("vec_id").alias("anchor_id"),
             F.col("label").alias("anchor_label"),
+            F.col("qv").alias("aqv"),
             "b",
             "bkey",
         )
         .join(
-            bands.select(
+            neg_bands.select(
                 F.col("vec_id").alias("negative_id"),
                 F.col("label").alias("negative_label"),
+                F.col("qv").alias("nqv"),
                 "b",
                 "bkey",
             ),
             ["b", "bkey"],
         )
         .filter(F.col("anchor_label") != F.col("negative_label"))
-        .select("anchor_id", "anchor_label", "negative_id", "negative_label")
-        .dropDuplicates(["anchor_id", "negative_id"])
-    )
-    qa = base.select(F.col("vec_id").alias("anchor_id"), F.col("qv").alias("aqv"))
-    qn = base.select(F.col("vec_id").alias("negative_id"), F.col("qv").alias("nqv"))
-    qdot = F.expr(
-        "aggregate(zip_with(aqv, nqv, (a, b) -> a * b),"
-        " cast(0 as bigint), (acc, x) -> acc + x)"
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.desc("qdot"), F.asc("negative_id")
-    )
-    return (
-        cand.join(qa, "anchor_id")
-        .join(qn, "negative_id")
-        .withColumn("qdot", qdot)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
         .select(
             "anchor_id",
             "anchor_label",
+            qdot.alias("qdot"),
             "negative_id",
             "negative_label",
-            "qdot",
         )
+    )
+    # argmax via struct-max: qdot desc, then min negative_id (the
+    # negated id makes struct order = the tiebreak); map-side combine
+    # keeps the candidate volume inside tasks
+    best = scored.groupBy("anchor_id", "anchor_label").agg(
+        F.max(
+            F.struct(
+                F.col("qdot"),
+                (-F.col("negative_id")).alias("_nneg"),
+                F.col("negative_id"),
+                F.col("negative_label"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("m.negative_id").alias("negative_id"),
+        F.col("m.negative_label").alias("negative_label"),
+        F.col("m.qdot").alias("qdot"),
     )

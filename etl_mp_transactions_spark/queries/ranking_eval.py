@@ -306,10 +306,21 @@ def ndcg_ranking_eval(spark, sf_dir):
                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
       FROM embeddings
     ),
+    negb AS (
+      -- candidate-side bucket cap, mirrored bit-for-bit with the
+      -- engine (operators/ann.MINE_BUCKET_CAP): deterministic
+      -- vec_id order per (band, bucket)
+      SELECT vec_id, b, bkey
+      FROM (SELECT vec_id, b, bkey,
+                   row_number() OVER (PARTITION BY b, bkey
+                                      ORDER BY vec_id) AS p
+            FROM bands)
+      WHERE p <= {ann.MINE_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS anchor_id, nb.vec_id AS negative_id
       FROM bands a
-      JOIN bands nb ON a.b = nb.b AND a.bkey = nb.bkey
+      JOIN negb nb ON a.b = nb.b AND a.bkey = nb.bkey
       JOIN q qa ON qa.vec_id = a.vec_id
       JOIN q qn ON qn.vec_id = nb.vec_id
       WHERE qa.label <> qn.label
