@@ -1,0 +1,183 @@
+"""Product quantization (PQ) for embedding compression + asymmetric
+distance (ADC) scan — the memory side of the 100 TB ANN story
+(SURVEY.md §2.9 similarity search; Jégou et al. 2011, "Product
+quantization for nearest neighbor search", public).
+
+A 64-dim float32 vector is 256 B; its PQ code here is M=8 subspace
+codes of 4 bits = one 32-bit word — a 64x compression that turns a
+corpus-wide similarity scan from a memory/shuffle problem into a
+CPU-bound code-table walk. Everything is exact integer arithmetic on
+micro-unit quantized vectors (the kmeans_lloyd_step policy), so
+codes, distortions and ADC distances are bit-identical across
+engines and the DuckDB oracle reproduces the whole pipeline:
+
+- codebooks: per subspace m (dims 8m..8m+7), the KS=16 codewords are
+  the corresponding subvectors of 16 md5-rank-picked seed vectors —
+  the ``seed_centroids`` quantizer shape (deterministic, documented
+  bounded K-row collect; a production run refines them with Lloyd
+  steps on the same plan, exactly as ivf.kmeans_centroids does for
+  coarse centroids);
+- encode: code_m(v) = argmin_k sum((v_sub − c_k,sub)^2) with k-asc
+  tiebreak, an exact BIGINT fold; codes pack little-endian 4-bit
+  nibbles into one BIGINT; per-vector distortion = sum of subspace
+  minima rides along (the quantization-quality metric);
+- ADC: for a query vector, one 128-row lookup table (M x KS exact
+  subspace distances) broadcasts; each corpus vector's approximate
+  distance is the sum of M table hits on its codes — a linear scan
+  that never touches the original vectors.
+
+Scale: encode is an n x KS x M row stream (linear; the only shuffle
+is the per-(vec, subspace) argmin aggregate with map-side combine);
+ADC is a broadcast-LUT map + TakeOrdered top-k. KS=16/M=8 are sized
+for the 64-dim test corpus, not recall benchmarks — the parameters,
+not the plan shape, are what a production run retunes.
+
+Reference parity: the reference's similarity machinery is the O(n*m)
+in-memory sweep in src/ai.py:42-60; PQ is the standard compression
+path any at-scale deployment of that capability requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PQ_M = 8  # subspaces
+PQ_KS = 16  # codewords per subspace (4-bit codes)
+PQ_SUB = 8  # dims per subspace (64-dim corpus)
+SEED_TAG = ":pq-seed-1"
+
+
+def _quantized(embeddings: DataFrame, id_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv"),
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """KS codeword rows (k, cqv) — the md5-rank seed pick
+    (TakeOrderedAndProject + bounded KS-row collect, the
+    seed_centroids shape). Each seed's full vector carries all M
+    subspace codewords at once."""
+    q = _quantized(embeddings, id_col)
+    seed_rows = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(SEED_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(PQ_KS)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(k, list(r["qv"])) for k, r in enumerate(seed_rows)],
+        "k int, cqv array<bigint>",
+    )
+
+
+def _sub_d2(qcol: str, ccol: str):
+    """Exact BIGINT squared distance of subspace m (0-based col "m"):
+    fold over the M-th 8-dim slice of both vectors."""
+    return F.expr(
+        f"aggregate(zip_with(slice({qcol}, m * {PQ_SUB} + 1, {PQ_SUB}),"
+        f" slice({ccol}, m * {PQ_SUB} + 1, {PQ_SUB}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (codes, packed): ``codes`` is the per-(vec, subspace)
+    assignment (vec_id, m, code, d2) for ADC reuse; ``packed`` is one
+    row per vector (vec_id, pq_code BIGINT little-endian 4-bit
+    nibbles, distortion)."""
+    q = _quantized(embeddings, id_col)
+    books = pq_codebooks(embeddings, id_col)
+    sub = (
+        q.crossJoin(F.broadcast(books))
+        .select(
+            "vec_id",
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "qv",
+            "cqv",
+        )
+        .select("vec_id", "k", "m", _sub_d2("qv", "cqv").alias("d2"))
+    )
+    # argmin codeword per (vec, subspace): min(struct(d2, k)) with
+    # map-side combine — k rides the struct, tiebreak k-asc
+    codes = (
+        sub.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("b.k").alias("code"),
+            F.col("b.d2").alias("d2"),
+        )
+    )
+    packed = codes.groupBy("vec_id").agg(
+        F.sum(
+            F.expr("shiftleft(cast(code as bigint), 4 * m)")
+        ).cast("bigint").alias("pq_code"),
+        F.sum("d2").cast("bigint").alias("distortion"),
+    )
+    return codes, packed
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, k_neighbors: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """ADC top-k for the deterministic query vector (min vec_id):
+    broadcast M x KS lookup table, linear code scan, exact integer
+    approximate distances, (distance, vec_id) tiebreak."""
+    q = _quantized(embeddings, id_col)
+    books = pq_codebooks(embeddings, id_col)
+    codes, _ = pq_encode(embeddings, id_col)
+    qvec = q.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    lut = (
+        qvec.crossJoin(F.broadcast(books))
+        .select(
+            "query_id",
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "qqv",
+            "cqv",
+        )
+        .select(
+            "query_id",
+            F.col("m"),
+            F.col("k").alias("code"),
+            _sub_d2("qqv", "cqv").alias("ld2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id", "query_id")
+        .agg(F.sum("ld2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    # top-k via global sort-limit (TakeOrdered — k is tiny); the
+    # row_number gives a stable rank column for the oracle compare
+    return (
+        scored.orderBy("adc_d2", "vec_id")
+        .limit(k_neighbors)
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            F.row_number().over(w).alias("rank"),
+        )
+    )

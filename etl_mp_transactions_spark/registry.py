@@ -126,6 +126,7 @@ def _load_all() -> None:
         sinks_rt,
         curriculum,
         ranking_eval,
+        pq,
     )
 
     _LOADED = True

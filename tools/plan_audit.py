@@ -55,6 +55,8 @@ GLOBAL_WIN_OK: dict[str, str] = {
     "mann_whitney_u": "per-value rank table (distinct cents,"
     " value-domain-bounded)",
     "poisson_bootstrap_ci": "B=32 resample-total rows",
+    "pq_adc_topk": "rank window over the LIMIT-10 ADC result"
+    " (k-row bounded by construction)",
     "q15_top_supplier": "supplier-level aggregate (dim-sized, not"
     " fact-sized); the window replaces a scalar subquery that would"
     " double-scan lineitem (docstring-documented trade)",
