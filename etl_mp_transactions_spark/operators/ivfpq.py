@@ -1,0 +1,250 @@
+"""IVF-PQ composite ANN index — coarse inverted lists over
+residual product-quantization codes, the architecture an actual
+100 TB similarity deployment runs (SURVEY.md §2.9; Jégou et al.
+2011 §V "IVFADC", public; FAISS's IndexIVFPQ is the reference
+implementation of the same design).
+
+The two halves already exist separately in this engine —
+``operators/ivf.py`` (coarse Voronoi lists, probe-limited search)
+and ``operators/pq.py`` (64× vector compression + asymmetric
+distance) — but neither alone is the at-scale shape: IVF without
+compression still shuffles raw vectors into every probed list, and
+flat PQ still scans ALL n codes per query. The composite stores one
+32-bit code per vector inside its coarse list and scans only
+nprobe/KC of the corpus per query, which is why it is the standard:
+memory ∝ n/64, query cost ∝ n·nprobe/KC.
+
+Everything is exact integer arithmetic on micro-unit quantized
+vectors (the kmeans_lloyd_step policy), so the DuckDB oracle
+reproduces the full pipeline bit-for-bit:
+
+- **coarse quantizer**: the KC corpus vectors with smallest
+  md5(vec_id || tag) (deterministic random Voronoi seeds, the
+  operators/ivf.py seed_centroids shape; bounded KC-row collect);
+  assignment = argmin_c full-vector squared L2, c-asc tiebreak —
+  one broadcast of KC rows, map-side-combined argmin, no shuffle of
+  the corpus;
+- **residual PQ**: codes quantize the RESIDUAL r = v − centroid(v)
+  (Jégou §V-A — residuals are centered near 0 so a shared codebook
+  fits all lists); PQ codebooks are the KS md5-rank-picked residual
+  vectors; encode is the exact BIGINT subspace argmin of
+  operators/pq.py with little-endian nibble packing; distortion
+  (sum of subspace minima) rides along;
+- **search (ADC over probed lists)**: the query's nprobe nearest
+  coarse centroids are ranked exactly ((d2, c) tiebreak); ONE
+  nprobe×M×KS lookup table of exact subspace distances between the
+  query's per-list residual and the shared codebook broadcasts; a
+  vector in a probed list scores sum of M table hits on its packed
+  code — the original vectors are never touched after encode.
+
+Scale: encode is linear (n×KC assignment stream + n×KS×M subspace
+stream, both with map-side-combined argmins); the only bounded
+collects are the KC- and KS-row seed picks (parameter-bounded,
+documented class). Search touches n·nprobe/KC code rows via a
+broadcast-LUT hash join — no shuffle of the corpus, no all-pairs
+stage anywhere. At 100 TB: KC grows ~√n so lists stay bounded,
+codes are 64× smaller than vectors so probed lists are CPU-bound
+table walks, and the LUT is O(nprobe·M·KS) regardless of n.
+
+Reference parity: the reference's similarity machinery is the
+O(n·m) in-memory sweep in src/ai.py:42-60; IVF-PQ is the standard
+compressed-and-pruned path that capability requires at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators.pq import (
+    PQ_KS,
+    PQ_M,
+    PQ_SUB,
+    _quantized,
+    _sub_d2,
+    subspace_codes,
+)
+
+IVFPQ_KC = 8  # coarse centroids (inverted lists)
+IVFPQ_NPROBE = 2  # lists scanned per query
+COARSE_TAG = ":ivfpq-coarse-1"
+RESID_TAG = ":ivfpq-resid-1"
+
+_FULL_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+
+
+def coarse_books(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """KC coarse-centroid rows (c, ccqv): md5-rank seed pick over the
+    quantized corpus (TakeOrderedAndProject + bounded KC-row collect,
+    the operators/ivf.py seed_centroids shape)."""
+    q = _quantized(embeddings, id_col)
+    rows = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(COARSE_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(IVFPQ_KC)
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(c, list(r["qv"])) for c, r in enumerate(rows)],
+        "c int, ccqv array<bigint>",
+    )
+
+
+def coarse_assign(
+    embeddings: DataFrame, books: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, cid, rqv): exact-integer nearest coarse centroid
+    (full-vector squared L2, c-asc tiebreak) and the residual vector
+    r = qv − centroid. One KC-row broadcast + map-side-combined
+    argmin — the corpus never shuffles."""
+    q = _quantized(embeddings, id_col)
+    d2 = F.expr(_FULL_D2.format(a="qv", b="ccqv"))
+    best = (
+        q.crossJoin(F.broadcast(books))
+        .select("vec_id", "c", d2.alias("cd2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cd2", "c")).alias("b"))
+        .select("vec_id", F.col("b.c").alias("cid"))
+    )
+    return (
+        best.join(q, "vec_id")
+        .join(F.broadcast(books.withColumnRenamed("c", "cid")), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.expr("zip_with(qv, ccqv, (a, b) -> a - b)").alias("rqv"),
+        )
+    )
+
+
+def residual_books(resid: DataFrame) -> DataFrame:
+    """KS PQ-codebook rows (k, pcqv) over the residual corpus:
+    md5-rank seed pick (bounded KS-row collect). A shared codebook
+    across lists — residuals are centered, so one book fits all
+    (Jégou §V-A)."""
+    rows = (
+        resid.select(
+            "vec_id",
+            "rqv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(RESID_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(PQ_KS)
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
+    spark = resid.sparkSession
+    return spark.createDataFrame(
+        [(k, list(r["rqv"])) for k, r in enumerate(rows)],
+        "k int, pcqv array<bigint>",
+    )
+
+
+def ivfpq_encode(
+    embeddings: DataFrame, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (codes, packed): ``codes`` is the per-(vec, subspace)
+    residual assignment (vec_id, cid, m, code, d2) the ADC scan
+    reuses; ``packed`` is one row per vector (vec_id, cid, pq_code,
+    distortion) — the 32-bits-plus-a-list-id a 100 TB deployment
+    actually stores."""
+    cb = coarse_books(embeddings, id_col)
+    resid = coarse_assign(embeddings, cb, id_col)
+    pb = residual_books(resid)
+    sub = resid.crossJoin(F.broadcast(pb)).select(
+        "vec_id",
+        "cid",
+        "k",
+        F.col("rqv").alias("xv"),
+        F.col("pcqv").alias("cv"),
+    )
+    # all M subspace argmins in one n×KS-row grouped aggregate
+    # (operators/pq.py subspace_codes — 8× less aggregate input than
+    # the exploded n×KS×M layout; the 10× sweep fix)
+    codes = subspace_codes(sub, ["vec_id", "cid"])
+    packed = codes.groupBy("vec_id", "cid").agg(
+        F.sum(
+            F.expr("shiftleft(cast(code as bigint), 4 * m)")
+        ).cast("bigint").alias("pq_code"),
+        F.sum("d2").cast("bigint").alias("distortion"),
+    )
+    return codes, packed
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame, k_neighbors: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """(query_id, vec_id, cid, adc_d2, rank): ADC top-k for the
+    deterministic query vector (min vec_id) over its IVFPQ_NPROBE
+    nearest inverted lists. The scan joins the packed codes of the
+    probed lists against one broadcast nprobe×M×KS lookup table of
+    exact per-list residual subspace distances — vectors outside the
+    probed lists are never read, and raw vectors are never touched."""
+    cb = coarse_books(embeddings, id_col)
+    codes, _ = ivfpq_encode(embeddings, id_col)
+    q = _quantized(embeddings, id_col)
+    qvec = q.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    pw = Window.partitionBy("query_id").orderBy("cd2", "c")
+    probe = (
+        qvec.crossJoin(F.broadcast(cb))
+        .withColumn("cd2", F.expr(_FULL_D2.format(a="qqv", b="ccqv")))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .select("query_id", "c", "qqv", "ccqv")
+    )
+    # per-probed-list query residual, then the M x KS subspace LUT
+    resid = coarse_assign(embeddings, cb, id_col)
+    pb = residual_books(resid)
+    lut = (
+        probe.withColumn(
+            "rqq", F.expr("zip_with(qqv, ccqv, (a, b) -> a - b)")
+        )
+        .crossJoin(F.broadcast(pb))
+        .select(
+            "query_id",
+            F.col("c").alias("cid"),
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "rqq",
+            "pcqv",
+        )
+        .select(
+            "query_id",
+            "cid",
+            F.col("k").alias("code"),
+            "m",
+            _sub_d2("rqq", "pcqv").alias("ld2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        .groupBy("vec_id", "cid", "query_id")
+        .agg(F.sum("ld2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return (
+        scored.orderBy("adc_d2", "vec_id")
+        .limit(k_neighbors)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            "adc_d2",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

@@ -94,6 +94,46 @@ def _sub_d2(qcol: str, ccol: str):
     )
 
 
+def _sub_d2_lit(qcol: str, ccol: str, m: int):
+    """_sub_d2 with the subspace index fixed at plan time — lets all
+    M subspace argmins run as parallel aggregates of ONE n×KS-row
+    groupBy instead of exploding to n×KS×M rows (measured 8× less
+    aggregate input volume at the 10× scale step)."""
+    return F.expr(
+        f"aggregate(zip_with(slice({qcol}, {m * PQ_SUB + 1}, {PQ_SUB}),"
+        f" slice({ccol}, {m * PQ_SUB + 1}, {PQ_SUB}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def subspace_codes(sub, keys: list[str]):
+    """Per-``keys`` argmin codeword of every subspace in ONE grouped
+    aggregate over (keys, k, qv-vs-cqv) rows: M parallel
+    min(struct(d2_m, k)) columns (map-side combined), exploded back to
+    the long (m, code, d2) layout afterwards — the aggregate input
+    stays n×KS rows. ``sub`` must carry columns ``k`` and the two
+    vector columns named ``xv``/``cv``."""
+    aggs = [
+        F.min(F.struct(_sub_d2_lit("xv", "cv", m).alias("d2"), F.col("k")))
+        .alias(f"b{m}")
+        for m in range(PQ_M)
+    ]
+    wide = sub.groupBy(*keys).agg(*aggs)
+    pairs = ", ".join(
+        f"named_struct('m', {m}, 'code', b{m}.k, 'd2', b{m}.d2)"
+        for m in range(PQ_M)
+    )
+    return wide.select(
+        *keys, F.explode(F.expr(f"array({pairs})")).alias("e")
+    ).select(
+        *keys,
+        F.col("e.m").alias("m"),
+        F.col("e.code").alias("code"),
+        F.col("e.d2").alias("d2"),
+    )
+
+
 def pq_encode(
     embeddings: DataFrame, id_col: str = "vec_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -103,29 +143,16 @@ def pq_encode(
     nibbles, distortion)."""
     q = _quantized(embeddings, id_col)
     books = pq_codebooks(embeddings, id_col)
-    sub = (
-        q.crossJoin(F.broadcast(books))
-        .select(
-            "vec_id",
-            "k",
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-            "qv",
-            "cqv",
-        )
-        .select("vec_id", "k", "m", _sub_d2("qv", "cqv").alias("d2"))
+    sub = q.crossJoin(F.broadcast(books)).select(
+        "vec_id",
+        "k",
+        F.col("qv").alias("xv"),
+        F.col("cqv").alias("cv"),
     )
-    # argmin codeword per (vec, subspace): min(struct(d2, k)) with
-    # map-side combine — k rides the struct, tiebreak k-asc
-    codes = (
-        sub.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "k")).alias("b"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("b.k").alias("code"),
-            F.col("b.d2").alias("d2"),
-        )
-    )
+    # argmin codeword of all M subspaces in one n×KS-row grouped
+    # aggregate (M parallel min(struct(d2, k)) — map-side combine,
+    # k-asc tiebreak); see subspace_codes
+    codes = subspace_codes(sub, ["vec_id"])
     packed = codes.groupBy("vec_id").agg(
         F.sum(
             F.expr("shiftleft(cast(code as bigint), 4 * m)")

@@ -1,0 +1,172 @@
+"""IVF-PQ registry queries (operators/ivfpq.py): the composite
+coarse-list + residual-PQ index — exact-integer encode (list id,
+packed code, distortion) and the nprobe-probed ADC top-k scan —
+each with a full-value DuckDB oracle reproducing the entire
+pipeline: md5-rank coarse seeds, argmin list assignment, residual
+codebooks, subspace argmin encode, per-list query LUTs, probed
+code-scan sum."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators import ivfpq
+from etl_mp_transactions_spark.operators.pq import PQ_KS, PQ_M, PQ_SUB
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+_DIM = PQ_M * PQ_SUB
+
+_IVFPQ_CTES = f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(vec_id::VARCHAR || '{ivfpq.COARSE_TAG}'),
+                        vec_id) - 1 AS c,
+             qv AS ccqv
+      FROM q
+      QUALIFY row_number() OVER (
+               ORDER BY md5(vec_id::VARCHAR || '{ivfpq.COARSE_TAG}'),
+                        vec_id) <= {ivfpq.IVFPQ_KC}
+    ),
+    asg AS (
+      SELECT vec_id, c AS cid, ccqv FROM (
+        SELECT q.vec_id, cb.c, cb.ccqv,
+               CAST(list_sum(list_transform(
+                 generate_series(1, {_DIM}),
+                 j -> (q.qv[j] - cb.ccqv[j])
+                    * (q.qv[j] - cb.ccqv[j]))) AS BIGINT) AS cd2
+        FROM q CROSS JOIN cb
+        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY cd2, cb.c) = 1
+      )
+    ),
+    rv AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            j -> q.qv[j] - a.ccqv[j]) AS rqv
+      FROM asg a JOIN q USING (vec_id)
+    ),
+    pb AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(vec_id::VARCHAR || '{ivfpq.RESID_TAG}'),
+                        vec_id) - 1 AS k,
+             rqv AS pcqv
+      FROM rv
+      QUALIFY row_number() OVER (
+               ORDER BY md5(vec_id::VARCHAR || '{ivfpq.RESID_TAG}'),
+                        vec_id) <= {PQ_KS}
+    ),
+    sub AS (
+      SELECT rv.vec_id, rv.cid, pb.k, mm.m,
+             CAST(list_sum(list_transform(
+               generate_series(1, {PQ_SUB}),
+               j -> (rv.rqv[mm.m * {PQ_SUB} + j]
+                     - pb.pcqv[mm.m * {PQ_SUB} + j])
+                  * (rv.rqv[mm.m * {PQ_SUB} + j]
+                     - pb.pcqv[mm.m * {PQ_SUB} + j]))) AS BIGINT) AS d2
+      FROM rv CROSS JOIN pb
+      CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    codes AS (
+      SELECT vec_id, cid, m, k AS code, d2
+      FROM sub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, k) = 1
+    )"""
+
+
+@query(
+    "ivfpq_encode",
+    f"""
+    WITH {_IVFPQ_CTES}
+    SELECT vec_id,
+           CAST(any_value(cid) AS BIGINT) AS cid,
+           CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (4 * m)))
+                AS BIGINT) AS pq_code,
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def ivfpq_encode(spark, sf_dir):
+    """IVF-PQ encode of every embedding (operators/ivfpq.py module
+    docstring): exact-integer coarse assignment into KC={ivfpq.IVFPQ_KC}
+    inverted lists, residual PQ codes (M={PQ_M} x KS={PQ_KS}, shared
+    codebook, k-asc tiebreak), nibble-packed word + distortion. The
+    (list id, 32-bit code) pair is the ENTIRE per-vector state a
+    100 TB ANN deployment keeps hot."""
+    _, packed = ivfpq.ivfpq_encode(load_table(spark, sf_dir, "embeddings"))
+    return packed.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        "pq_code",
+        "distortion",
+    ).orderBy("vec_id")
+
+
+@query(
+    "ivfpq_adc_topk",
+    f"""
+    WITH {_IVFPQ_CTES},
+    qv1 AS (
+      SELECT vec_id AS query_id, qv AS qqv FROM q
+      ORDER BY vec_id LIMIT 1
+    ),
+    probe AS (
+      SELECT query_id, c AS cid, qqv, ccqv FROM (
+        SELECT qv1.query_id, cb.c, qv1.qqv, cb.ccqv,
+               CAST(list_sum(list_transform(
+                 generate_series(1, {_DIM}),
+                 j -> (qv1.qqv[j] - cb.ccqv[j])
+                    * (qv1.qqv[j] - cb.ccqv[j]))) AS BIGINT) AS cd2
+        FROM qv1 CROSS JOIN cb
+        QUALIFY row_number() OVER (PARTITION BY qv1.query_id
+                                   ORDER BY cd2, cb.c)
+                <= {ivfpq.IVFPQ_NPROBE}
+      )
+    ),
+    lut AS (
+      SELECT p.query_id, p.cid, pb.k AS code, mm.m,
+             CAST(list_sum(list_transform(
+               generate_series(1, {PQ_SUB}),
+               j -> ((p.qqv[mm.m * {PQ_SUB} + j]
+                      - p.ccqv[mm.m * {PQ_SUB} + j])
+                     - pb.pcqv[mm.m * {PQ_SUB} + j])
+                  * ((p.qqv[mm.m * {PQ_SUB} + j]
+                      - p.ccqv[mm.m * {PQ_SUB} + j])
+                     - pb.pcqv[mm.m * {PQ_SUB} + j]))) AS BIGINT) AS ld2
+      FROM probe p CROSS JOIN pb
+      CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id, c.cid,
+             CAST(sum(l.ld2) AS BIGINT) AS adc_d2
+      FROM codes c
+      JOIN lut l ON l.cid = c.cid AND l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, vec_id, CAST(cid AS BIGINT) AS cid, adc_d2,
+           CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
+             AS rank
+    FROM scored
+    ORDER BY adc_d2, vec_id
+    LIMIT 10
+    """,
+)
+def ivfpq_adc_topk(spark, sf_dir):
+    """ADC top-10 for the deterministic query vector (min vec_id)
+    over its {ivfpq.IVFPQ_NPROBE} nearest inverted lists: one
+    broadcast nprobe x M x KS lookup table of per-list residual
+    subspace distances, a hash-join scan of ONLY the probed lists'
+    packed codes, exact integer distances with (distance, vec_id)
+    tiebreak. Vectors outside the probed lists are never read — the
+    n*nprobe/KC query cost that makes 100 TB similarity serving
+    tractable."""
+    out = ivfpq.ivfpq_adc_topk(load_table(spark, sf_dir, "embeddings"), 10)
+    return out

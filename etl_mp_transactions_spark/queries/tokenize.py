@@ -121,3 +121,168 @@ def bpe_encode_tokens(spark, sf_dir):
         F.size("syms").cast("bigint").alias("n_tokens"),
         F.array_join("syms", " ").alias("tokens"),
     ).orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary LEARNING loop (Sennrich et al. 2016 Algorithm 1, public):
+# bpe_merge_step (queries/analytics2.py) learns ONE merge and
+# bpe_encode_tokens above applies a FIXED table; this is the missing
+# piece — the iterative learn loop itself, N_LEARN rounds of
+# (weighted adjacent-pair count -> argmax pair -> greedy re-segment),
+# output = the learned rank-ordered merge table.
+#
+# Determinism: the argmax pair breaks ties (count desc, lhs asc, rhs
+# asc) — a total order, so both engines learn the identical table.
+# Pair counts are the textbook zip(symbols, symbols[1:]) overlapping
+# counts; application is the same leftmost-greedy fold as
+# bpe_encode_tokens, with the learned pair referenced as row COLUMNS
+# inside the lambda (1-row cross join) instead of plan-time literals.
+#
+# Scale shape per round: pair counting is one vocabulary-sized
+# explode + map-side-combined groupBy; the winner is TakeOrdered(1)
+# (never a global sort); application is a per-word bounded fold under
+# a 1-row broadcast. The corpus contributes only the one-off word
+# count. Each round's re-segmented vocabulary is referenced twice by
+# the next round (pair counts + application), so rounds are cut with
+# the RDD-roundtrip + persist of queries/wordpiece.py (vocabulary-
+# sized rows; 2^rounds analyzer blowup otherwise — the HITS lesson).
+# ---------------------------------------------------------------------------
+
+N_LEARN = 6
+
+
+def _learn_round_sql(k: int) -> str:
+    return f"""
+    p{k} AS (
+      SELECT pr[1] AS lhs, pr[2] AS rhs,
+             CAST(sum(n_occurrences) AS BIGINT) AS support
+      FROM (
+        SELECT n_occurrences,
+               unnest(list_transform(generate_series(1, len(syms) - 1),
+                                     i -> [syms[i], syms[i + 1]])) AS pr
+        FROM m{k - 1}
+      )
+      GROUP BY 1, 2
+    ),
+    w{k} AS (
+      SELECT {k} AS rank, lhs, rhs, lhs || rhs AS merged, support
+      FROM p{k} ORDER BY support DESC, lhs, rhs LIMIT 1
+    ),
+    m{k} AS (
+      SELECT m.word, m.n_occurrences,
+             list_reduce(
+               list_transform(m.syms, s -> [s]),
+               (acc, e) -> CASE WHEN acc[-1] = w.lhs AND e[1] = w.rhs
+                                THEN list_append(acc[1:len(acc)-1],
+                                                 w.lhs || w.rhs)
+                                ELSE list_append(acc, e[1]) END
+             ) AS syms
+      FROM m{k - 1} m CROSS JOIN w{k} w
+    )"""
+
+
+def _learn_oracle() -> str:
+    rounds = ",".join(_learn_round_sql(k) for k in range(1, N_LEARN + 1))
+    final = " UNION ALL ".join(
+        f"SELECT * FROM w{k}" for k in range(1, N_LEARN + 1)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT u.w AS word
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE u.w <> ''
+    ),
+    vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY 1
+    ),
+    m0 AS (
+      SELECT word, n_occurrences,
+             list_transform(generate_series(1, length(word)),
+                            i -> word[i]) AS syms
+      FROM vocab
+    ),{rounds}
+    SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged, support
+    FROM ({final})
+    ORDER BY rank
+    """
+
+
+_LEARN_APPLY = (
+    "aggregate(syms, cast(array() as array<string>),"
+    " (acc, s) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lhs"
+    " AND s = rhs"
+    " THEN concat(slice(acc, 1, size(acc) - 1), array(concat(lhs, rhs)))"
+    " ELSE concat(acc, array(s)) END)"
+)
+
+
+@query("bpe_learn_vocab", _learn_oracle())
+def bpe_learn_vocab(spark, sf_dir):
+    """Learn the first N_LEARN BPE merges from the corpus vocabulary
+    (block comment above): weighted overlapping-pair counts, total-
+    order argmax, leftmost-greedy re-segmentation per round. Output
+    the rank-ordered merge table (rank, lhs, rhs, merged, support)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    m = tok.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    ).withColumn(
+        "syms",
+        F.expr(
+            "transform(sequence(1, length(word)),"
+            " i -> substring(word, i, 1))"
+        ),
+    )
+
+    def cut(df):
+        out = spark.createDataFrame(
+            df.rdd, "word string, n_occurrences bigint, syms array<string>"
+        ).persist()
+        out.count()
+        return out
+
+    m = cut(m)
+    winners = []
+    for k in range(1, N_LEARN + 1):
+        pairs = (
+            m.select(
+                "n_occurrences",
+                F.explode(
+                    F.expr(
+                        # the size guard keeps sequence() off
+                        # descending ranges on 1-symbol words
+                        "CASE WHEN size(syms) >= 2 THEN"
+                        " transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS lhs, syms[i] AS rhs))"
+                        " ELSE array() END"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
+            .agg(F.sum("n_occurrences").cast("bigint").alias("support"))
+        )
+        w = (
+            pairs.orderBy(F.desc("support"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "support",
+            )
+        )
+        winners.append(w)
+        m = cut(
+            m.crossJoin(F.broadcast(w.select("lhs", "rhs")))
+            .withColumn("syms", F.expr(_LEARN_APPLY))
+            .select("word", "n_occurrences", "syms")
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionAll(w)
+    return out.orderBy("rank")

@@ -127,6 +127,10 @@ def _load_all() -> None:
         curriculum,
         ranking_eval,
         pq,
+        ivfpq_q,
+        graph5,
+        wordpiece,
+        dsir,
     )
 
     _LOADED = True

@@ -57,6 +57,11 @@ GLOBAL_WIN_OK: dict[str, str] = {
     "poisson_bootstrap_ci": "B=32 resample-total rows",
     "pq_adc_topk": "rank window over the LIMIT-10 ADC result"
     " (k-row bounded by construction)",
+    "dsir_importance_select": "rank window over the LIMIT-100"
+    " TakeOrdered selection (k-row bounded by construction)",
+    "ivfpq_adc_topk": "rank window over the LIMIT-10 ADC result"
+    " (k-row bounded by construction; the probe ranking window is"
+    " PARTITIONed by query_id over KC=8 centroid rows)",
     "q15_top_supplier": "supplier-level aggregate (dim-sized, not"
     " fact-sized); the window replaces a scalar subquery that would"
     " double-scan lineitem (docstring-documented trade)",
