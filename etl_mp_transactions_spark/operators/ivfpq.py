@@ -162,8 +162,35 @@ def ivfpq_encode(
     distortion) — the 32-bits-plus-a-list-id a 100 TB deployment
     actually stores."""
     cb = coarse_books(embeddings, id_col)
-    resid = coarse_assign(embeddings, cb, id_col)
+    # ONE assignment pass: the residual frame feeds both the codebook
+    # seed pick (a TakeOrdered over it) and the encode itself —
+    # without the persist, residual_books' seed scan and the encode
+    # each replay the full n×KC assignment (measured as most of the
+    # encode's 10×-step wall)
+    resid = coarse_assign(embeddings, cb, id_col).persist()
     pb = residual_books(resid)
+    out = _encode_resid(resid, pb)
+    return out
+
+
+def encode_against_books(
+    targets: DataFrame,
+    cb: DataFrame,
+    pb: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Encode ``targets`` against FROZEN codebooks — the incremental
+    ingest shape: a production index fits (cb, pb) once (or
+    periodically) and every arriving batch encodes against them, so
+    per-batch work is |batch| × (KC + KS) regardless of corpus size
+    and previously assigned codes never change."""
+    return _encode_resid(coarse_assign(targets, cb, id_col), pb)
+
+
+def _encode_resid(
+    resid: DataFrame, pb: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, packed) from a residual frame and a PQ codebook."""
     sub = resid.crossJoin(F.broadcast(pb)).select(
         "vec_id",
         "cid",
@@ -194,7 +221,9 @@ def ivfpq_adc_topk(
     exact per-list residual subspace distances — vectors outside the
     probed lists are never read, and raw vectors are never touched."""
     cb = coarse_books(embeddings, id_col)
-    codes, _ = ivfpq_encode(embeddings, id_col)
+    resid = coarse_assign(embeddings, cb, id_col).persist()
+    pb = residual_books(resid)
+    codes, _ = _encode_resid(resid, pb)
     q = _quantized(embeddings, id_col)
     qvec = q.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
@@ -208,8 +237,7 @@ def ivfpq_adc_topk(
         .select("query_id", "c", "qqv", "ccqv")
     )
     # per-probed-list query residual, then the M x KS subspace LUT
-    resid = coarse_assign(embeddings, cb, id_col)
-    pb = residual_books(resid)
+    # (pb reused from the encode above — one assignment pass total)
     lut = (
         probe.withColumn(
             "rqq", F.expr("zip_with(qqv, ccqv, (a, b) -> a - b)")

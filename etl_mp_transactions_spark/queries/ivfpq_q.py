@@ -17,49 +17,77 @@ from etl_mp_transactions_spark.sources.tables import load_table
 
 _DIM = PQ_M * PQ_SUB
 
-_IVFPQ_CTES = f"""q AS (
+
+def _ivfpq_ctes(base_pred: str = "TRUE", target_pred: str = "TRUE") -> str:
+    """The full IVF-PQ pipeline as DuckDB CTEs, parametrized by which
+    vectors FIT the codebooks (``base_pred``) and which are ENCODED
+    (``target_pred``). The flagship queries use TRUE/TRUE (fit on
+    everything, encode everything); the incremental-ingest query fits
+    on the base slice and encodes only the arriving slice against
+    those frozen books."""
+    return f"""q AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
       FROM embeddings
     ),
+    qb AS (SELECT * FROM q WHERE {base_pred}),
+    qt AS (SELECT * FROM q WHERE {target_pred}),
     cb AS (
       SELECT row_number() OVER (
                ORDER BY md5(vec_id::VARCHAR || '{ivfpq.COARSE_TAG}'),
                         vec_id) - 1 AS c,
              qv AS ccqv
-      FROM q
+      FROM qb
       QUALIFY row_number() OVER (
                ORDER BY md5(vec_id::VARCHAR || '{ivfpq.COARSE_TAG}'),
                         vec_id) <= {ivfpq.IVFPQ_KC}
     ),
-    asg AS (
+    asgb AS (
       SELECT vec_id, c AS cid, ccqv FROM (
-        SELECT q.vec_id, cb.c, cb.ccqv,
+        SELECT qb.vec_id, cb.c, cb.ccqv,
                CAST(list_sum(list_transform(
                  generate_series(1, {_DIM}),
-                 j -> (q.qv[j] - cb.ccqv[j])
-                    * (q.qv[j] - cb.ccqv[j]))) AS BIGINT) AS cd2
-        FROM q CROSS JOIN cb
-        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                 j -> (qb.qv[j] - cb.ccqv[j])
+                    * (qb.qv[j] - cb.ccqv[j]))) AS BIGINT) AS cd2
+        FROM qb CROSS JOIN cb
+        QUALIFY row_number() OVER (PARTITION BY qb.vec_id
                                    ORDER BY cd2, cb.c) = 1
       )
     ),
-    rv AS (
+    rvb AS (
       SELECT a.vec_id, a.cid,
              list_transform(generate_series(1, {_DIM}),
-                            j -> q.qv[j] - a.ccqv[j]) AS rqv
-      FROM asg a JOIN q USING (vec_id)
+                            j -> qb.qv[j] - a.ccqv[j]) AS rqv
+      FROM asgb a JOIN qb USING (vec_id)
     ),
     pb AS (
       SELECT row_number() OVER (
                ORDER BY md5(vec_id::VARCHAR || '{ivfpq.RESID_TAG}'),
                         vec_id) - 1 AS k,
              rqv AS pcqv
-      FROM rv
+      FROM rvb
       QUALIFY row_number() OVER (
                ORDER BY md5(vec_id::VARCHAR || '{ivfpq.RESID_TAG}'),
                         vec_id) <= {PQ_KS}
+    ),
+    asg AS (
+      SELECT vec_id, c AS cid, ccqv FROM (
+        SELECT qt.vec_id, cb.c, cb.ccqv,
+               CAST(list_sum(list_transform(
+                 generate_series(1, {_DIM}),
+                 j -> (qt.qv[j] - cb.ccqv[j])
+                    * (qt.qv[j] - cb.ccqv[j]))) AS BIGINT) AS cd2
+        FROM qt CROSS JOIN cb
+        QUALIFY row_number() OVER (PARTITION BY qt.vec_id
+                                   ORDER BY cd2, cb.c) = 1
+      )
+    ),
+    rv AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            j -> qt.qv[j] - a.ccqv[j]) AS rqv
+      FROM asg a JOIN qt USING (vec_id)
     ),
     sub AS (
       SELECT rv.vec_id, rv.cid, pb.k, mm.m,
@@ -78,6 +106,14 @@ _IVFPQ_CTES = f"""q AS (
       QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                  ORDER BY d2, k) = 1
     )"""
+
+
+_IVFPQ_CTES = _ivfpq_ctes()
+
+# incremental ingest split: the base slice fits the codebooks, the
+# arriving slice (1 in 8 by vec_id) encodes against them frozen
+_BASE_PRED = "vec_id % 8 <> 0"
+_ARRIVING_PRED = "vec_id % 8 = 0"
 
 
 @query(
@@ -170,3 +206,40 @@ def ivfpq_adc_topk(spark, sf_dir):
     tractable."""
     out = ivfpq.ivfpq_adc_topk(load_table(spark, sf_dir, "embeddings"), 10)
     return out
+
+
+@query(
+    "ivfpq_incremental_encode",
+    f"""
+    WITH {_ivfpq_ctes(_BASE_PRED, _ARRIVING_PRED)}
+    SELECT vec_id,
+           CAST(any_value(cid) AS BIGINT) AS cid,
+           CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (4 * m)))
+                AS BIGINT) AS pq_code,
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def ivfpq_incremental_encode(spark, sf_dir):
+    """Incremental IVF-PQ ingest (operators/ivfpq.py
+    encode_against_books): codebooks are fitted on the base slice
+    ({_BASE_PRED}) and FROZEN; the arriving slice ({_ARRIVING_PRED})
+    encodes against them — per-batch work is |batch| x (KC + KS)
+    regardless of corpus size and no previously assigned code ever
+    changes, which is how a production ANN index actually ingests
+    (the dedup_incremental_new_vs_old pattern applied to the vector
+    index). Output: packed codes of the arriving batch only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    arriving = emb.filter(F.expr(_ARRIVING_PRED))
+    cb = ivfpq.coarse_books(base)
+    pb = ivfpq.residual_books(ivfpq.coarse_assign(base, cb))
+    _, packed = ivfpq.encode_against_books(arriving, cb, pb)
+    return packed.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        "pq_code",
+        "distortion",
+    ).orderBy("vec_id")

@@ -1155,3 +1155,77 @@ def r18_stream_neardup_index(spark, sf_dir):
     )
     return out.orderBy("doc_id")
 
+
+
+from etl_mp_transactions_spark.queries.ivfpq_q import (  # noqa: E402
+    _ARRIVING_PRED,
+    _BASE_PRED,
+    _ivfpq_ctes,
+)
+
+
+@query(
+    "r19_stream_ivfpq_ingest",
+    f"""
+    WITH {_ivfpq_ctes(_BASE_PRED, _ARRIVING_PRED)}
+    SELECT vec_id,
+           CAST(any_value(cid) AS BIGINT) AS cid,
+           CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (4 * m)))
+                AS BIGINT) AS pq_code,
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def r19_stream_ivfpq_ingest(spark, sf_dir):
+    """Streaming IVF-PQ vector ingest (14th stream==batch pin;
+    streaming/filesource.stream_ivfpq_ingest_run): codebooks are
+    fitted on the base slice (vec_id % 8 <> 0) and FROZEN; the
+    arriving slice streams in as four mtime-ordered files — one
+    micro-batch each — plus a replay of the first file that must
+    contribute ZERO rows (already-indexed skip + per-batch partition
+    overwrite, the r17 no-ledger construction, made trivial here by
+    frozen-book per-vector independence). The final index must equal
+    the batch ivfpq_incremental_encode bit for bit — same oracle."""
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.operators import ivfpq as ivfpq_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_dir("r19_ivfpq")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    arriving = emb.filter(F.expr(_ARRIVING_PRED)).withColumn(
+        "g", (F.col("vec_id") / 8).cast("long") % 4
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        arriving.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    base = emb.filter(F.expr(_BASE_PRED))
+    cb = ivfpq_ops.coarse_books(base)
+    pb = ivfpq_ops.residual_books(ivfpq_ops.coarse_assign(base, cb))
+    out = filesource.stream_ivfpq_ingest_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "index"),
+        cb,
+        pb,
+    )
+    return out.orderBy("vec_id")
+

@@ -732,3 +732,70 @@ def bootstrap_neardup_index(
     ).write.mode("overwrite").parquet(
         os.path.join(index_dir, "batch=-1")
     )
+
+
+def stream_ivfpq_ingest_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    cb: DataFrame,
+    pb: DataFrame,
+) -> DataFrame:
+    """Streaming IVF-PQ vector ingest (R19): arriving embedding
+    batches encode against FROZEN codebooks (operators/ivfpq.py
+    encode_against_books) and append to a batch-partitioned parquet
+    code index — the streaming twin of the batch
+    ``ivfpq_incremental_encode`` and the ingest loop a production ANN
+    index actually runs (fit/refresh the quantizers offline, encode
+    the firehose online; stored codes never change).
+
+    Replay safety is the r17/r18 no-ledger construction, SIMPLER here
+    because frozen books make every vector's code independent of its
+    batch (pinned by tests/test_ivfpq.py): the sink overwrites its
+    own ``batch=<id>`` partition (re-run batches recompute
+    byte-identical partitions), and an at-least-once re-delivered
+    FILE contributes zero via the already-indexed skip (anti-join
+    against every index partition except this batch's own).
+    """
+    from etl_mp_transactions_spark.operators import ivfpq as ivfpq_ops
+
+    def _indexed_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(index_dir, d)
+            for d in sorted(os.listdir(index_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(index_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], "vec_id long")
+        return spark.read.schema(
+            "vec_id long, cid long, pq_code long, distortion long"
+        ).parquet(*dirs).select("vec_id")
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.join(
+            _indexed_except(batch_id), "vec_id", "left_anti"
+        )
+        _, packed = ivfpq_ops.encode_against_books(fresh, cb, pb)
+        packed.select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            "pq_code",
+            "distortion",
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["embeddings"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "vec_id long, cid long, pq_code long, distortion long"
+    ).parquet(os.path.join(index_dir, "batch=*"))

@@ -98,3 +98,27 @@ def test_residual_seeds_have_zero_distortion(spark, sf_dir):
     assert len(seed_ids) >= PQ_KS  # ties possible, at least KS
     zero = packed.filter(F.col("vec_id").isin(seed_ids[:PQ_KS]))
     assert zero.filter(F.col("distortion") != 0).count() == 0
+
+
+def test_incremental_encode_is_per_vector_independent(spark, sf_dir):
+    # frozen codebooks => each arriving vector's code is independent
+    # of which other vectors arrive in the same batch (the ingest
+    # contract: replays/reorderings can never change stored codes)
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.expr("vec_id % 8 <> 0"))
+    arriving = emb.filter(F.expr("vec_id % 8 = 0"))
+    cb = ivfpq.coarse_books(base)
+    pb = ivfpq.residual_books(ivfpq.coarse_assign(base, cb))
+    _, full = ivfpq.encode_against_books(arriving, cb, pb)
+    sub = arriving.filter(F.expr("vec_id % 16 = 0"))
+    _, part = ivfpq.encode_against_books(sub, cb, pb)
+    want = {
+        r["vec_id"]: (r["cid"], r["pq_code"], r["distortion"])
+        for r in full.collect()
+        if r["vec_id"] % 16 == 0
+    }
+    got = {
+        r["vec_id"]: (r["cid"], r["pq_code"], r["distortion"])
+        for r in part.collect()
+    }
+    assert got == want and len(got) > 0
