@@ -1229,3 +1229,224 @@ def r19_stream_ivfpq_ingest(spark, sf_dir):
     )
     return out.orderBy("vec_id")
 
+
+@query(
+    "image_phash_neardup",
+    """
+    WITH st AS (
+      SELECT doc_id AS asset_id,
+             CAST(doc_id % 5 + 4 AS INT) AS w,
+             CAST(doc_id % 4 + 3 AS INT) AS h,
+             CAST((doc_id % 5 + 4) * (doc_id % 4 + 3) * 3 AS INT) AS n,
+             doc_id % 7 = 3 AS pert,
+             upper(md5(text) || md5('x' || text)) AS hex64
+      FROM documents
+    ),
+    ph AS (
+      SELECT asset_id, w, h, n,
+             CASE WHEN pert THEN substr(fhex, 1, n * 2 - 2) || 'FF'
+                  ELSE fhex END AS phex
+      FROM (SELECT *, substr(repeat(hex64,
+                                    CAST((n * 2 + 63) // 64 AS INT)),
+                             1, n * 2) AS fhex
+            FROM st)
+    ),
+    px AS (
+      SELECT asset_id, w, h, i,
+             ('0x' || substr(phex, i * 6 + 1, 2))::BIGINT
+           + ('0x' || substr(phex, i * 6 + 3, 2))::BIGINT
+           + ('0x' || substr(phex, i * 6 + 5, 2))::BIGINT AS lum,
+             ((i // w) * 3 // h) * 4 + ((i % w) * 4 // w) AS blk
+      FROM ph, unnest(generate_series(0, w * h - 1)) AS t(i)
+    ),
+    bs AS (
+      SELECT asset_id, any_value(w) AS w, any_value(h) AS h, blk,
+             CAST(sum(lum) AS BIGINT) AS bsum,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM px GROUP BY asset_id, blk
+    ),
+    tot AS (
+      SELECT asset_id, sum(bsum) AS ts, sum(nb) AS np
+      FROM bs GROUP BY asset_id
+    ),
+    hsh AS (
+      SELECT b.asset_id, any_value(b.w) AS w, any_value(b.h) AS h,
+             CAST(sum(CASE WHEN b.bsum * t.np > t.ts * b.nb
+                           THEN CAST(1 AS BIGINT) << b.blk
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM bs b JOIN tot t USING (asset_id)
+      GROUP BY b.asset_id
+    ),
+    bands AS (
+      SELECT asset_id, w, h, phash, half,
+             (phash >> (6 * half)) & 63 AS bv
+      FROM hsh, unnest([0, 1]) AS u(half)
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS na, b.asset_id AS ob,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a
+      JOIN bands b ON a.w = b.w AND a.h = b.h AND a.half = b.half
+                  AND a.bv = b.bv AND a.asset_id > b.asset_id
+    ),
+    ver AS (
+      SELECT na, ob, bit_count(xor(pa, pb)) AS ham
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+    )
+    SELECT asset_id, ob AS matched_earlier_id,
+           CAST(ham AS BIGINT) AS hamming
+    FROM (SELECT na AS asset_id, ob, ham,
+                 row_number() OVER (PARTITION BY na ORDER BY ob) AS rn
+          FROM ver)
+    WHERE rn = 1
+    ORDER BY asset_id
+    """,
+)
+def image_phash_neardup(spark, sf_dir):
+    """Perceptual-hash image near-dedup — the multimodal twin of the
+    text simhash pipeline (dedup_simhash_hamming) and the operation
+    image-corpus curation actually runs (LAION-style thumbnail
+    dedup): every document synthesizes its deterministic image
+    (md5-tiled RGB; docs with doc_id % 7 = 3 get a one-byte-perturbed
+    buffer, so same-text docs across that boundary become true NEAR
+    duplicates), goes through the REAL container encode → from-spec
+    decode (operators/imagecodec.py — the multimodal_decode path, so
+    the hash is computed from what the decoder produced), then an
+    aHash-style 4x3 block-mean luminance hash in exact integers
+    (cross-multiplied mean comparisons — no division), banded
+    hamming-<=1 pairing (two 6-bit halves under (w, h); pigeonhole:
+    one flip leaves a half intact), earliest-match attribution.
+
+    Scale: decode is map-only Arrow batches (blobs never shuffle);
+    the pixel explode is <=56 rows/image with map-side-combined block
+    sums; the pair stage joins band buckets keyed by (dims, half,
+    value). At thumbnail sizes the hash carries 12 bits, so band
+    occupancy grows with the corpus — production images carry
+    64-bit hashes (8x8 grid) where the same banding keeps buckets
+    small; the grid size, not the plan, is what a real corpus
+    retunes (the PQ parameter note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        docs.select(
+            F.col("doc_id").alias("asset_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ppm"))
+            .otherwise(F.lit("bmp"))
+            .alias("fmt"),
+            (F.col("doc_id") % 5 + 4).cast("int").alias("width"),
+            (F.col("doc_id") % 4 + 3).cast("int").alias("height"),
+            (F.col("doc_id") % 7 == 3).alias("pert"),
+            F.upper(
+                F.concat(
+                    F.md5("text"), F.md5(F.concat(F.lit("x"), F.col("text")))
+                )
+            ).alias("hex64"),
+        )
+        .withColumn("n", F.col("width") * F.col("height") * 3)
+        .withColumn(
+            "fhex",
+            F.expr(
+                "substring(repeat(hex64,"
+                " cast((n * 2 + 63) div 64 as int)), 1, n * 2)"
+            ),
+        )
+        .withColumn(
+            "phex",
+            F.when(
+                F.col("pert"),
+                F.expr("concat(substring(fhex, 1, n * 2 - 2), 'FF')"),
+            ).otherwise(F.col("fhex")),
+        )
+        .select(
+            "asset_id", "fmt", "width", "height",
+            F.unhex("phex").alias("raw"),
+        )
+    )
+    dec = multimodal.encode_decode_images(staged)
+    px = dec.select(
+        "asset_id",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+        F.explode(
+            F.expr("sequence(0, width * height - 1)")
+        ).alias("i"),
+        "pixel_hex",
+    ).select(
+        "asset_id",
+        "w",
+        "h",
+        F.expr(
+            "cast(conv(substring(pixel_hex, i * 6 + 1, 2), 16, 10) as bigint)"
+            " + cast(conv(substring(pixel_hex, i * 6 + 3, 2), 16, 10) as bigint)"
+            " + cast(conv(substring(pixel_hex, i * 6 + 5, 2), 16, 10) as bigint)"
+        ).alias("lum"),
+        F.expr(
+            "((i div w) * 3 div h) * 4 + ((i % w) * 4 div w)"
+        ).alias("blk"),
+    )
+    bs = px.groupBy("asset_id", "blk").agg(
+        F.first("w").alias("w"),
+        F.first("h").alias("h"),
+        F.sum("lum").cast("bigint").alias("bsum"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    tot = bs.groupBy("asset_id").agg(
+        F.sum("bsum").alias("ts"), F.sum("nb").alias("np")
+    )
+    hsh = (
+        bs.join(tot, "asset_id")
+        .groupBy("asset_id")
+        .agg(
+            F.first("w").alias("w"),
+            F.first("h").alias("h"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN bsum * np > ts * nb"
+                    " THEN shiftleft(cast(1 as bigint), blk)"
+                    " ELSE cast(0 as bigint) END"
+                )
+            ).cast("bigint").alias("phash"),
+        )
+    )
+    bands = hsh.select(
+        "asset_id",
+        "w",
+        "h",
+        "phash",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("half"),
+    ).withColumn(
+        "bv", F.expr("shiftright(phash, 6 * half) & 63")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.asset_id") > F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("na"),
+            F.col("b.asset_id").alias("ob"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ver = cand.withColumn(
+        "ham", F.expr("bit_count(pa ^ pb)")
+    ).filter(F.col("ham") <= 1)
+    from pyspark.sql.window import Window as _W
+
+    w1 = _W.partitionBy("na").orderBy("ob")
+    return (
+        ver.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("na").alias("asset_id"),
+            F.col("ob").alias("matched_earlier_id"),
+            F.col("ham").cast("bigint").alias("hamming"),
+        )
+        .orderBy("asset_id")
+    )
