@@ -243,42 +243,9 @@ def _segments(spark, sf_dir) -> DataFrame:
         return out
 
     docs = load_table(spark, sf_dir, "documents")
-    # distinct-word table: corpus-linear groupBy, then everything
-    # downstream is vocabulary-sized
-    wcnt = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
-    pieces = (
-        wcnt.select(
-            "word",
-            "cnt",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(MAX_WORD_LEN))
-            ).alias("st"),
-        )
-        .select(
-            "word",
-            "cnt",
-            "st",
-            F.explode(
-                F.sequence(F.lit(1), F.lit(MAX_PIECE_LEN))
-            ).alias("len"),
-        )
-        .filter(F.col("st") + F.col("len") - 1 <= F.length("word"))
-        .withColumn("piece", F.expr("substring(word, st, len)"))
-    )
-    vocab0 = (
-        pieces.groupBy("piece")
-        .agg(F.sum("cnt").cast("bigint").alias("pcount"))
-        .filter(
-            (F.col("pcount") >= MIN_PIECE_COUNT)
-            | (F.length("piece") == 1)
-        )
-    )
+    wcnt = _wcnt_df(docs)
+    pieces = _pieces_df(wcnt)
+    vocab0 = _vocab0_df(pieces)
     # single-row vocabulary mass (documented bounded scalar class —
     # the HITS max-scalar shape)
     nmass = vocab0.agg(F.sum("pcount").alias("n"))
@@ -346,3 +313,113 @@ def _segments(spark, sf_dir) -> DataFrame:
         (F.col("w.word") == F.col("b.word"))
         & (F.col("b.pos") == F.length(F.col("w.word"))),
     ).select("b.word", "b.cost", "b.path")
+
+
+def _wcnt_df(docs: DataFrame) -> DataFrame:
+    """Distinct-word counts: ONE corpus-linear groupBy; everything
+    downstream is vocabulary-sized (checkpointed for reuse)."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _pieces_df(wcnt: DataFrame) -> DataFrame:
+    return (
+        wcnt.select(
+            "word",
+            "cnt",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(MAX_WORD_LEN))
+            ).alias("st"),
+        )
+        .select(
+            "word",
+            "cnt",
+            "st",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(MAX_PIECE_LEN))
+            ).alias("len"),
+        )
+        .filter(F.col("st") + F.col("len") - 1 <= F.length("word"))
+        .withColumn("piece", F.expr("substring(word, st, len)"))
+    )
+
+
+def _vocab0_df(pieces: DataFrame) -> DataFrame:
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("pcount"))
+        .filter(
+            (F.col("pcount") >= MIN_PIECE_COUNT)
+            | (F.length("piece") == 1)
+        )
+    )
+
+
+@query(
+    "viterbi_em_recount",
+    f"""
+    WITH {_SEG_CTES},
+    used AS (
+      SELECT u.piece,
+             CAST(sum(w.cnt) AS BIGINT) AS used_count
+      FROM (SELECT word, unnest(string_split(path, '|')) AS piece
+            FROM seg) u
+      JOIN wcnt w ON w.word = u.word
+      GROUP BY u.piece
+    )
+    SELECT u.piece,
+           v.pcount AS old_support,
+           u.used_count,
+           CAST(length(bin((SELECT sum(used_count) FROM used)
+                           // u.used_count)) AS BIGINT) AS new_cost
+    FROM used u JOIN vocab0 v ON v.piece = u.piece
+    ORDER BY u.piece
+    """,
+)
+def viterbi_em_recount(spark, sf_dir):
+    """Hard-EM M-step of unigram-LM tokenizer training (Kudo 2018 §3
+    — this variant recounts from the 1-best Viterbi segmentation
+    rather than forward-backward expectations, the classic hard-EM
+    simplification): every corpus word's chosen pieces are recounted
+    weighted by word frequency, producing the updated vocabulary —
+    pieces NEVER chosen by any segmentation drop out entirely (the
+    EM pruning step that shrinks a seed vocabulary toward the final
+    tokenizer), and each survivor gets its re-derived bit-length
+    cost over the new usage mass. Output per surviving piece:
+    substring-count support (round 0), usage count, new cost.
+
+    Scale: one corpus-linear word count; the segmentation explode and
+    recount run on the vocabulary-sized segmentation table with
+    map-side-combined sums; the usage mass is a single-row scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    wcnt = _wcnt_df(docs)
+    vocab0 = _vocab0_df(_pieces_df(wcnt))
+    seg = _segments(spark, sf_dir)
+    used = (
+        seg.join(wcnt, "word")
+        .select(
+            "cnt",
+            F.explode(F.split("path", r"\|")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("used_count"))
+    )
+    nmass = used.agg(F.sum("used_count").alias("n2"))
+    return (
+        used.join(vocab0, "piece")
+        .crossJoin(F.broadcast(nmass))
+        .select(
+            "piece",
+            F.col("pcount").alias("old_support"),
+            "used_count",
+            F.length(F.bin(F.expr("div(n2, used_count)")))
+            .cast("bigint")
+            .alias("new_cost"),
+        )
+        .orderBy("piece")
+    )

@@ -127,3 +127,68 @@ def test_partition_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_dp_matches_brute_force_enumeration(spark, sf_dir):
+    # stronger than the replay (which shares the DP recurrence):
+    # enumerate ALL 2^(L-1) segmentations of each word and take the
+    # declared (cost asc, path asc) optimum directly
+    from itertools import combinations
+
+    from etl_mp_transactions_spark.queries.wordpiece import (
+        MAX_PIECE_LEN as MP,
+        MIN_PIECE_COUNT as MC,
+    )
+
+    wcnt = _word_counts(spark, sf_dir)
+    pieces = Counter()
+    for w, c in wcnt.items():
+        for st in range(len(w)):
+            for ln in range(1, MP + 1):
+                if st + ln <= len(w):
+                    pieces[w[st:st + ln]] += c
+    vocab = {p: c for p, c in pieces.items() if c >= MC or len(p) == 1}
+    n = sum(vocab.values())
+    cost = {p: len(bin(n // c)) - 2 for p, c in vocab.items()}
+
+    def brute(w):
+        best = None
+        L = len(w)
+        for k in range(L):  # choose cut positions
+            for cuts in combinations(range(1, L), k):
+                bounds = [0, *cuts, L]
+                parts = [w[a:b] for a, b in zip(bounds, bounds[1:])]
+                if any(len(p) > MP or p not in vocab for p in parts):
+                    continue
+                cand = (sum(cost[p] for p in parts), "|".join(parts))
+                if best is None or cand < best:
+                    best = cand
+        return best
+
+    got = {
+        r["word"]: (r["total_cost"], r["segmentation"])
+        for r in queries()["viterbi_segment_vocab"](spark, sf_dir).collect()
+    }
+    for w in wcnt:
+        assert got[w] == brute(w), w
+
+
+def test_em_recount_consistent_with_segmentations(spark, sf_dir):
+    # the M-step usage counts must equal a direct recount over the
+    # emitted segmentations, weighted by word frequency; survivors
+    # are exactly the pieces some segmentation chose
+    wcnt = _word_counts(spark, sf_dir)
+    segs = {
+        r["word"]: r["segmentation"]
+        for r in queries()["viterbi_segment_vocab"](spark, sf_dir).collect()
+    }
+    want = Counter()
+    for w, seg in segs.items():
+        for p in seg.split("|"):
+            want[p] += wcnt[w]
+    rows = queries()["viterbi_em_recount"](spark, sf_dir).collect()
+    got = {r["piece"]: r["used_count"] for r in rows}
+    assert got == dict(want)
+    n2 = sum(want.values())
+    for r in rows:
+        assert r["new_cost"] == len(bin(n2 // r["used_count"])) - 2
