@@ -276,3 +276,83 @@ def ivfpq_adc_topk(
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+IVFPQ_QBATCH = 64  # serving batch size (bounded by construction)
+QUERY_TAG = ":ivfpq-query-1"
+
+
+def ivfpq_adc_batch(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, adc_d2, rank): batched ADC serving — a
+    deterministic IVFPQ_QBATCH-query batch (md5-rank pick, the seed
+    shape) each searches its IVFPQ_NPROBE nearest lists. The combined
+    lookup table is QBATCH × nprobe × M × KS rows — bounded by the
+    BATCH, not the corpus, so it broadcasts and the whole scan is one
+    map-side hash join over the probed lists' codes with map-side-
+    combined per-(query, vector) sums and per-query top-k windows.
+    This is the production serving shape: queries arrive in bounded
+    batches, so per-batch work stays ∝ corpus × nprobe/KC regardless
+    of corpus size (vs the inherently quadratic "all vectors query
+    all lists")."""
+    cb = coarse_books(embeddings, id_col)
+    resid = coarse_assign(embeddings, cb, id_col).persist()
+    pb = residual_books(resid)
+    codes, _ = _encode_resid(resid, pb)
+    q = _quantized(embeddings, id_col)
+    qset = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(QUERY_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(IVFPQ_QBATCH)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    )
+    pw = Window.partitionBy("query_id").orderBy("cd2", "c")
+    probe = (
+        qset.crossJoin(F.broadcast(cb))
+        .withColumn("cd2", F.expr(_FULL_D2.format(a="qqv", b="ccqv")))
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .select("query_id", "c", "qqv", "ccqv")
+    )
+    lut = (
+        probe.withColumn(
+            "rqq", F.expr("zip_with(qqv, ccqv, (a, b) -> a - b)")
+        )
+        .crossJoin(F.broadcast(pb))
+        .select(
+            "query_id",
+            F.col("c").alias("cid"),
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "rqq",
+            "pcqv",
+        )
+        .select(
+            "query_id",
+            "cid",
+            F.col("k").alias("code"),
+            "m",
+            _sub_d2("rqq", "pcqv").alias("ld2"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld2").cast("bigint").alias("adc_d2"))
+    )
+    rw = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -243,3 +243,72 @@ def ivfpq_incremental_encode(spark, sf_dir):
         "pq_code",
         "distortion",
     ).orderBy("vec_id")
+
+
+@query(
+    "ivfpq_adc_batch",
+    f"""
+    WITH {_IVFPQ_CTES},
+    qset AS (
+      SELECT vec_id AS query_id, qv AS qqv FROM (
+        SELECT vec_id, qv,
+               md5(vec_id::VARCHAR || '{ivfpq.QUERY_TAG}') AS sk
+        FROM q
+      )
+      QUALIFY row_number() OVER (ORDER BY sk, vec_id)
+              <= {ivfpq.IVFPQ_QBATCH}
+    ),
+    probe AS (
+      SELECT query_id, c AS cid, qqv, ccqv FROM (
+        SELECT qs.query_id, cb.c, qs.qqv, cb.ccqv,
+               CAST(list_sum(list_transform(
+                 generate_series(1, {_DIM}),
+                 j -> (qs.qqv[j] - cb.ccqv[j])
+                    * (qs.qqv[j] - cb.ccqv[j]))) AS BIGINT) AS cd2
+        FROM qset qs CROSS JOIN cb
+        QUALIFY row_number() OVER (PARTITION BY qs.query_id
+                                   ORDER BY cd2, cb.c)
+                <= {ivfpq.IVFPQ_NPROBE}
+      )
+    ),
+    lut AS (
+      SELECT p.query_id, p.cid, pb.k AS code, mm.m,
+             CAST(list_sum(list_transform(
+               generate_series(1, {PQ_SUB}),
+               j -> ((p.qqv[mm.m * {PQ_SUB} + j]
+                      - p.ccqv[mm.m * {PQ_SUB} + j])
+                     - pb.pcqv[mm.m * {PQ_SUB} + j])
+                  * ((p.qqv[mm.m * {PQ_SUB} + j]
+                      - p.ccqv[mm.m * {PQ_SUB} + j])
+                     - pb.pcqv[mm.m * {PQ_SUB} + j]))) AS BIGINT) AS ld2
+      FROM probe p CROSS JOIN pb
+      CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id,
+             CAST(sum(l.ld2) AS BIGINT) AS adc_d2
+      FROM codes c
+      JOIN lut l ON l.cid = c.cid AND l.m = c.m AND l.code = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_d2,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, vec_id, adc_d2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_d2, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def ivfpq_adc_batch(spark, sf_dir):
+    """Batched ADC serving (operators/ivfpq.py ivfpq_adc_batch): a
+    deterministic {ivfpq.IVFPQ_QBATCH}-query batch each searches its
+    {ivfpq.IVFPQ_NPROBE} nearest inverted lists, per-query exact
+    integer top-5. The combined lookup table is bounded by the BATCH
+    (batch x nprobe x M x KS rows), so it broadcasts and the scan is
+    one map-side hash join over the probed lists' codes — per-batch
+    work ∝ corpus x nprobe/KC at any corpus size, the production
+    serving shape (queries arrive in bounded batches; the quadratic
+    'every vector queries every list' is exactly what this avoids)."""
+    return ivfpq.ivfpq_adc_batch(load_table(spark, sf_dir, "embeddings"), 5)

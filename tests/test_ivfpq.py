@@ -122,3 +122,40 @@ def test_incremental_encode_is_per_vector_independent(spark, sf_dir):
         for r in part.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_adc_batch_structure_and_probed_lists(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    out = ivfpq.ivfpq_adc_batch(emb, k_neighbors=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == ivfpq.IVFPQ_QBATCH
+    cb = ivfpq.coarse_books(emb)
+    crows = cb.collect()
+    qv = {
+        r["vec_id"]: r["qv"]
+        for r in emb.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint)) qv",
+        ).collect()
+    }
+    # recompute each query's probed lists and its members' cids
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in ivfpq.coarse_assign(emb, cb).collect()
+    }
+    for q, rows in per_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] \
+            == list(range(1, len(rows) + 1))
+        d2s = [r["adc_d2"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert d2s == sorted(d2s)
+        d2c = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qv[q], r["ccqv"])),
+                r["c"],
+            )
+            for r in crows
+        )
+        probed = {c for _, c in d2c[: ivfpq.IVFPQ_NPROBE]}
+        assert {cid_of[r["vec_id"]] for r in rows} <= probed
