@@ -47,12 +47,38 @@ the distributed equivalent of its implicit total orders.
 
 from __future__ import annotations
 
-import uuid
+import atexit
+import itertools
+import shutil
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_PARTS = 32
+
+# materialize="table" scratch dirs: deterministic per-process sequence
+# (distranks_mat_0000, _0001, ...) so a rerun of the same workload in a
+# fresh session OVERWRITES the prior run's files instead of leaking new
+# uuid-named dirs, plus an explicit registry so long-running sessions
+# can reclaim the space once the dependent jobs have executed
+# (``cleanup_materialized()``; also runs atexit as a backstop).
+_mat_seq = itertools.count()
+_mat_paths: list[str] = []
+
+
+def cleanup_materialized() -> int:
+    """Delete every materialize="table" scratch dir created by this
+    process and reset the registry. Call ONLY after all actions that
+    depend on frames returned by these helpers have run — the reread
+    plans reference the files lazily. Returns the number removed."""
+    n = 0
+    while _mat_paths:
+        shutil.rmtree(_mat_paths.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
+atexit.register(cleanup_materialized)
 
 # spark.etlmp.distranks.materialize: "local" (default) | "table".
 # localCheckpoint stores partitions in EXECUTOR storage -- on a real
@@ -79,8 +105,9 @@ def _materialize(parts: DataFrame, materialize: str | None) -> DataFrame:
             MATERIALIZE_DIR_CONF,
             spark.conf.get("spark.sql.warehouse.dir"),
         )
-        path = f"{base.rstrip('/')}/distranks_mat_{uuid.uuid4().hex}"
+        path = f"{base.rstrip('/')}/distranks_mat_{next(_mat_seq):04d}"
         parts.write.mode("overwrite").parquet(path)
+        _mat_paths.append(path)
         return spark.read.parquet(path)
     raise ValueError(
         f"unknown distranks materialize mode {how!r}"

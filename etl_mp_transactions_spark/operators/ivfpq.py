@@ -70,6 +70,34 @@ IVFPQ_NPROBE = 2  # lists scanned per query
 COARSE_TAG = ":ivfpq-coarse-1"
 RESID_TAG = ":ivfpq-resid-1"
 
+# Each entry point persists ONE n-row residual frame (the codebook
+# seed scan and the encode both replay the full n×KC assignment
+# without it). Caching is tracked module-wide and the previous
+# generation is released on the next entry call, so a full
+# registry/bench run holds at most one cached residual frame at a
+# time instead of accumulating one per invocation. Unpersisting a
+# frame a still-unexecuted earlier plan references is safe — Spark
+# recomputes from lineage; only the cache is dropped.
+_cached: list[DataFrame] = []
+
+
+def release_cache() -> int:
+    """Unpersist every residual frame this module still has cached.
+    Returns the number released."""
+    n = 0
+    while _cached:
+        _cached.pop().unpersist()
+        n += 1
+    return n
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    release_cache()
+    df = df.persist()
+    _cached.append(df)
+    return df
+
+
 _FULL_D2 = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
     " cast(0 as bigint), (acc, v) -> acc + v)"
@@ -167,7 +195,7 @@ def ivfpq_encode(
     # without the persist, residual_books' seed scan and the encode
     # each replay the full n×KC assignment (measured as most of the
     # encode's 10×-step wall)
-    resid = coarse_assign(embeddings, cb, id_col).persist()
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
     pb = residual_books(resid)
     out = _encode_resid(resid, pb)
     return out
@@ -221,7 +249,7 @@ def ivfpq_adc_topk(
     exact per-list residual subspace distances — vectors outside the
     probed lists are never read, and raw vectors are never touched."""
     cb = coarse_books(embeddings, id_col)
-    resid = coarse_assign(embeddings, cb, id_col).persist()
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
     pb = residual_books(resid)
     codes, _ = _encode_resid(resid, pb)
     q = _quantized(embeddings, id_col)
@@ -299,7 +327,7 @@ def ivfpq_adc_batch(
     of corpus size (vs the inherently quadratic "all vectors query
     all lists")."""
     cb = coarse_books(embeddings, id_col)
-    resid = coarse_assign(embeddings, cb, id_col).persist()
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
     pb = residual_books(resid)
     codes, _ = _encode_resid(resid, pb)
     q = _quantized(embeddings, id_col)

@@ -48,7 +48,20 @@ class SeenKeysStore:
         self.path = path
         self.key = key
 
+    def _recover(self) -> None:
+        """Crash recovery for compact()'s two-rename swap: the window
+        between ``rename(path, old)`` and ``rename(tmp, path)`` is NOT
+        atomic — a crash there leaves the live path missing with the
+        full old generation parked at ``.old``. Every entry point calls
+        this first: if the live path is gone but ``.old`` survives,
+        rename it back, so the store resumes at the pre-compaction
+        generation (duplicates are re-filtered, never re-admitted)."""
+        old = self.path.rstrip("/") + ".old"
+        if not os.path.isdir(self.path) and os.path.isdir(old):
+            os.rename(old, self.path)
+
     def _exists(self) -> bool:
+        self._recover()
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
@@ -126,9 +139,17 @@ class SeenKeysStore:
         older than ``now − retention`` dropped (module docstring —
         the Redis TTL analog), output coalesced to ``nparts`` files.
         NULL seen_at never expires (Redis PERSIST). The rewrite goes
-        to a sibling directory and swaps in via rename, so a reader
-        racing the compaction sees the old generation, never a
-        partial one. Returns {"kept": n, "dropped": n}."""
+        to a sibling directory and swaps in via two renames
+        (path→.old, then tmp→path). That swap is NOT atomic: a reader
+        never sees a PARTIAL generation (each rename is), but in the
+        instant between the two renames the live path does not exist —
+        a reader landing exactly there sees an empty store, and a crash
+        there parks the data at ``.old``. ``_recover()`` (called by
+        every entry point) renames ``.old`` back on the next touch, so
+        the crash case self-heals to the pre-compaction generation;
+        single-writer compaction (the deployment contract, matching the
+        reference's single Redis mutator) closes the reader race.
+        Returns {"kept": n, "dropped": n}."""
         if retention is not None and now is None:
             raise ValueError("retention requires an explicit now=")
         if not self._exists():

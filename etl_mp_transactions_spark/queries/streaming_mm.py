@@ -1011,7 +1011,7 @@ def r17_stream_incremental_dedup(spark, sf_dir):
     stage = os.path.join(work, "in")
     os.makedirs(stage, exist_ok=True)
     newd = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "g", (F.col("doc_id") / 5).cast("long") % 4
+        "g", F.expr("(doc_id div 5) % 4")
     )
     t0 = 1700000000  # fixed epoch: mtime order == batch order
     for g in range(4):
@@ -1123,7 +1123,7 @@ def r18_stream_neardup_index(spark, sf_dir):
     stage = os.path.join(work, "in")
     os.makedirs(stage, exist_ok=True)
     newd = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "g", (F.col("doc_id") / 5).cast("long") % 4
+        "g", F.expr("(doc_id div 5) % 4")
     )
     t0 = 1700000000
     for g in range(4):
@@ -1198,7 +1198,7 @@ def r19_stream_ivfpq_ingest(spark, sf_dir):
     stage = os.path.join(work, "in")
     os.makedirs(stage, exist_ok=True)
     arriving = emb.filter(F.expr(_ARRIVING_PRED)).withColumn(
-        "g", (F.col("vec_id") / 8).cast("long") % 4
+        "g", F.expr("(vec_id div 8) % 4")
     )
     t0 = 1700000000
     for g in range(4):

@@ -184,3 +184,133 @@ def duplicate_ngram_spans(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Maximal-span exact substring dedup (VERDICT r9 task #4): the actual
+# Lee et al. 2022 deliverable — VARIABLE-length maximal duplicated
+# spans per document pair, not the fixed-8-gram-granular per-doc
+# rollup above. Suffix arrays find maximal repeats by construction;
+# the distributed equivalent is anchor chaining (the genomics MUMmer
+# shape): any substring of length L >= NGRAM shared verbatim between
+# two documents contains exactly L - NGRAM + 1 consecutive shared
+# 8-grams on ONE alignment diagonal (pa - pb constant), and the
+# overlap argument makes the run gap-free — consecutive-run merging
+# on the diagonal reconstructs each maximal span exactly, and its
+# maximality is inherited (extending one token past the run would add
+# another matching 8-gram to the run).
+
+MAX_GRAM_OCC = 1024  # per-gram occurrence cap for the pair join
+
+
+@query(
+    "duplicate_maximal_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, p, md5({_lead_concat_sql()}) AS g,
+             count(*) OVER (PARTITION BY doc_id) AS n_tokens
+      FROM toks
+      QUALIFY p + {NGRAM} <= n_tokens
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, a.p - b.p AS diag
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM pairs
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, diag,
+             CAST(min(pa) AS BIGINT) AS a_start,
+             CAST(max(pa) + {NGRAM} - 1 AS BIGINT) AS a_end
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, a_start, a_end,
+           a_start - diag AS b_start,
+           a_end - diag AS b_end,
+           a_end - a_start + 1 AS span_tokens
+    FROM spans
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """,
+)
+def duplicate_maximal_spans(spark, sf_dir):
+    """Every MAXIMAL exactly-duplicated token span between every
+    document pair (module maximal-span section): per row, the two
+    docs, both spans' token offsets, and the span length — the
+    precise cut list Lee et al. 2022's ExactSubstr dedup emits from a
+    suffix array, reproduced distributedly via 8-gram anchor chaining
+    on alignment diagonals. Spans are provably maximal and gap-free
+    at anchor granularity (overlap argument in the section comment);
+    minimum reportable length is NGRAM tokens — shorter repeats are
+    below the Lee-et-al cut threshold by construction.
+
+    Scale: one gram shuffle; the pair join is per-gram-bounded
+    (capped_bucket, error mode — the tested corpora sit far below
+    MAX_GRAM_OCC and an adversarial one fails LOUDLY instead of
+    silently diverging from the uncapped oracle); the run-merge
+    windows partition by (doc_a, doc_b, diag) — parallel, never
+    global. A python brute-force maximal-common-substring replay
+    cross-checks in tests/test_maximal_spans.py."""
+    from etl_mp_transactions_spark.operators.textdedup import capped_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(wdoc) for i in range(1, NGRAM)
+    ]
+    grams = (
+        toks.select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", *gram_cols)).alias("g"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias(
+                "n_tokens"
+            ),
+        )
+        .filter(F.col("p") + NGRAM <= F.col("n_tokens"))
+        .select("doc_id", "p", "g")
+    )
+    capped = capped_bucket(grams, "g", "doc_id", MAX_GRAM_OCC)
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn(
+        "grp", F.col("pa") - F.row_number().over(wrun)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.min("pa").cast("bigint").alias("a_start"),
+        (F.max("pa") + NGRAM - 1).cast("bigint").alias("a_end"),
+    )
+    return spans.select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        "a_end",
+        (F.col("a_start") - F.col("diag")).alias("b_start"),
+        (F.col("a_end") - F.col("diag")).alias("b_end"),
+        (F.col("a_end") - F.col("a_start") + 1).alias("span_tokens"),
+    ).orderBy("doc_a", "doc_b", "a_start", "b_start")

@@ -65,6 +65,16 @@ MAX_WORD_LEN = 10
 MAX_PIECE_LEN = 4
 MIN_PIECE_COUNT = 2  # pieces below this support are dropped (len>1)
 _SC_W = 8  # lpad width of the cost prefix in the DP key
+
+# lpad silently TRUNCATES (identically in Spark and DuckDB) when the
+# printed cost outgrows _SC_W digits — a silent wrong-argmin class the
+# oracle cannot catch because both engines corrupt the same way. Pin
+# the bound at import: per-piece cost = bit-length of (mass // pcount)
+# <= 64, so the worst path cost is MAX_WORD_LEN * 64.
+assert MAX_WORD_LEN * 64 < 10**_SC_W, (
+    "DP cost can overflow the lpad width: raise _SC_W before raising "
+    "MAX_WORD_LEN or changing the cost function"
+)
 _STATE_SCHEMA = "word string, pos int, cost bigint, path string"
 
 
@@ -232,20 +242,11 @@ def viterbi_tokenize_docs(spark, sf_dir):
 
 def _segments(spark, sf_dir) -> DataFrame:
     """(word, cost, path): the Viterbi DP over the distinct-word
-    table — corpus-linear word count, then ≤ MAX_WORD_LEN unrolled
-    rounds of (hash join + grouped string-min) on distinct words
-    only. Round states are cut via RDD roundtrip + persist (module
-    docstring)."""
-
-    def cut(df: DataFrame) -> DataFrame:
-        out = spark.createDataFrame(df.rdd, _STATE_SCHEMA).persist()
-        out.count()
-        return out
-
+    table with substring-support costs — corpus-linear word count,
+    then the _segments_from_vocab DP."""
     docs = load_table(spark, sf_dir, "documents")
     wcnt = _wcnt_df(docs)
-    pieces = _pieces_df(wcnt)
-    vocab0 = _vocab0_df(pieces)
+    vocab0 = _vocab0_df(_pieces_df(wcnt))
     # single-row vocabulary mass (documented bounded scalar class —
     # the HITS max-scalar shape)
     nmass = vocab0.agg(F.sum("pcount").alias("n"))
@@ -255,6 +256,24 @@ def _segments(spark, sf_dir) -> DataFrame:
             "pcost"
         ),
     )
+    return _segments_from_vocab(spark, wcnt, vocab)
+
+
+def _segments_from_vocab(
+    spark, wcnt: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """(word, cost, path): the Viterbi DP against an ARBITRARY piece
+    vocabulary (piece, pcost) — ≤ MAX_WORD_LEN unrolled rounds of
+    (hash join + grouped string-min) on distinct words only. Round
+    states are cut via RDD roundtrip + persist (module docstring).
+    The EM loop calls this once per training iteration."""
+
+    def cut(df: DataFrame) -> DataFrame:
+        out = spark.createDataFrame(df.rdd, _STATE_SCHEMA).persist()
+        out.count()
+        return out
+
+    pieces = _pieces_df(wcnt)
     cand = (
         pieces.select("word", "st", "len", "piece")
         .join(vocab, "piece")
@@ -423,3 +442,254 @@ def viterbi_em_recount(spark, sf_dir):
         )
         .orderBy("piece")
     )
+
+
+# ---------------------------------------------------------------------
+# Full unigram-EM training loop (Kudo 2018 §3 complete): segment →
+# hard-EM recount → prune toward a target vocabulary → recompute costs,
+# repeated EM_ITERS times, then a final segmentation with the trained
+# vocabulary. viterbi_segment_vocab/viterbi_em_recount above are ONE
+# iteration of this loop; these queries run the whole training.
+# Pruning keeps ALL single-char pieces (coverage: every word stays
+# segmentable) plus the top KEEP_PCT% of multi-char pieces by
+# (usage DESC, piece ASC) — the deterministic integer surrogate of
+# Kudo's likelihood-loss pruning. Unused singles carry usage
+# max(used, 1) so their cost stays defined (the real model's epsilon
+# floor). Every quantity is an exact integer, so DuckDB replays all
+# EM_ITERS + 1 unrolled DPs bit-for-bit.
+
+EM_ITERS = 2
+KEEP_PCT = 60  # multi-char pieces surviving each prune round
+
+
+def _round_sql_g(s: str, i: int) -> str:
+    """_round_sql with suffixed CTE names (cand_{s}, b{s}_{i}) so
+    several DPs — one per EM iteration — coexist in one statement."""
+    js = range(max(0, i - MAX_PIECE_LEN), i)
+    prev = " UNION ALL ".join(f"SELECT * FROM b{s}_{j}" for j in js)
+    return f"""
+    b{s}_{i} AS MATERIALIZED (
+      SELECT word, {i} AS pos,
+             CAST(substr(mk, 1, {_SC_W}) AS BIGINT) AS cost,
+             substr(mk, {_SC_W + 2}) AS path
+      FROM (
+        SELECT c.word,
+               min(lpad(CAST(p.cost + c.pcost AS VARCHAR), {_SC_W}, '0')
+                   || '#'
+                   || CASE WHEN p.path = '' THEN c.piece
+                           ELSE p.path || '|' || c.piece END) AS mk
+        FROM cand_{s} c
+        JOIN ({prev}) p
+          ON p.word = c.word AND p.pos = c.st - 1
+        WHERE c.st + c.len - 1 = {i}
+        GROUP BY c.word
+      )
+    )"""
+
+
+def _dp_ctes(s: str, vocab_cte: str) -> str:
+    """One full Viterbi DP (cand → b{s}_0..b{s}_N → seg_{s}) against
+    the pieces of ``vocab_cte`` (piece, pcost)."""
+    rounds = ",".join(_round_sql_g(s, i) for i in range(1, MAX_WORD_LEN + 1))
+    ball = " UNION ALL ".join(
+        f"SELECT * FROM b{s}_{i}" for i in range(1, MAX_WORD_LEN + 1)
+    )
+    return f"""cand_{s} AS MATERIALIZED (
+      SELECT w.word, pos.st, plen.len, v.piece, v.pcost
+      FROM wcnt w CROSS JOIN pos CROSS JOIN plen
+      JOIN {vocab_cte} v ON v.piece = substr(w.word, pos.st, plen.len)
+      WHERE pos.st + plen.len - 1 <= length(w.word)
+    ),
+    b{s}_0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS path
+               FROM wcnt),{rounds},
+    ball_{s} AS ({ball}),
+    seg_{s} AS (
+      SELECT b.word, b.cost, b.path
+      FROM ball_{s} b JOIN wcnt w
+        ON w.word = b.word AND b.pos = length(w.word)
+    )"""
+
+
+def _em_step_ctes(t: int) -> str:
+    """EM iteration t: recount from seg_{t}, prune, recompute costs
+    into v{t + 1}c (the vocab the NEXT DP runs against)."""
+    return f"""used_{t} AS MATERIALIZED (
+      SELECT u.piece, CAST(sum(w.cnt) AS BIGINT) AS ucount
+      FROM (SELECT word, unnest(string_split(path, '|')) AS piece
+            FROM seg_{t}) u
+      JOIN wcnt w ON w.word = u.word
+      GROUP BY u.piece
+    ),
+    kept_{t} AS MATERIALIZED (
+      SELECT piece, ucount FROM (
+        SELECT s.piece, s.ucount,
+               row_number() OVER (ORDER BY s.ucount DESC, s.piece) AS rn,
+               (SELECT count(*) FROM used_{t}
+                WHERE length(piece) > 1) AS nm
+        FROM used_{t} s WHERE length(s.piece) > 1)
+      WHERE rn * 100 <= nm * {KEEP_PCT}
+      UNION ALL
+      SELECT v.piece,
+             greatest(coalesce(u.ucount, CAST(0 AS BIGINT)),
+                      CAST(1 AS BIGINT)) AS ucount
+      FROM (SELECT piece FROM vocab0 WHERE length(piece) = 1) v
+      LEFT JOIN used_{t} u USING (piece)
+    ),
+    v{t + 1}c AS MATERIALIZED (
+      SELECT piece, ucount,
+             CAST(length(bin((SELECT sum(ucount) FROM kept_{t})
+                             // ucount)) AS BIGINT) AS pcost
+      FROM kept_{t}
+    )"""
+
+
+def _em_ctes() -> str:
+    """The full training chain: v1c = substring-support costs, then
+    EM_ITERS × (DP against v{t}c → recount → prune → v{t+1}c), then
+    the FINAL DP (seg_{EM_ITERS + 1}) against the trained vocab."""
+    parts = [
+        _BASE_CTES.rstrip().rstrip(","),
+        f"""v1c AS MATERIALIZED (
+      SELECT piece, pcount AS ucount,
+             CAST(length(bin((SELECT sum(pcount) FROM vocab0) // pcount))
+                  AS BIGINT) AS pcost
+      FROM vocab0
+    )""",
+    ]
+    for t in range(1, EM_ITERS + 1):
+        parts.append(_dp_ctes(str(t), f"v{t}c"))
+        parts.append(_em_step_ctes(t))
+    parts.append(_dp_ctes(str(EM_ITERS + 1), f"v{EM_ITERS + 1}c"))
+    return ",".join(parts)
+
+
+_EM_CTES = _em_ctes()
+
+
+def _costify(kept: DataFrame) -> DataFrame:
+    """(piece, ucount, pcost): bit-length inverse-frequency costs over
+    the kept mass (single-row scalar crossJoin — the HITS shape)."""
+    nmass = kept.agg(F.sum("ucount").alias("n"))
+    return kept.crossJoin(F.broadcast(nmass)).select(
+        "piece",
+        "ucount",
+        F.length(F.bin(F.expr("div(n, ucount)"))).cast("bigint").alias(
+            "pcost"
+        ),
+    )
+
+
+def _recount_df(seg: DataFrame, wcnt: DataFrame) -> DataFrame:
+    return (
+        seg.join(wcnt, "word")
+        .select("cnt", F.explode(F.split("path", r"\|")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("ucount"))
+    )
+
+
+def _prune_df(used: DataFrame, vocab0: DataFrame) -> DataFrame:
+    """Keep top KEEP_PCT% multi-char pieces by (usage DESC, piece ASC)
+    plus every single (usage floored at 1). The rank window is global
+    but runs on the VOCABULARY-sized table (bounded-table class)."""
+    from pyspark.sql.window import Window
+
+    multi = used.filter(F.length("piece") > 1)
+    w = Window.orderBy(F.col("ucount").desc(), "piece")
+    nm = multi.agg((F.count("*") * KEEP_PCT).alias("thr"))
+    kept_multi = (
+        multi.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(nm))
+        .filter(F.col("rn") * 100 <= F.col("thr"))
+        .select("piece", "ucount")
+    )
+    singles = (
+        vocab0.filter(F.length("piece") == 1)
+        .select("piece")
+        .join(used, "piece", "left")
+        .select(
+            "piece",
+            F.greatest(
+                F.coalesce(F.col("ucount"), F.lit(0).cast("bigint")),
+                F.lit(1).cast("bigint"),
+            ).alias("ucount"),
+        )
+    )
+    return kept_multi.unionAll(singles)
+
+
+def _em_trained(spark, sf_dir) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(final_vocab, final_seg, wcnt) after EM_ITERS train rounds +
+    the final segmentation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    wcnt = _wcnt_df(docs)
+    vocab0 = _vocab0_df(_pieces_df(wcnt))
+    cur = _costify(
+        vocab0.select("piece", F.col("pcount").alias("ucount"))
+    ).localCheckpoint(eager=True)
+    for _ in range(EM_ITERS):
+        seg = _segments_from_vocab(spark, wcnt, cur.select("piece", "pcost"))
+        used = _recount_df(seg, wcnt)
+        cur = _costify(_prune_df(used, vocab0)).localCheckpoint(eager=True)
+    final_seg = _segments_from_vocab(
+        spark, wcnt, cur.select("piece", "pcost")
+    )
+    return cur, final_seg, wcnt
+
+
+@query(
+    "viterbi_em_vocab",
+    f"""
+    WITH {_EM_CTES}
+    SELECT piece, ucount, pcost,
+           CAST(length(piece) AS BIGINT) AS piece_len
+    FROM v{EM_ITERS + 1}c
+    ORDER BY piece
+    """,
+)
+def viterbi_em_vocab(spark, sf_dir):
+    """The TRAINED unigram vocabulary after {EM_ITERS} full EM rounds
+    (module EM section): per surviving piece, its hard-EM usage mass,
+    its re-derived bit-length cost, and its length. This is the
+    Kudo-2018 training loop completed — viterbi_em_recount is one
+    M-step of it; here segment→recount→prune→recost chains until the
+    vocabulary shrinks toward the target (KEEP_PCT={KEEP_PCT}%% of
+    multi-char pieces per round, singles always kept)."""
+    cur, _, _ = _em_trained(spark, sf_dir)
+    return cur.select(
+        "piece",
+        "ucount",
+        "pcost",
+        F.length("piece").cast("bigint").alias("piece_len"),
+    ).orderBy("piece")
+
+
+@query(
+    "viterbi_em_train",
+    f"""
+    WITH {_EM_CTES}
+    SELECT word,
+           path AS segmentation,
+           cost AS total_cost,
+           {_N_PIECES} AS n_pieces
+    FROM seg_{EM_ITERS + 1}
+    ORDER BY word
+    """,
+)
+def viterbi_em_train(spark, sf_dir):
+    """Full unigram-EM tokenizer training (Kudo 2018 §3 complete,
+    VERDICT r9 task #3): {EM_ITERS} rounds of Viterbi-segment →
+    hard-EM recount → prune-to-target → recost, then every distinct
+    corpus word segmented through the TRAINED vocabulary. Exact
+    integer end-to-end — the oracle replays all {EM_ITERS + 1}
+    unrolled DPs; a python trajectory replay cross-checks the loop in
+    tests/test_wordpiece_em.py. Scale: one corpus-linear word count,
+    then everything runs on the distinct-word/vocabulary tables (the
+    _segments shape, {EM_ITERS + 1}×)."""
+    _, final_seg, _ = _em_trained(spark, sf_dir)
+    return final_seg.select(
+        "word",
+        F.col("path").alias("segmentation"),
+        F.col("cost").alias("total_cost"),
+        F.expr(_N_PIECES).alias("n_pieces"),
+    ).orderBy("word")

@@ -1,0 +1,98 @@
+"""Lloyd-trained IVF-PQ codebooks (operators/ivfpq_train.py):
+distortion must improve on the md5-seeded books, trained recall must
+beat seeded recall, and the trained books must preserve the packed
+layout the encode/ADC machinery expects."""
+
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.operators import ivfpq, ivfpq_train
+from etl_mp_transactions_spark.operators.ivfpq import _encode_resid
+from etl_mp_transactions_spark.operators.pq import PQ_KS, PQ_M, PQ_SUB
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+def _total_distortion(packed):
+    return packed.agg(F.sum("distortion")).collect()[0][0]
+
+
+def test_trained_distortion_improves(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, packed_seeded = ivfpq.ivfpq_encode(emb)
+    seeded = _total_distortion(packed_seeded)
+    _, pb, resid = ivfpq_train.trained_books(emb)
+    _, packed_trained = _encode_resid(resid, pb)
+    trained = _total_distortion(packed_trained)
+    # Lloyd monotonicity (coarse + per-subspace refinement); measured
+    # ~0.53x at sf0.001 — assert a conservative real improvement
+    assert trained < seeded * 0.8, (trained, seeded)
+
+
+def test_trained_books_shape(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, _ = ivfpq_train.trained_books(emb)
+    cb_rows = cb.collect()
+    pb_rows = pb.collect()
+    assert len(cb_rows) == ivfpq.IVFPQ_KC
+    assert sorted(r["c"] for r in cb_rows) == list(range(ivfpq.IVFPQ_KC))
+    assert all(len(r["ccqv"]) == PQ_M * PQ_SUB for r in cb_rows)
+    assert len(pb_rows) == PQ_KS
+    assert sorted(r["k"] for r in pb_rows) == list(range(PQ_KS))
+    assert all(len(r["pcqv"]) == PQ_M * PQ_SUB for r in pb_rows)
+
+
+def test_trained_codes_pack_to_32_bits(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, pb, resid = ivfpq_train.trained_books(emb)
+    _, packed = _encode_resid(resid, pb)
+    bad = packed.filter(
+        (F.col("pq_code") < 0) | (F.col("pq_code") >= 2 ** (4 * PQ_M))
+    ).count()
+    assert bad == 0
+
+
+def test_trained_recall_beats_seeded(spark, sf_dir):
+    from etl_mp_transactions_spark.registry import queries
+
+    rows = queries()["ivfpq_recall_at5"](spark, sf_dir).collect()
+    by = {r["variant"]: r for r in rows}
+    assert by["seeded"]["recall_ok"] and by["trained"]["recall_ok"]
+    assert by["trained"]["hits"] > by["seeded"]["hits"], (
+        by["trained"]["hits"],
+        by["seeded"]["hits"],
+    )
+    assert by["seeded"]["total"] == by["trained"]["total"]
+
+
+def test_lloyd_step_python_replay(spark, sf_dir):
+    """One coarse Lloyd step cross-checked against a literal Python
+    replay on a 40-vector slice: assignment argmin (d2, c tiebreak)
+    and floor-division means, empty cluster keeps its centroid."""
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(40)
+    from etl_mp_transactions_spark.operators.pq import _quantized
+
+    q = _quantized(emb, "vec_id")
+    books0 = ivfpq.coarse_books(emb)
+    books1 = ivfpq_train.lloyd_refine_coarse(q, books0, iters=1)
+    qrows = {r["vec_id"]: list(r["qv"]) for r in q.collect()}
+    b0 = {r["c"]: list(r["ccqv"]) for r in books0.collect()}
+    # python replay
+    members: dict[int, list[list[int]]] = {c: [] for c in b0}
+    for vid in sorted(qrows):
+        v = qrows[vid]
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(v, cv)), c)
+            for c, cv in b0.items()
+        )
+        members[best[1]].append(v)
+    expect = {}
+    for c, cv in b0.items():
+        vs = members[c]
+        if not vs:
+            expect[c] = cv
+        else:
+            n = len(vs)
+            expect[c] = [
+                sum(col) // n for col in zip(*vs)
+            ]  # python // is floor division — the _fdiv contract
+    got = {r["c"]: list(r["ccqv"]) for r in books1.collect()}
+    assert got == expect

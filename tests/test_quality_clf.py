@@ -1,0 +1,112 @@
+"""Trained quality classifier (queries/quality_clf.py): a pure-Python
+replay of the whole chain — hashed-bigram LMs, integer evidence
+ratios, bit-length doc feature, 3 exact Newton steps, nano-unit gate —
+must reproduce Spark's model and verdicts (a third engine beyond the
+DuckDB oracle), and the fit must genuinely beat the base rate."""
+
+import hashlib
+import math
+from collections import Counter
+
+from etl_mp_transactions_spark.queries.dsir import DSIR_NB, DSIR_SCALE
+from etl_mp_transactions_spark.queries.logistic import N_STEPS
+from etl_mp_transactions_spark.queries.quality_clf import (
+    KEEP_THRESHOLD_NANO,
+    POS_LANG,
+)
+from etl_mp_transactions_spark.registry import queries
+from etl_mp_transactions_spark.sources.tables import load_table
+
+
+def _bucket(a: str, b: str) -> int:
+    h = hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8]
+    return int(h, 16) % DSIR_NB
+
+
+def _python_features(docs):
+    """(doc_id -> (lang, x, y)) replaying the exact integer chain."""
+    occ = []  # (doc_id, lang, f)
+    for doc_id, (lang, text) in docs.items():
+        ws = text.split(" ")
+        for i in range(len(ws) - 1):
+            if ws[i] and ws[i + 1]:
+                occ.append((doc_id, lang, _bucket(ws[i], ws[i + 1])))
+    cp, cn = Counter(), Counter()
+    for _, lang, f in occ:
+        (cp if lang == POS_LANG else cn)[f] += 1
+    s = {
+        f: ((cp.get(f, 0) + 1) * DSIR_SCALE) // (cn.get(f, 0) + 1)
+        for f in {f for _, _, f in occ}
+    }
+    per_doc = {}
+    for doc_id, lang, f in occ:
+        st = per_doc.setdefault(doc_id, [lang, 0, 0])
+        st[1] += s[f]
+        st[2] += 1
+    out = {}
+    for doc_id, (lang, ssum, cnt) in per_doc.items():
+        weight = (ssum * DSIR_SCALE) // cnt
+        x = len(bin(1 + weight)) - 2
+        out[doc_id] = (lang, x, 1 if lang == POS_LANG else 0)
+    return out
+
+
+def _python_train(feats):
+    b0 = b1 = 0  # nano units
+    rows = [(x, y) for _, x, y in feats.values()]
+    for _ in range(N_STEPS):
+        g0 = g1 = h00 = h01 = h11 = 0
+        for x, y in rows:
+            z = (b0 + b1 * x) / 1e9
+            p = 1.0 / (1.0 + math.exp(-z))
+            g0 += round(1e9 * (y - p))
+            g1 += round(1e9 * (y - p) * x)
+            h00 += round(1e9 * p * (1.0 - p))
+            h01 += round(1e9 * p * (1.0 - p) * x)
+            h11 += round(1e9 * p * (1.0 - p) * x * x)
+        det = float(h00) * h11 - float(h01) * h01
+        b0 += round(1e9 * ((float(g0) * h11 - float(g1) * h01) / det))
+        b1 += round(1e9 * ((float(g1) * h00 - float(g0) * h01) / det))
+    return b0, b1
+
+
+def _docs(spark, sf_dir):
+    return {
+        r["doc_id"]: (r["lang"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    }
+
+
+def test_gate_matches_python_trajectory(spark, sf_dir):
+    feats = _python_features(_docs(spark, sf_dir))
+    b0, b1 = _python_train(feats)
+    want = {}
+    for doc_id, (lang, x, _) in feats.items():
+        z = (b0 + b1 * x) / 1e9
+        p_nano = round(1e9 * (1.0 / (1.0 + math.exp(-z))))
+        want[doc_id] = (lang, x, p_nano, p_nano >= KEEP_THRESHOLD_NANO)
+    rows = queries()["quality_classifier_gate"](spark, sf_dir).collect()
+    got = {
+        r["doc_id"]: (r["lang"], r["x"], r["p_nano"], r["keep"])
+        for r in rows
+    }
+    assert got == want
+
+
+def test_train_matches_python_and_beats_base_rate(spark, sf_dir):
+    feats = _python_features(_docs(spark, sf_dir))
+    b0, b1 = _python_train(feats)
+    r = queries()["quality_classifier_train"](spark, sf_dir).collect()[0]
+    assert (r["b0_nano"], r["b1_nano"]) == (b0, b1)
+    n = r["tp"] + r["fp"] + r["tn"] + r["fn"]
+    assert n == len(feats)
+    accuracy = (r["tp"] + r["tn"]) / n
+    base = max(
+        sum(1 for _, _, y in feats.values() if y == 1) / n,
+        sum(1 for _, _, y in feats.values() if y == 0) / n,
+    )
+    # the learned gate must beat always-predict-majority by a real
+    # margin (measured 0.854 vs 0.614 at sf0.001)
+    assert accuracy > base + 0.1, (accuracy, base)
