@@ -36,23 +36,23 @@ _L2 = (
 )
 
 
-def _coarse_iter_sql(t: int) -> str:
-    d2 = _L2.format(dim=_DIM, a="q.qv", b="b.ccqv", off="")
+def _coarse_iter_sql(t: int, src: str = "q") -> str:
+    d2 = _L2.format(dim=_DIM, a=f"{src}.qv", b="b.ccqv", off="")
     fd = _FDIV.format(s="s", n="n")
     return f"""
     casg{t} AS (
       SELECT vec_id, c FROM (
-        SELECT q.vec_id, b.c, {d2} AS d2
-        FROM q CROSS JOIN cb{t - 1} b
-        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        SELECT {src}.vec_id, b.c, {d2} AS d2
+        FROM {src} CROSS JOIN cb{t - 1} b
+        QUALIFY row_number() OVER (PARTITION BY {src}.vec_id
                                    ORDER BY d2, b.c) = 1
       )
     ),
     cst{t} AS (
       SELECT a.c, u.pos,
-             CAST(sum(q.qv[u.pos]) AS BIGINT) AS s,
+             CAST(sum({src}.qv[u.pos]) AS BIGINT) AS s,
              CAST(count(*) AS BIGINT) AS n
-      FROM casg{t} a JOIN q USING (vec_id),
+      FROM casg{t} a JOIN {src} USING (vec_id),
            unnest(generate_series(1, {_DIM})) AS u(pos)
       GROUP BY 1, 2
     ),
@@ -103,49 +103,72 @@ def _sub_iter_sql(t: int) -> str:
     )"""
 
 
-def _train_ctes(include_q: bool = True) -> str:
-    """The trained pipeline as DuckDB CTEs: cb0 seed → {_CI} unrolled
-    coarse Lloyd steps → trained assignment/residuals (tasg, trv) →
-    pbt0 residual seed → {_SI} per-subspace Lloyd steps → final
-    subspace distances (tsub) and argmin codes (tcodes). Names are
-    disjoint from queries/ivfpq_q.py's seeded CTEs so the gain/recall
-    queries can carry BOTH pipelines in one statement."""
-    d2a = _L2.format(dim=_DIM, a="q.qv", b="b.ccqv", off="")
+def _assign_encode_sql(
+    src: str, asg: str, rv: str, sub: str, codes: str
+) -> str:
+    """Assignment + residuals + subspace distances + argmin codes for
+    the vectors of ``src`` against the TRAINED books (cb{_CI},
+    pbt{_SI}), under the given CTE names."""
+    d2a = _L2.format(dim=_DIM, a=f"{src}.qv", b="b.ccqv", off="")
     d2s = _L2.format(
         dim=PQ_SUB, a="rv.rqv", b="p.pcqv", off=f"mm.m * {PQ_SUB} + "
     )
-    parts = []
-    if include_q:
-        parts.append(f"""q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
-      FROM embeddings
-    )""")
-    parts.append(f"""cb0 AS (
+    return f"""{asg} AS (
+      SELECT vec_id, c AS cid, ccqv FROM (
+        SELECT {src}.vec_id, b.c, b.ccqv, {d2a} AS cd2
+        FROM {src} CROSS JOIN cb{_CI} b
+        QUALIFY row_number() OVER (PARTITION BY {src}.vec_id
+                                   ORDER BY cd2, b.c) = 1
+      )
+    ),
+    {rv} AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            j -> {src}.qv[j] - a.ccqv[j]) AS rqv
+      FROM {asg} a JOIN {src} USING (vec_id)
+    ),
+    {sub} AS (
+      SELECT rv.vec_id, rv.cid, p.k, mm.m, {d2s} AS d2
+      FROM {rv} rv CROSS JOIN pbt{_SI} p
+      CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    {codes} AS (
+      SELECT vec_id, cid, m, k AS code, d2
+      FROM {sub}
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, k) = 1
+    )"""
+
+
+def _fit_ctes(src: str) -> str:
+    """Training chain over the vectors of ``src``: cb0 seed → {_CI}
+    coarse Lloyd steps → fit-side assignment/residuals (tasg, trv) →
+    pbt0 residual seed → {_SI} per-subspace Lloyd steps."""
+    d2a = _L2.format(dim=_DIM, a=f"{src}.qv", b="b.ccqv", off="")
+    parts = [f"""cb0 AS (
       SELECT row_number() OVER (
                ORDER BY md5(vec_id::VARCHAR || '{ivfpq.COARSE_TAG}'),
                         vec_id) - 1 AS c,
              qv AS ccqv
-      FROM q
+      FROM {src}
       QUALIFY row_number() OVER (
                ORDER BY md5(vec_id::VARCHAR || '{ivfpq.COARSE_TAG}'),
                         vec_id) <= {ivfpq.IVFPQ_KC}
-    )""")
-    parts.extend(_coarse_iter_sql(t) for t in range(1, _CI + 1))
+    )"""]
+    parts.extend(_coarse_iter_sql(t, src) for t in range(1, _CI + 1))
     parts.append(f"""tasg AS (
       SELECT vec_id, c AS cid, ccqv FROM (
-        SELECT q.vec_id, b.c, b.ccqv, {d2a} AS cd2
-        FROM q CROSS JOIN cb{_CI} b
-        QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        SELECT {src}.vec_id, b.c, b.ccqv, {d2a} AS cd2
+        FROM {src} CROSS JOIN cb{_CI} b
+        QUALIFY row_number() OVER (PARTITION BY {src}.vec_id
                                    ORDER BY cd2, b.c) = 1
       )
     ),
     trv AS (
       SELECT a.vec_id, a.cid,
              list_transform(generate_series(1, {_DIM}),
-                            j -> q.qv[j] - a.ccqv[j]) AS rqv
-      FROM tasg a JOIN q USING (vec_id)
+                            j -> {src}.qv[j] - a.ccqv[j]) AS rqv
+      FROM tasg a JOIN {src} USING (vec_id)
     ),
     pbt0 AS (
       SELECT row_number() OVER (
@@ -158,6 +181,30 @@ def _train_ctes(include_q: bool = True) -> str:
                         vec_id) <= {PQ_KS}
     )""")
     parts.extend(_sub_iter_sql(t) for t in range(1, _SI + 1))
+    return ",".join(parts)
+
+
+def _train_ctes(include_q: bool = True) -> str:
+    """The trained pipeline as DuckDB CTEs: cb0 seed → {_CI} unrolled
+    coarse Lloyd steps → trained assignment/residuals (tasg, trv) →
+    pbt0 residual seed → {_SI} per-subspace Lloyd steps → final
+    subspace distances (tsub) and argmin codes (tcodes). Names are
+    disjoint from queries/ivfpq_q.py's seeded CTEs so the gain/recall
+    queries can carry BOTH pipelines in one statement. tsub/tcodes
+    re-derive the encode from trv — when fitting and encoding cover
+    the same vectors the fit residuals ARE the encode residuals."""
+    d2s = _L2.format(
+        dim=PQ_SUB, a="rv.rqv", b="p.pcqv", off=f"mm.m * {PQ_SUB} + "
+    )
+    parts = []
+    if include_q:
+        parts.append(f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    )""")
+    parts.append(_fit_ctes("q"))
     parts.append(f"""tsub AS (
       SELECT rv.vec_id, rv.cid, p.k, mm.m, {d2s} AS d2
       FROM trv rv CROSS JOIN pbt{_SI} p
@@ -169,6 +216,26 @@ def _train_ctes(include_q: bool = True) -> str:
       QUALIFY row_number() OVER (PARTITION BY vec_id, m
                                  ORDER BY d2, k) = 1
     )""")
+    return ",".join(parts)
+
+
+def _train_ctes_split(base_pred: str, target_pred: str) -> str:
+    """Incremental-ingest variant: books are TRAINED on the base
+    slice (qb) and frozen; the arriving slice (qt) assigns and
+    encodes against them (easg/erv/esub/ecodes) — train once, ingest
+    forever, the production index lifecycle."""
+    parts = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qb AS (SELECT * FROM q WHERE {base_pred}),
+    qt AS (SELECT * FROM q WHERE {target_pred})""",
+        _fit_ctes("qb"),
+        _assign_encode_sql("qt", "easg", "erv", "esub", "ecodes"),
+    ]
     return ",".join(parts)
 
 
@@ -440,3 +507,45 @@ def ivfpq_recall_at5(spark, sf_dir):
         .unionAll(stats(trained, "trained", RECALL_FLOOR_TRAINED_BP))
         .orderBy("variant")
     )
+
+
+# incremental ingest split (the queries/ivfpq_q.py predicate pair):
+# the base slice trains the books, the arriving slice encodes frozen
+_BASE_PRED = "vec_id % 8 <> 0"
+_ARRIVING_PRED = "vec_id % 8 = 0"
+
+
+@query(
+    "ivfpq_train_incremental",
+    f"""
+    WITH {_train_ctes_split(_BASE_PRED, _ARRIVING_PRED)}
+    SELECT vec_id,
+           CAST(any_value(cid) AS BIGINT) AS cid,
+           CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << (4 * m)))
+                AS BIGINT) AS pq_code,
+           CAST(sum(d2) AS BIGINT) AS distortion
+    FROM ecodes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def ivfpq_train_incremental(spark, sf_dir):
+    """The production index LIFECYCLE: Lloyd-TRAIN the codebooks on
+    the base slice ({_BASE_PRED}), freeze them, and encode the
+    arriving slice ({_ARRIVING_PRED}) against them — the trained
+    upgrade of ivfpq_incremental_encode (seeded books). Per-batch
+    work stays |batch| × (KC + KS) regardless of corpus size, no
+    previously assigned code ever changes, and training cost
+    amortizes across every future batch. Output: packed codes of the
+    arriving batch only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.expr(_BASE_PRED))
+    arriving = emb.filter(F.expr(_ARRIVING_PRED))
+    cb, pb, _ = ivfpq_train.trained_books(base)
+    _, packed = ivfpq.encode_against_books(arriving, cb, pb)
+    return packed.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        "pq_code",
+        "distortion",
+    ).orderBy("vec_id")

@@ -314,3 +314,201 @@ def duplicate_maximal_spans(spark, sf_dir):
         (F.col("a_end") - F.col("diag")).alias("b_end"),
         (F.col("a_end") - F.col("a_start") + 1).alias("span_tokens"),
     ).orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+
+@query(
+    "dedup_cut_spans_apply",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, p, md5({_lead_concat_sql()}) AS g,
+             count(*) OVER (PARTITION BY doc_id) AS n_tokens
+      FROM toks
+      QUALIFY p + {NGRAM} <= n_tokens
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, a.p AS pa, a.p - b.p AS diag,
+             b.doc_id AS doc_b
+      FROM grams a JOIN grams b
+        ON a.g = b.g AND a.doc_id > b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS grp
+      FROM pairs
+    ),
+    spans AS (
+      SELECT doc_a AS doc_id,
+             min(pa) AS c_start,
+             max(pa) + {NGRAM} - 1 AS c_end
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    ),
+    sweep AS (
+      SELECT doc_id, c_start, c_end,
+             max(c_end) OVER (PARTITION BY doc_id ORDER BY c_start, c_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM spans
+    ),
+    islands AS (
+      SELECT doc_id, c_start, c_end,
+             sum(CASE WHEN prev_end IS NULL OR c_start > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY c_start, c_end
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM sweep
+    ),
+    cuts AS (
+      SELECT doc_id, island,
+             min(c_start) AS c_start, max(c_end) AS c_end
+      FROM islands GROUP BY doc_id, island
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t
+      LEFT JOIN cuts c
+        ON c.doc_id = t.doc_id AND t.p BETWEEN c.c_start AND c.c_end
+      WHERE c.doc_id IS NULL
+    ),
+    lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT l.doc_id, l.n_tokens,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(k.text_dedup, '') AS text_dedup
+    FROM lens l
+    LEFT JOIN (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY p) AS text_dedup
+      FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = l.doc_id
+    ORDER BY l.doc_id
+    """,
+)
+def dedup_cut_spans_apply(spark, sf_dir):
+    """APPLY the maximal-span cut list (Lee et al. 2022's actual
+    output artifact): every token range of a LATER document that
+    duplicates a span of ANY earlier document (the
+    duplicate_maximal_spans anchor-chained runs, attributed
+    earliest-keeps semantics via doc_a > doc_b) is merged per doc and
+    cut; the surviving tokens re-join into the deduplicated text.
+    Output per document: original/kept token counts and the rewritten
+    text — the corpus the next pipeline stage actually trains on.
+    First occurrences are never cut, so every duplicated passage
+    survives exactly once corpus-wide.
+
+    Scale: the pair stage reuses the duplicate_maximal_spans shape
+    (gram-bucket join, per-(pair, diag) windows); the cut merge and
+    the token anti-join partition by doc_id; the rebuild is one
+    per-doc ordered string_agg. The only new join is tokens ⋈ cuts on
+    doc_id — both sides doc-partitioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(wdoc) for i in range(1, NGRAM)
+    ]
+    grams = (
+        toks.select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", *gram_cols)).alias("g"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias(
+                "n_tokens"
+            ),
+        )
+        .filter(F.col("p") + NGRAM <= F.col("n_tokens"))
+        .select("doc_id", "p", "g")
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.p").alias("pa"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        pairs.withColumn("grp", F.col("pa") - F.row_number().over(wrun))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("c_start"),
+            (F.max("pa") + NGRAM - 1).alias("c_end"),
+        )
+        .select(F.col("doc_a").alias("doc_id"), "c_start", "c_end")
+    )
+    wprev = Window.partitionBy("doc_id").orderBy(
+        "c_start", "c_end"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    wrunw = Window.partitionBy("doc_id").orderBy(
+        "c_start", "c_end"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    islands = spans.withColumn(
+        "prev_end", F.max("c_end").over(wprev)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("c_start") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        ).over(wrunw),
+    )
+    cuts = islands.groupBy("doc_id", "island").agg(
+        F.min("c_start").alias("c_start"), F.max("c_end").alias("c_end")
+    )
+    kept = (
+        toks.alias("t")
+        .join(
+            cuts.alias("c"),
+            (F.col("c.doc_id") == F.col("t.doc_id"))
+            & (F.col("t.p") >= F.col("c.c_start"))
+            & (F.col("t.p") <= F.col("c.c_end")),
+            "left_anti",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, tok))),"
+                    " x -> x.tok)"
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        lens.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias(
+                "kept_tokens"
+            ),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -96,8 +96,9 @@ _SPOTLIGHT: list[str] = [
     "viterbi_em_train",
     "duplicate_maximal_spans",
     # r10: trained quality-classifier gate (logistic over hashed
-    # n-gram features)
+    # n-gram features) + production-width 64-bit perceptual hash
     "quality_classifier_train",
+    "image_phash64_neardup",
 ]
 
 
@@ -204,6 +205,7 @@ def _load_all() -> None:
         ivfpq_q,
         ivfpq_train_q,
         quality_clf,
+        phash64,
         graph5,
         wordpiece,
         dsir,

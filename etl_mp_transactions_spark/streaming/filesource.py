@@ -799,3 +799,60 @@ def stream_ivfpq_ingest_run(
     return spark.read.schema(
         "vec_id long, cid long, pq_code long, distortion long"
     ).parquet(os.path.join(index_dir, "batch=*"))
+
+
+def stream_quality_gate_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    verdict_dir: str,
+    lm: DataFrame,
+    params: DataFrame,
+) -> DataFrame:
+    """Streaming quality gate (R20): arriving document batches score
+    against the FROZEN feature LM + logistic model
+    (queries/quality_clf.score_against) and append to a
+    batch-partitioned verdict table — the deployed life of a trained
+    corpus filter (fit offline, gate the crawl firehose online).
+
+    Replay safety is the r19 construction: frozen state makes every
+    document's verdict independent of its batch, so the sink
+    overwrites its own ``batch=<id>`` partition (re-runs recompute
+    byte-identical partitions) and an at-least-once re-delivered file
+    contributes zero via the already-scored skip (anti-join against
+    every verdict partition except this batch's own)."""
+    from etl_mp_transactions_spark.queries.quality_clf import score_against
+
+    out_schema = "doc_id long, lang string, x long, p_nano long, keep boolean"
+
+    def _scored_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(verdict_dir, d)
+            for d in sorted(os.listdir(verdict_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(verdict_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], "doc_id long")
+        return spark.read.schema(out_schema).parquet(*dirs).select("doc_id")
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.join(
+            _scored_except(batch_id), "doc_id", "left_anti"
+        )
+        score_against(fresh, lm, params).write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["documents"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(out_schema).parquet(
+        os.path.join(verdict_dir, "batch=*")
+    )

@@ -107,3 +107,26 @@ def test_maximal_spans_wellformed(spark, sf_dir):
             assert ta[r["a_start"] - 1] != tb[r["b_start"] - 1]
         if r["a_end"] + 1 < len(ta) and r["b_end"] + 1 < len(tb):
             assert ta[r["a_end"] + 1] != tb[r["b_end"] + 1]
+
+
+def test_cut_apply_wellformed(spark, sf_dir):
+    """dedup_cut_spans_apply: kept text reconstructs from the kept
+    token count, cuts only ever REMOVE tokens, earliest-occurrence
+    docs are never cut, and the corpus-wide duplicated mass shrinks."""
+    rows = queries()["dedup_cut_spans_apply"](spark, sf_dir).collect()
+    spans = queries()["duplicate_maximal_spans"](spark, sf_dir).collect()
+    # duplicate_maximal_spans orients pairs doc_a < doc_b, so doc_b is
+    # the LATER doc — the side the cut falls on
+    later_docs = {r["doc_b"] for r in spans}
+    earlier_only = {r["doc_a"] for r in spans} - later_docs
+    by_id = {r["doc_id"]: r for r in rows}
+    assert sum(r["n_tokens"] - r["kept_tokens"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["kept_tokens"] <= r["n_tokens"]
+        ntok = len(r["text_dedup"].split(" ")) if r["text_dedup"] else 0
+        assert ntok == r["kept_tokens"]
+        if r["doc_id"] not in later_docs:
+            assert r["kept_tokens"] == r["n_tokens"]
+    # docs that only ever appear as the EARLIER side keep everything
+    for d in earlier_only:
+        assert by_id[d]["kept_tokens"] == by_id[d]["n_tokens"]

@@ -110,3 +110,67 @@ def test_train_matches_python_and_beats_base_rate(spark, sf_dir):
     # the learned gate must beat always-predict-majority by a real
     # margin (measured 0.854 vs 0.614 at sf0.001)
     assert accuracy > base + 0.1, (accuracy, base)
+
+
+def test_heldout_eval_rejects_memorizing_filter(spark, sf_dir):
+    """quality_classifier_eval: the python replay of the leak-guarded
+    chain must match exactly, AND the deploy gate must correctly
+    REJECT this filter — the synthetic corpus draws every language's
+    text from one shared vocabulary, so lang is unlearnable
+    out-of-sample and the transductive train accuracy (85%, asserted
+    above) is memorization the eval stage exists to expose."""
+    docs = _docs(spark, sf_dir)
+    # python replay with train-only LMs, neutral evidence elsewhere
+    occ = []
+    for doc_id, (lang, text) in docs.items():
+        ws = text.split(" ")
+        for i in range(len(ws) - 1):
+            if ws[i] and ws[i + 1]:
+                occ.append((doc_id, lang, _bucket(ws[i], ws[i + 1])))
+    cp, cn = Counter(), Counter()
+    for doc_id, lang, f in occ:
+        if doc_id % 2 == 0:
+            (cp if lang == POS_LANG else cn)[f] += 1
+    s = {
+        f: ((cp.get(f, 0) + 1) * DSIR_SCALE) // (cn.get(f, 0) + 1)
+        for f in {f for _, _, f in occ}
+    }
+    per_doc = {}
+    for doc_id, lang, f in occ:
+        st = per_doc.setdefault(doc_id, [lang, 0, 0])
+        st[1] += s[f]
+        st[2] += 1
+    feats = {}
+    for doc_id, (lang, ssum, cnt) in per_doc.items():
+        weight = (ssum * DSIR_SCALE) // cnt
+        feats[doc_id] = (
+            lang,
+            len(bin(1 + weight)) - 2,
+            1 if lang == POS_LANG else 0,
+        )
+    b0, b1 = _python_train(
+        {d: v for d, v in feats.items() if d % 2 == 0}
+    )
+    tp = fp = tn = fn = 0
+    for doc_id, (_, x, y) in feats.items():
+        if doc_id % 2 == 0:
+            continue
+        z = (b0 + b1 * x) / 1e9
+        keep = round(1e9 * (1.0 / (1.0 + math.exp(-z)))) >= KEEP_THRESHOLD_NANO
+        if y == 1 and keep:
+            tp += 1
+        elif y == 0 and keep:
+            fp += 1
+        elif y == 0:
+            tn += 1
+        else:
+            fn += 1
+    r = queries()["quality_classifier_eval"](spark, sf_dir).collect()[0]
+    assert (r["b0_nano"], r["b1_nano"]) == (b0, b1)
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+    n = tp + fp + tn + fn
+    assert r["accuracy_bp"] == ((tp + tn) * 10000) // n
+    assert r["base_bp"] == (max(tp + fn, fp + tn) * 10000) // n
+    # the gate's verdict: transductive train accuracy does NOT
+    # transfer on this corpus — deployable must be False
+    assert r["deployable"] is False

@@ -50,9 +50,13 @@ def main() -> int:
 
     staged_bronze(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     qs = registry.queries()
     sc = spark.sparkContext
     timings: dict[str, object] = {}
+    rows_out: dict[str, object] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
@@ -68,8 +72,18 @@ def main() -> int:
         watchdog.start()
         t0 = time.time()
         try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # rows-out rides the same action via observe() — zero extra
+            # passes, no plan change; output-bound operators (e.g.
+            # dedup_minhash_lsh, whose candidate volume grows with the
+            # dup-heavy corpus by CONTRACT) are then judged on
+            # sec-per-output-row, not raw wall ratio (VERDICT r9 #8)
+            obs = Observation(f"rows-{name}")
+            df = qs[name](spark, sf_dir).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            rows_out[name] = obs.get["n"]
         except Exception as ex:
             if cancelled.is_set():
                 timings[name] = f"DNF>{int(timeout_s)}s"
@@ -83,7 +97,7 @@ def main() -> int:
     with open(out_path, "w") as fh:
         json.dump(
             {"sf_dir": sf_dir, "cpus": cpus, "timeout_s": timeout_s,
-             "queries": timings},
+             "queries": timings, "rows_out": rows_out},
             fh, indent=1, sort_keys=True,
         )
     print(json.dumps({"n": len(timings), "out": out_path}))

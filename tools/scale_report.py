@@ -24,12 +24,27 @@ def main() -> int:
     out_path = sys.argv[3]
     step = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
 
+    rlo, rhi = lo.get("rows_out", {}), hi.get("rows_out", {})
     rows = {}
     for name in sorted(set(lo["queries"]) | set(hi["queries"])):
         tl, th = lo["queries"].get(name), hi["queries"].get(name)
         rec = {"sf_lo_sec": tl, "sf_hi_sec": th, "ratio": None}
         if isinstance(tl, (int, float)) and isinstance(th, (int, float)) and tl > 0:
             rec["ratio"] = round(th / tl, 2)
+        # output-normalized ratio (VERDICT r9 #8): for output-bound
+        # operators whose result volume grows with the corpus BY
+        # CONTRACT, sec-per-output-row is the honest scaling signal —
+        # ratio_per_row ≈ 1 means each emitted row costs the same at
+        # both SFs even when raw wall grows with the output.
+        nl, nh = rlo.get(name), rhi.get(name)
+        rec["rows_lo"], rec["rows_hi"] = nl, nh
+        if (
+            rec["ratio"] is not None
+            and isinstance(nl, int) and isinstance(nh, int)
+            and nl > 0 and nh > 0
+        ):
+            rec["rows_ratio"] = round(nh / nl, 2)
+            rec["ratio_per_row"] = round((th / nh) / (tl / nl), 2)
         rows[name] = rec
 
     ratios = [r["ratio"] for r in rows.values() if r["ratio"] is not None]
