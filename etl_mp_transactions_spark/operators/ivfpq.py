@@ -20,7 +20,10 @@ reproduces the full pipeline bit-for-bit:
 
 - **coarse quantizer**: the KC corpus vectors with smallest
   md5(vec_id || tag) (deterministic random Voronoi seeds, the
-  operators/ivf.py seed_centroids shape; bounded KC-row collect);
+  operators/ivf.py seed_centroids shape; bounded KC-row collect;
+  operators/ivfpq_train.py Lloyd-refines these seeds — and the PQ
+  books below — into the trained index a production deployment
+  serves, ~2× lower distortion, same encode/ADC machinery);
   assignment = argmin_c full-vector squared L2, c-asc tiebreak —
   one broadcast of KC rows, map-side-combined argmin, no shuffle of
   the corpus;

@@ -14,9 +14,9 @@ engines and the DuckDB oracle reproduces the whole pipeline:
 - codebooks: per subspace m (dims 8m..8m+7), the KS=16 codewords are
   the corresponding subvectors of 16 md5-rank-picked seed vectors —
   the ``seed_centroids`` quantizer shape (deterministic, documented
-  bounded K-row collect; a production run refines them with Lloyd
-  steps on the same plan, exactly as ivf.kmeans_centroids does for
-  coarse centroids);
+  bounded K-row collect; operators/ivfpq_train.py implements the
+  Lloyd refinement of these books — per-subspace exact k-means
+  preserving this packed layout — for the IVF-PQ composite);
 - encode: code_m(v) = argmin_k sum((v_sub − c_k,sub)^2) with k-asc
   tiebreak, an exact BIGINT fold; codes pack little-endian 4-bit
   nibbles into one BIGINT; per-vector distortion = sum of subspace
