@@ -693,3 +693,58 @@ def viterbi_em_train(spark, sf_dir):
         F.col("cost").alias("total_cost"),
         F.expr(_N_PIECES).alias("n_pieces"),
     ).orderBy("word")
+
+
+@query(
+    "viterbi_em_tokenize_docs",
+    f"""
+    WITH {_EM_CTES},
+    segn AS (
+      SELECT word, cost, {_N_PIECES} AS np
+      FROM seg_{EM_ITERS + 1}
+    ),
+    docw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(s.np) AS BIGINT) AS n_pieces,
+           CAST(sum(s.cost) AS BIGINT) AS cost_sum
+    FROM docw d JOIN segn s ON s.word = d.word
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def viterbi_em_tokenize_docs(spark, sf_dir):
+    """Tokenize every document through the EM-TRAINED vocabulary —
+    the deployment step of the training loop (viterbi_tokenize_docs
+    uses the round-0 substring-support costs; this uses the
+    vocabulary after {EM_ITERS} EM rounds, i.e. what the trained
+    tokenizer actually emits): per document, word count, total
+    subword pieces, and total encoding cost under the trained model.
+    Same corpus-linear shape — the trained segmentation table joins
+    on word (shuffle hash join), per-doc sums map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, final_seg, _ = _em_trained(spark, sf_dir)
+    segn = final_seg.select(
+        "word", "cost", F.expr(_N_PIECES).alias("np")
+    )
+    docw = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        docw.join(segn, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            F.sum("cost").cast("bigint").alias("cost_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -206,6 +206,8 @@ def _load_all() -> None:
         ivfpq_train_q,
         quality_clf,
         phash64,
+        kmeans_train,
+        wordpiece_greedy,
         graph5,
         wordpiece,
         dsir,
