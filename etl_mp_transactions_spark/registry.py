@@ -66,7 +66,6 @@ _SPOTLIGHT: list[str] = [
     "k2_sink_shape",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_incremental_new_vs_old",
     "dedup_containment_nearsubset",
     "j2_anomaly_pairs",
@@ -99,6 +98,9 @@ _SPOTLIGHT: list[str] = [
     # n-gram features) + production-width 64-bit perceptual hash
     "quality_classifier_train",
     "image_phash64_neardup",
+    # r10 continuation: full k-means training with the in-result
+    # monotone-inertia trajectory
+    "kmeans_train_trajectory",
 ]
 
 

@@ -62,6 +62,8 @@ GLOBAL_WIN_OK: dict[str, str] = {
     "ivfpq_adc_topk": "rank window over the LIMIT-10 ADC result"
     " (k-row bounded by construction; the probe ranking window is"
     " PARTITIONed by query_id over KC=8 centroid rows)",
+    "kmeans_train_trajectory": "lag window over the KM_ITERS+1 = 4-row"
+    " inertia trajectory (iteration-count-bounded by construction)",
     "q15_top_supplier": "supplier-level aggregate (dim-sized, not"
     " fact-sized); the window replaces a scalar subquery that would"
     " double-scan lineitem (docstring-documented trade)",
