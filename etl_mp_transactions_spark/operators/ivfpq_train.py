@@ -237,6 +237,7 @@ def adc_search(
     pb: DataFrame,
     codes: DataFrame,
     k_neighbors: int,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Per-query ADC top-k over probed inverted lists for an
     arbitrary bounded query frame ``qset`` (query_id, qqv) against
@@ -249,12 +250,14 @@ def adc_search(
     )
     from etl_mp_transactions_spark.operators.pq import _sub_d2
 
+    if nprobe is None:
+        nprobe = IVFPQ_NPROBE
     pw = Window.partitionBy("query_id").orderBy("cd2", "c")
     probe = (
         qset.crossJoin(F.broadcast(cb))
         .withColumn("cd2", F.expr(_FULL_D2.format(a="qqv", b="ccqv")))
         .withColumn("pr", F.row_number().over(pw))
-        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .filter(F.col("pr") <= nprobe)
         .select("query_id", "c", "qqv", "ccqv")
     )
     lut = (

@@ -324,7 +324,8 @@ _QSET_SQL = f"""qset AS (
     )"""
 
 
-def _adc_scan_sql(prefix: str, cb: str, pb: str, codes: str, k: int) -> str:
+def _adc_scan_sql(prefix: str, cb: str, pb: str, codes: str, k: int,
+                  nprobe: int = ivfpq.IVFPQ_NPROBE) -> str:
     """Batch ADC scan CTEs against the given book/code CTE names:
     {prefix}probe → {prefix}lut → {prefix}top (per-query top-k)."""
     d2c = _L2.format(dim=_DIM, a="qs.qqv", b="b.ccqv", off="")
@@ -334,7 +335,7 @@ def _adc_scan_sql(prefix: str, cb: str, pb: str, codes: str, k: int) -> str:
         FROM qset qs CROSS JOIN {cb} b
         QUALIFY row_number() OVER (PARTITION BY qs.query_id
                                    ORDER BY cd2, b.c)
-                <= {ivfpq.IVFPQ_NPROBE}
+                <= {nprobe}
       )
     ),
     {prefix}lut AS (
@@ -549,3 +550,111 @@ def ivfpq_train_incremental(spark, sf_dir):
         "pq_code",
         "distortion",
     ).orderBy("vec_id")
+
+
+# the nprobe ladder for the recall/cost curve: 1 → KC (full scan);
+# recall rises with nprobe while scan cost grows ∝ nprobe/KC — the
+# quality/cost knob a deployment tunes before fixing its SLO
+NPROBE_LADDER = (1, 2, 4, ivfpq.IVFPQ_KC)
+
+
+def _nprobe_curve_sql() -> str:
+    scans = ",".join(
+        _adc_scan_sql(f"n{np}", f"cb{_CI}", f"pbt{_SI}", "tcodes", 5,
+                      nprobe=np)
+        for np in NPROBE_LADDER
+    )
+    hits = ",".join(
+        f"""h{np} AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM n{np}top JOIN ex USING (query_id, vec_id))"""
+        for np in NPROBE_LADDER
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {np} AS nprobe, h{np}.hits, tot.total FROM h{np}, tot"
+        for np in NPROBE_LADDER
+    )
+    return f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    {scans},
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, q.vec_id,
+               {_L2.format(dim=_DIM, a="qs.qqv", b="q.qv", off="")} AS d2
+        FROM qset qs CROSS JOIN q
+        QUALIFY row_number() OVER (PARTITION BY qs.query_id
+                                   ORDER BY d2, q.vec_id) <= 5
+      )
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex),
+    {hits}
+    SELECT CAST(nprobe AS BIGINT) AS nprobe, hits, total,
+           hits * 10000 // total AS recall_bp
+    FROM ({rows})
+    ORDER BY nprobe
+    """
+
+
+@query("ivfpq_nprobe_curve", _nprobe_curve_sql())
+def ivfpq_nprobe_curve(spark, sf_dir):
+    """The recall-vs-nprobe curve of the TRAINED index — the
+    quality/cost sweep a production deployment runs to pick its
+    operating point: over the deterministic {ivfpq.IVFPQ_QBATCH}-query
+    batch, exact recall@5 vs the exact integer top-5 at nprobe ∈
+    {NPROBE_LADDER} (nprobe = KC = the full scan, whose residual gap
+    from 100%% is pure PQ quantization error — the curve separates
+    the two loss sources). Scan cost grows ∝ nprobe/KC while the LUT
+    stays batch-bounded, so each ladder rung is the same plan with a
+    different probe filter.
+
+    Honest curve shape (measured sf0.001: 3125 -> 3625 -> 3656 ->
+    3593 bp): recall is NOT strictly monotone in nprobe — coverage
+    gains dominate early, but every extra probed list also adds
+    ADC-quantization-noisy candidates that can displace true
+    neighbors from the top-5 (the classic IVF-PQ coverage-vs-ADC-
+    error tradeoff; FAISS curves show the same flattening). The test
+    pins the coverage-dominated leg (nprobe 1 -> 2 strictly
+    improves) and a bounded wobble thereafter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(emb)
+    codes, _ = _encode_resid(resid, pb)
+    q = _quantized(emb, "vec_id")
+    qset = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"),
+                         F.lit(ivfpq.QUERY_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(ivfpq.IVFPQ_QBATCH)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    )
+    ew = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        q.crossJoin(F.broadcast(qset))
+        .withColumn("d2", F.expr(_FULL_D2.format(a="qv", b="qqv")))
+        .withColumn("r", F.row_number().over(ew))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    tot = exact.agg(F.count("*").cast("bigint").alias("total"))
+    out = None
+    for np in NPROBE_LADDER:
+        top = ivfpq_train.adc_search(qset, cb, pb, codes, 5, nprobe=np)
+        hits = (
+            top.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("hits"))
+        )
+        row = hits.crossJoin(F.broadcast(tot)).select(
+            F.lit(np).cast("bigint").alias("nprobe"),
+            "hits",
+            "total",
+            F.expr("hits * 10000 div total").alias("recall_bp"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")

@@ -96,3 +96,22 @@ def test_lloyd_step_python_replay(spark, sf_dir):
             ]  # python // is floor division — the _fdiv contract
     got = {r["c"]: list(r["ccqv"]) for r in books1.collect()}
     assert got == expect
+
+
+def test_nprobe_curve_shape(spark, sf_dir):
+    """Recall rises steeply on the coverage-dominated leg (1 -> 2
+    probes) and stays within a bounded wobble after — NOT asserted
+    monotone: extra probed lists add ADC-noisy candidates that can
+    displace true neighbors (the query docstring's honest tradeoff)."""
+    from etl_mp_transactions_spark.queries.ivfpq_train_q import (
+        NPROBE_LADDER,
+    )
+    from etl_mp_transactions_spark.registry import queries
+
+    rows = queries()["ivfpq_nprobe_curve"](spark, sf_dir).collect()
+    by = {r["nprobe"]: r["recall_bp"] for r in rows}
+    assert sorted(by) == sorted(NPROBE_LADDER)
+    assert by[2] > by[1], by
+    peak = max(by.values())
+    assert by[max(NPROBE_LADDER)] >= peak - 500, by  # bounded wobble
+    assert all(r["total"] == rows[0]["total"] for r in rows)
