@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import atexit
 import itertools
+import os
 import shutil
 
 from pyspark.sql import Column, DataFrame, Window
@@ -56,12 +57,14 @@ from pyspark.sql import functions as F
 
 DEFAULT_PARTS = 32
 
-# materialize="table" scratch dirs: deterministic per-process sequence
-# (distranks_mat_0000, _0001, ...) so a rerun of the same workload in a
-# fresh session OVERWRITES the prior run's files instead of leaking new
-# uuid-named dirs, plus an explicit registry so long-running sessions
-# can reclaim the space once the dependent jobs have executed
-# (``cleanup_materialized()``; also runs atexit as a backstop).
+# materialize="table" scratch dirs: deterministic PER-PROCESS sequence
+# (distranks_mat_<pid>_0000, _0001, ...). The pid namespace keeps two
+# concurrent Spark sessions sharing one warehouse/materialize dir from
+# clobbering each other's files (mode="overwrite" on a shared name
+# would corrupt the other process's still-lazy reread plans — ADVICE
+# r10); within one process the sequence is still deterministic, and
+# the registry + atexit cleanup reclaims the space so reruns don't
+# accumulate dirs the way the old uuid names did.
 _mat_seq = itertools.count()
 _mat_paths: list[str] = []
 
@@ -105,7 +108,10 @@ def _materialize(parts: DataFrame, materialize: str | None) -> DataFrame:
             MATERIALIZE_DIR_CONF,
             spark.conf.get("spark.sql.warehouse.dir"),
         )
-        path = f"{base.rstrip('/')}/distranks_mat_{next(_mat_seq):04d}"
+        path = (
+            f"{base.rstrip('/')}/distranks_mat_{os.getpid()}"
+            f"_{next(_mat_seq):04d}"
+        )
         parts.write.mode("overwrite").parquet(path)
         _mat_paths.append(path)
         return spark.read.parquet(path)

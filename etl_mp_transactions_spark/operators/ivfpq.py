@@ -75,12 +75,16 @@ RESID_TAG = ":ivfpq-resid-1"
 
 # Each entry point persists ONE n-row residual frame (the codebook
 # seed scan and the encode both replay the full n×KC assignment
-# without it). Caching is tracked module-wide and the previous
-# generation is released on the next entry call, so a full
-# registry/bench run holds at most one cached residual frame at a
-# time instead of accumulating one per invocation. Unpersisting a
-# frame a still-unexecuted earlier plan references is safe — Spark
-# recomputes from lineage; only the cache is dropped.
+# without it). Caching is tracked module-wide with a small FIFO bound:
+# a full registry/bench run holds at most _MAX_CACHED residual frames
+# instead of accumulating one per invocation, while compositions that
+# interleave entry points (e.g. ivfpq_recall_at5 builds the seeded
+# plan, then trains books, then executes both) keep EVERY frame of
+# the current query alive — the previous evict-on-next-entry policy
+# silently dropped the seeded cache before first use (ADVICE r10).
+# Unpersisting a frame a still-unexecuted plan references is safe —
+# Spark recomputes from lineage; only the cache is dropped.
+_MAX_CACHED = 4  # > max entry-point calls composed by any one query
 _cached: list[DataFrame] = []
 
 
@@ -95,7 +99,8 @@ def release_cache() -> int:
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    release_cache()
+    while len(_cached) >= _MAX_CACHED:
+        _cached.pop(0).unpersist()
     df = df.persist()
     _cached.append(df)
     return df

@@ -292,3 +292,49 @@ def adc_search(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "vec_id", "adc_d2", "rank")
     )
+
+
+# refine fan-out: candidates ADC-retrieved per query before the exact
+# re-rank (FAISS IndexRefineFlat's k_factor × k, here 4 × 5)
+REFINE_R = 20
+
+
+def rerank_exact(
+    qset: DataFrame,
+    cb: DataFrame,
+    pb: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    k_neighbors: int,
+    r_candidates: int = REFINE_R,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Exact re-rank stage after ADC retrieval — the FAISS
+    ``IndexRefineFlat`` pattern (VERDICT r10 task #1): ADC-retrieve
+    ``r_candidates`` per query from the probed lists, join the
+    candidates BACK to the original quantized vectors, and re-rank by
+    EXACT integer squared L2 to the final top-k. The nprobe curve
+    proved recall@5 is PQ-quantization-bound (~31% at the full-scan
+    rung); re-ranking recovers every true neighbor whose ADC rank is
+    ≤ R in a probed list, which is the standard production fix.
+
+    Scale: the candidate set is |batch| × R rows — bounded by the
+    serving batch, never the corpus — so the join back to vectors is
+    a broadcast hash join probe-side into the corpus scan (the corpus
+    never shuffles), and the re-rank window partitions on query_id
+    over ≤ R rows each. Returns (query_id, vec_id, exact_d2, rank)."""
+    cand = adc_search(qset, cb, pb, codes, r_candidates, nprobe=nprobe)
+    withq = cand.join(F.broadcast(qset), "query_id").select(
+        "query_id", "vec_id", "qqv"
+    )
+    scored = (
+        vectors.join(F.broadcast(withq), "vec_id")
+        .withColumn("exact_d2", F.expr(_FULL_D2.format(a="qv", b="qqv")))
+        .select("query_id", "vec_id", "exact_d2")
+    )
+    rw = Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "vec_id", "exact_d2", "rank")
+    )

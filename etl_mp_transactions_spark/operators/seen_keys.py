@@ -52,16 +52,33 @@ class SeenKeysStore:
         """Crash recovery for compact()'s two-rename swap: the window
         between ``rename(path, old)`` and ``rename(tmp, path)`` is NOT
         atomic — a crash there leaves the live path missing with the
-        full old generation parked at ``.old``. Every entry point calls
-        this first: if the live path is gone but ``.old`` survives,
-        rename it back, so the store resumes at the pre-compaction
-        generation (duplicates are re-filtered, never re-admitted)."""
+        full old generation parked at ``.old``. Only WRITE entry
+        points (commit/compact/process) call this: a reader must never
+        mutate the store, because a reader racing a live compact()
+        could otherwise rename ``.old`` back in the mid-swap instant
+        and strand the writer's new generation at ``.compacting``
+        (ADVICE r10). Readers instead fall back to reading the parked
+        generation without touching the filesystem (``_read_dir``),
+        and compact tolerates a destination restored by a legacy
+        reader (``_swap_in``)."""
         old = self.path.rstrip("/") + ".old"
         if not os.path.isdir(self.path) and os.path.isdir(old):
             os.rename(old, self.path)
 
+    def _read_dir(self) -> str | None:
+        """Where a READER should look, without mutating anything: the
+        live path if it holds data, else the parked ``.old``
+        generation (the mid-swap instant, or the crash window before
+        the next writer's ``_recover`` heals the store). Duplicates
+        are re-filtered either way, never re-admitted."""
+        for p in (self.path, self.path.rstrip("/") + ".old"):
+            if os.path.isdir(p) and any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            ):
+                return p
+        return None
+
     def _exists(self) -> bool:
-        self._recover()
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
@@ -70,9 +87,10 @@ class SeenKeysStore:
         """Full store frame (key, seen_at). mergeSchema covers stores
         written before the retention column existed (their rows read
         as seen_at NULL = no TTL)."""
-        if self._exists():
+        src = self._read_dir()
+        if src is not None:
             df = self.spark.read.option("mergeSchema", "true").parquet(
-                self.path
+                src
             )
             if TS_COL not in df.columns:
                 df = df.withColumn(
@@ -124,6 +142,7 @@ class SeenKeysStore:
         """Append the surviving keys, stamped with ``seen_at`` (the
         batch's processing time, passed by the caller for
         determinism; NULL = key never expires)."""
+        self._recover()
         new_rows.select(
             self.key,
             F.lit(seen_at).cast("timestamp_ntz").alias(TS_COL),
@@ -143,15 +162,20 @@ class SeenKeysStore:
         (path→.old, then tmp→path). That swap is NOT atomic: a reader
         never sees a PARTIAL generation (each rename is), but in the
         instant between the two renames the live path does not exist —
-        a reader landing exactly there sees an empty store, and a crash
-        there parks the data at ``.old``. ``_recover()`` (called by
-        every entry point) renames ``.old`` back on the next touch, so
-        the crash case self-heals to the pre-compaction generation;
-        single-writer compaction (the deployment contract, matching the
-        reference's single Redis mutator) closes the reader race.
+        a reader landing exactly there transparently reads the parked
+        ``.old`` generation (``_read_dir`` — never mutating), and a
+        crash there parks the data at ``.old`` until the next WRITE
+        entry point's ``_recover()`` renames it back, so the crash
+        case self-heals to the pre-compaction generation.
+        Single-writer compaction (the deployment contract, matching
+        the reference's single Redis mutator) is still assumed between
+        writers; a destination restored by a legacy reader mid-swap is
+        tolerated (the rename retries after replacing the restored old
+        generation — it is exactly the data this rewrite supersedes).
         Returns {"kept": n, "dropped": n}."""
         if retention is not None and now is None:
             raise ValueError("retention requires an explicit now=")
+        self._recover()
         if not self._exists():
             return {"kept": 0, "dropped": 0}
         latest = self.table().groupBy(self.key).agg(
@@ -171,7 +195,14 @@ class SeenKeysStore:
         kept = self.spark.read.parquet(tmp).count()
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.path, old)
-        os.rename(tmp, self.path)
+        try:
+            os.rename(tmp, self.path)
+        except OSError:
+            # a legacy reader's recovery restored .old to the live path
+            # between the two renames: what it restored is the exact
+            # generation this rewrite supersedes — replace and retry
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
         return {"kept": kept, "dropped": total - kept}
 

@@ -595,6 +595,39 @@ def _nprobe_curve_sql() -> str:
     """
 
 
+def _qset_df(q):
+    """The deterministic {ivfpq.IVFPQ_QBATCH}-query serving batch
+    (md5-rank pick, the seed shape) as (query_id, qqv)."""
+    return (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"),
+                         F.lit(ivfpq.QUERY_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(ivfpq.IVFPQ_QBATCH)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    )
+
+
+def _exact_top5(q, qset):
+    """Exact integer ground-truth top-5 per query — the bounded-batch
+    tiled shape (corpus × batch broadcast, map-side top-k), eagerly
+    checkpointed because every recall rung re-joins it."""
+    ew = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        q.crossJoin(F.broadcast(qset))
+        .withColumn("d2", F.expr(_FULL_D2.format(a="qv", b="qqv")))
+        .withColumn("r", F.row_number().over(ew))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+
 @query("ivfpq_nprobe_curve", _nprobe_curve_sql())
 def ivfpq_nprobe_curve(spark, sf_dir):
     """The recall-vs-nprobe curve of the TRAINED index — the

@@ -12,6 +12,7 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,11 +39,11 @@ def query(name: str, oracle: str | None = None):
 # intent the import ordering used to carry — see the streaming_mm
 # module docstring: this promotes HARDER full-oracle entries into the
 # sample, it never hides anything; every entry outside the window is
-# still gated by the identical local harness at both SFs). The r10
-# rotation (VERDICT r9 task #6) pins one representative of each r9/r10
-# family — IVF-PQ, Viterbi/unigram-EM, DSIR, label propagation,
-# perceptual-hash image dedup — into the window alongside the
-# reference-surface rows and the streaming/multimodal twins.
+# still gated by the identical local harness at both SFs). Since r11
+# the curated head holds 50 − _ROTATION_SLOTS names (one per operator
+# family; every name asserted present at load) and the remaining
+# window slots rotate deterministically over the non-spotlight
+# registry per round (ADVICE r10).
 _SPOTLIGHT: list[str] = [
     "flagship_silver",
     "f1_partition_filter",
@@ -54,14 +55,12 @@ _SPOTLIGHT: list[str] = [
     "q3_join_agg_topk",
     "j3_explode_outer",
     "declarative_pipeline_silver",
-    "q5_region_revenue",
     "agg_cube_having",
     "semi_join_exists",
     "q17_avg_subquery",
     "f2_file_lineage",
     "s5_event_envelope",
     "c4_c6_encoding_json",
-    "c7_path_partitions",
     "c8_regex_partition_extract",
     "k2_sink_shape",
     "dedup_exact",
@@ -71,12 +70,10 @@ _SPOTLIGHT: list[str] = [
     "j2_anomaly_pairs",
     "j2_tfidf_exact_pairs",
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
     "embedding_neardup",
     "semantic_dedup",
     "text_lang_id",
     "text_quality",
-    "text_token_counts",
     "sequence_packing",
     "multimodal_features",
     "multimodal_decode",
@@ -104,8 +101,30 @@ _SPOTLIGHT: list[str] = [
 ]
 
 
+# Rotation slots (ADVICE r10): the tail of the 50-entry driver window
+# is NOT hand-curated — it is a deterministic per-round draw from the
+# non-spotlight registry, so entries outside the curated head
+# periodically get driver coverage instead of being permanently
+# invisible to the driver gate. Bump the salt each round to rotate.
+_ROTATION_SLOTS = 4
+_ROTATION_SALT = "r11"
+
+
 def _spotlight_first(d: dict) -> dict:
-    out = {n: d[n] for n in _SPOTLIGHT if n in d}
+    missing = [n for n in _SPOTLIGHT if n not in d]
+    if missing:  # fail loudly on drift (ADVICE r10) — a renamed entry
+        # must be renamed here too, never silently shrink the window
+        raise AssertionError(
+            f"_SPOTLIGHT names missing from registry: {missing}"
+        )
+    rest = [n for n in d if n not in _SPOTLIGHT]
+    rotated = sorted(
+        rest,
+        key=lambda n: hashlib.md5(
+            (_ROTATION_SALT + ":" + n).encode()
+        ).hexdigest(),
+    )[:_ROTATION_SLOTS]
+    out = {n: d[n] for n in (*_SPOTLIGHT, *rotated) if n in d}
     out.update((n, v) for n, v in d.items() if n not in out)
     return out
 

@@ -92,3 +92,62 @@ def test_compact_requires_now_with_retention(spark, tmp_path):
 def test_compact_empty_store_noop(spark, tmp_path):
     st = SeenKeysStore(spark, str(tmp_path / "s3"))
     assert st.compact() == {"kept": 0, "dropped": 0}
+
+
+def test_reader_mid_swap_sees_old_without_mutating(spark, tmp_path):
+    """ADVICE r10: a reader landing in compact's mid-swap instant
+    (live path missing, generation parked at .old) must read the
+    parked data WITHOUT renaming it back — reader-initiated recovery
+    is what stranded a racing compact's new generation."""
+    import os
+
+    st = SeenKeysStore(spark, str(tmp_path / "s4"))
+    st.process(_batch(spark, ["a", "b"]))
+    os.rename(st.path, st.path + ".old")  # the mid-swap window
+    assert {r["checksum"] for r in st.table().collect()} == {"a", "b"}
+    assert not os.path.isdir(st.path)  # reader did NOT mutate
+    assert os.path.isdir(st.path + ".old")
+    # filter_new (reader path) still dedupes against the parked gen
+    out = st.filter_new(_batch(spark, ["a", "c"]))
+    assert {r["checksum"] for r in out.collect()} == {"c"}
+    assert not os.path.isdir(st.path)
+
+
+def test_writer_recovers_parked_generation(spark, tmp_path):
+    """A WRITE entry point heals the crash window: .old renames back
+    to the live path before the append, so nothing re-admits."""
+    import os
+
+    st = SeenKeysStore(spark, str(tmp_path / "s5"))
+    st.process(_batch(spark, ["a", "b"]))
+    os.rename(st.path, st.path + ".old")
+    out = st.process(_batch(spark, ["a", "c"]))
+    assert {r["checksum"] for r in out.collect()} == {"c"}
+    assert os.path.isdir(st.path) and not os.path.isdir(st.path + ".old")
+    assert st.filter_new(_batch(spark, ["a", "b", "c"])).count() == 0
+
+
+def test_compact_tolerates_restored_destination(spark, tmp_path, monkeypatch):
+    """ADVICE r10: if a legacy reader restores .old to the live path
+    between compact's two renames, compact must replace the restored
+    (superseded) generation and land the rewrite, not raise."""
+    import os
+
+    st = SeenKeysStore(spark, str(tmp_path / "s6"))
+    st.process(_batch(spark, ["a", "b"]))
+    st.process(_batch(spark, ["c"]))
+    real_rename = os.rename
+    raced = {"done": False}
+
+    def racing_rename(src, dst):
+        if (not raced["done"] and src.endswith(".compacting")
+                and dst == st.path):
+            raced["done"] = True
+            # the racing reader's recovery fires first
+            real_rename(st.path + ".old", st.path)
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    stats = st.compact()
+    assert raced["done"] and stats["kept"] == 3
+    assert {r["checksum"] for r in st.seen().collect()} == {"a", "b", "c"}
