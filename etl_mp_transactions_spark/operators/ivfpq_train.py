@@ -217,17 +217,46 @@ def lloyd_refine_sub(
     return pb
 
 
+# (cache_key -> (cb rows, pb rows)) book memo: the trained books are
+# a pure deterministic function of the fitted corpus, and every frame
+# involved is already a KC/KS-row collected literal (_freeze), so
+# memoizing the ROWS is exactly as bounded as the training collects
+# themselves. A gate/bench session runs ~8 registry queries that each
+# refit the same corpus; with the memo the Lloyd passes run once per
+# (corpus, session) and later callers pay only the single assignment
+# pass that rebuilds the residual frame (VERDICT r10 task #3).
+_BOOK_MEMO: dict[object, tuple[list, list]] = {}
+
+
 def trained_books(
-    embeddings: DataFrame, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    cache_key: object | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(cb, pb, resid): Lloyd-trained coarse books, Lloyd-trained
     per-subspace PQ books, and the persisted residual frame w.r.t.
     the TRAINED coarse books (reused by encode/search so the
-    assignment pass runs once)."""
+    assignment pass runs once). With ``cache_key`` (callers key on
+    the corpus identity, e.g. the sf_dir), the KC/KS-row trained
+    books memoize process-wide — sound because the pipeline is
+    deterministic per corpus and the memo holds only the
+    parameter-bounded literal rows."""
+    spark = embeddings.sparkSession
+    if cache_key is not None and cache_key in _BOOK_MEMO:
+        cb_rows, pb_rows = _BOOK_MEMO[cache_key]
+        cb = spark.createDataFrame(cb_rows, "c int, ccqv array<bigint>")
+        pb = spark.createDataFrame(pb_rows, "k int, pcqv array<bigint>")
+        resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
+        return cb, pb, resid
     q = _quantized(embeddings, id_col)
     cb = lloyd_refine_coarse(q, coarse_books(embeddings, id_col))
     resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
     pb = lloyd_refine_sub(resid, residual_books(resid))
+    if cache_key is not None:
+        _BOOK_MEMO[cache_key] = (
+            [(r["c"], list(r["ccqv"])) for r in cb.collect()],
+            [(r["k"], list(r["pcqv"])) for r in pb.collect()],
+        )
     return cb, pb, resid
 
 

@@ -18,6 +18,21 @@ from etl_mp_transactions_spark.sources.tables import load_table
 _DIM = PQ_M * PQ_SUB
 
 
+def materialize_ctes(sql: str) -> str:
+    """Force DuckDB to evaluate every CTE in ``sql`` once. DuckDB
+    (1.0) inlines a CTE at EVERY reference site; the IVF-PQ chains
+    reference each stage (books, residuals, codes, ground truth)
+    several times, and the Lloyd-trained variants nest generations,
+    so inlining replays the whole pipeline per reference —
+    exponentially for the unrolled training loop (the sf0.1 gate's
+    dominant cost, VERDICT r10 task #3). ``AS MATERIALIZED`` is
+    semantically neutral; the rewrite is textual and safe here
+    because in these generated statements ` AS (` only ever opens a
+    CTE body (derived tables are aliased without AS, and window /
+    function syntax never matches ` AS (`). Idempotent."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
 def _ivfpq_ctes(base_pred: str = "TRUE", target_pred: str = "TRUE") -> str:
     """The full IVF-PQ pipeline as DuckDB CTEs, parametrized by which
     vectors FIT the codebooks (``base_pred``) and which are ENCODED
@@ -118,7 +133,7 @@ _ARRIVING_PRED = "vec_id % 8 = 0"
 
 @query(
     "ivfpq_encode",
-    f"""
+    materialize_ctes(f"""
     WITH {_IVFPQ_CTES}
     SELECT vec_id,
            CAST(any_value(cid) AS BIGINT) AS cid,
@@ -128,7 +143,7 @@ _ARRIVING_PRED = "vec_id % 8 = 0"
     FROM codes
     GROUP BY vec_id
     ORDER BY vec_id
-    """,
+    """),
 )
 def ivfpq_encode(spark, sf_dir):
     """IVF-PQ encode of every embedding (operators/ivfpq.py module
@@ -148,7 +163,7 @@ def ivfpq_encode(spark, sf_dir):
 
 @query(
     "ivfpq_adc_topk",
-    f"""
+    materialize_ctes(f"""
     WITH {_IVFPQ_CTES},
     qv1 AS (
       SELECT vec_id AS query_id, qv AS qqv FROM q
@@ -193,7 +208,7 @@ def ivfpq_encode(spark, sf_dir):
     FROM scored
     ORDER BY adc_d2, vec_id
     LIMIT 10
-    """,
+    """),
 )
 def ivfpq_adc_topk(spark, sf_dir):
     """ADC top-10 for the deterministic query vector (min vec_id)
@@ -210,7 +225,7 @@ def ivfpq_adc_topk(spark, sf_dir):
 
 @query(
     "ivfpq_incremental_encode",
-    f"""
+    materialize_ctes(f"""
     WITH {_ivfpq_ctes(_BASE_PRED, _ARRIVING_PRED)}
     SELECT vec_id,
            CAST(any_value(cid) AS BIGINT) AS cid,
@@ -220,7 +235,7 @@ def ivfpq_adc_topk(spark, sf_dir):
     FROM codes
     GROUP BY vec_id
     ORDER BY vec_id
-    """,
+    """),
 )
 def ivfpq_incremental_encode(spark, sf_dir):
     """Incremental IVF-PQ ingest (operators/ivfpq.py
@@ -247,7 +262,7 @@ def ivfpq_incremental_encode(spark, sf_dir):
 
 @query(
     "ivfpq_adc_batch",
-    f"""
+    materialize_ctes(f"""
     WITH {_IVFPQ_CTES},
     qset AS (
       SELECT vec_id AS query_id, qv AS qqv FROM (
@@ -299,7 +314,7 @@ def ivfpq_incremental_encode(spark, sf_dir):
           FROM scored)
     WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
+    """),
 )
 def ivfpq_adc_batch(spark, sf_dir):
     """Batched ADC serving (operators/ivfpq.py ivfpq_adc_batch): a

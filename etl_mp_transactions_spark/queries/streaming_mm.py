@@ -1161,12 +1161,13 @@ from etl_mp_transactions_spark.queries.ivfpq_q import (  # noqa: E402
     _ARRIVING_PRED,
     _BASE_PRED,
     _ivfpq_ctes,
+    materialize_ctes,
 )
 
 
 @query(
     "r19_stream_ivfpq_ingest",
-    f"""
+    materialize_ctes(f"""
     WITH {_ivfpq_ctes(_BASE_PRED, _ARRIVING_PRED)}
     SELECT vec_id,
            CAST(any_value(cid) AS BIGINT) AS cid,
@@ -1176,7 +1177,7 @@ from etl_mp_transactions_spark.queries.ivfpq_q import (  # noqa: E402
     FROM codes
     GROUP BY vec_id
     ORDER BY vec_id
-    """,
+    """),
 )
 def r19_stream_ivfpq_ingest(spark, sf_dir):
     """Streaming IVF-PQ vector ingest (14th stream==batch pin;

@@ -115,3 +115,48 @@ def test_nprobe_curve_shape(spark, sf_dir):
     peak = max(by.values())
     assert by[max(NPROBE_LADDER)] >= peak - 500, by  # bounded wobble
     assert all(r["total"] == rows[0]["total"] for r in rows)
+
+
+def test_rerank_recall_monotone_with_positive_lift(spark, sf_dir):
+    """The exact re-rank stage (VERDICT r10 task #1): hits weakly
+    increase with the refine fan-out R (a candidate displacing a true
+    neighbor from the exact-rerank top-5 must itself be a true
+    neighbor), the R=5 rung equals plain trained-ADC recall@5 with
+    zero lift by construction, and R_max buys a strictly positive
+    recall lift over the ADC floor."""
+    from etl_mp_transactions_spark.queries.ivfpq_train_q import (
+        REFINE_LADDER,
+    )
+    from etl_mp_transactions_spark.registry import queries
+
+    qs = queries()
+    rows = qs["ivfpq_rerank_recall"](spark, sf_dir).collect()
+    by = {r["r_candidates"]: r for r in rows}
+    assert sorted(by) == sorted(REFINE_LADDER)
+    ladder = [by[r]["hits"] for r in sorted(by)]
+    assert ladder == sorted(ladder), ladder  # weakly monotone in R
+    assert by[5]["lift_from_adc_bp"] == 0
+    assert by[max(REFINE_LADDER)]["lift_from_adc_bp"] > 0, by
+    # the R=5 rung re-ranks exactly the ADC top-5 set -> same recall
+    # as ivfpq_recall_at5's trained row
+    adc = qs["ivfpq_recall_at5"](spark, sf_dir).collect()
+    trained_bp = next(
+        r["recall_bp"] for r in adc if r["variant"] == "trained"
+    )
+    assert by[5]["recall_bp"] == trained_bp
+
+
+def test_rerank_topk_subset_of_candidates_exactly_ranked(spark, sf_dir):
+    """rerank_exact returns per-query top-5 by EXACT distance: every
+    returned pair's exact_d2 recomputes from the raw vectors, and
+    ranks are 1..5 per query ordered by (exact_d2, vec_id)."""
+    from etl_mp_transactions_spark.registry import queries
+
+    out = queries()["ivfpq_rerank_topk"](spark, sf_dir).collect()
+    perq: dict = {}
+    for r in out:
+        perq.setdefault(r["query_id"], []).append(r)
+    for qid, rs in perq.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        d2s = [(r["exact_d2"], r["vec_id"]) for r in rs]
+        assert d2s == sorted(d2s)
