@@ -174,3 +174,75 @@ def test_heldout_eval_rejects_memorizing_filter(spark, sf_dir):
     # the gate's verdict: transductive train accuracy does NOT
     # transfer on this corpus — deployable must be False
     assert r["deployable"] is False
+
+
+def test_poscontrol_gate_passes_with_python_replay(spark, sf_dir):
+    """quality_classifier_poscontrol (VERDICT r10 task #2): with the
+    label derived from marker-stopword density — a real text feature
+    the bigram evidence genuinely carries — the python replay of the
+    leak-guarded train→held-out-eval chain must match exactly AND the
+    deploy gate must PASS (deployable=True, accuracy ≥ base +
+    margin): the positive control proving the gate can accept a
+    transferable filter, next to the pinned negative control above."""
+    from etl_mp_transactions_spark.operators.textstats import STOPWORDS
+    from etl_mp_transactions_spark.queries.quality_clf import (
+        DEPLOY_MARGIN_BP,
+        POSCTRL_THRESH_BP,
+    )
+
+    docs = _docs(spark, sf_dir)
+    stops = set(STOPWORDS)
+    lab = {}
+    for doc_id, (_, text) in docs.items():
+        ws = text.split(" ")
+        n = max(sum(1 for t in ws if t), 1)
+        dens_bp = (sum(1 for t in ws if t in stops) * 10000) // n
+        lab[doc_id] = 1 if dens_bp >= POSCTRL_THRESH_BP else 0
+    occ = []
+    for doc_id, (_, text) in docs.items():
+        ws = text.split(" ")
+        for i in range(len(ws) - 1):
+            if ws[i] and ws[i + 1]:
+                occ.append((doc_id, _bucket(ws[i], ws[i + 1])))
+    cp, cn = Counter(), Counter()
+    for doc_id, f in occ:
+        if doc_id % 2 == 0:
+            (cp if lab[doc_id] == 1 else cn)[f] += 1
+    s = {
+        f: ((cp.get(f, 0) + 1) * DSIR_SCALE) // (cn.get(f, 0) + 1)
+        for f in {f for _, f in occ}
+    }
+    per_doc = {}
+    for doc_id, f in occ:
+        st = per_doc.setdefault(doc_id, [0, 0])
+        st[0] += s[f]
+        st[1] += 1
+    feats = {
+        doc_id: (None, len(bin(1 + (ssum * DSIR_SCALE) // cnt)) - 2,
+                 lab[doc_id])
+        for doc_id, (ssum, cnt) in per_doc.items()
+    }
+    b0, b1 = _python_train(
+        {d: v for d, v in feats.items() if d % 2 == 0}
+    )
+    tp = fp = tn = fn = 0
+    for doc_id, (_, x, y) in feats.items():
+        if doc_id % 2 == 0:
+            continue
+        z = (b0 + b1 * x) / 1e9
+        keep = (
+            round(1e9 * (1.0 / (1.0 + math.exp(-z))))
+            >= KEEP_THRESHOLD_NANO
+        )
+        tp += y == 1 and keep
+        fp += y == 0 and keep
+        tn += y == 0 and not keep
+        fn += y == 1 and not keep
+    n = tp + fp + tn + fn
+    acc_bp = ((tp + tn) * 10000) // n
+    base_bp = (max(tp + fn, fp + tn) * 10000) // n
+    r = queries()["quality_classifier_poscontrol"](spark, sf_dir).collect()[0]
+    assert (r["b0_nano"], r["b1_nano"]) == (b0, b1)
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+    assert (r["accuracy_bp"], r["base_bp"]) == (acc_bp, base_bp)
+    assert r["deployable"] and acc_bp >= base_bp + DEPLOY_MARGIN_BP
