@@ -323,6 +323,48 @@ def adc_search(
     )
 
 
+def variance_permutation(resid: DataFrame) -> list[int]:
+    """OPQ-style subspace re-balancing as a deterministic column
+    permutation (VERDICT r10 task #5; Ge et al. 2013 motivate
+    balancing per-subspace variance before PQ — FAISS applies a
+    trained rotation, OPQMatrix; an exact-integer orthogonal rotation
+    is not oracle-replayable, so this is the permutation reduction):
+    rank residual dimensions by their exact sum of squared deviations
+    from the floored integer mean (d_j = s2 − 2·μ·s1 + n·μ², all
+    BIGINT, overflow-safe to ~6e6 corpus rows at micro-unit scale —
+    documented bound), then deal them round-robin into the M
+    subspaces so every subspace holds one dim of each variance tier.
+    Returns the 1-based old position for each new position — a
+    DIM-row parameter-bounded collect (documented class); downstream
+    plans permute via a LITERAL projection, fully codegen'd."""
+    st = (
+        resid.select(F.posexplode("rqv").alias("i", "v"))
+        .groupBy("i")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s1"),
+            F.sum(F.expr("v * v")).cast("bigint").alias("s2"),
+        )
+    )
+    mu = _fdiv(F.col("s1"), F.col("n"))
+    rows = st.select(
+        "i",
+        (F.col("s2") - F.lit(2) * mu * F.col("s1")
+         + F.col("n") * mu * mu).alias("d"),
+    ).collect()  # DIM rows — parameter-bounded
+    order = sorted(rows, key=lambda r: (-r["d"], r["i"]))
+    po = [0] * _DIM
+    for rnk, r in enumerate(order):
+        po[(rnk % PQ_M) * PQ_SUB + (rnk // PQ_M)] = r["i"]
+    return [p + 1 for p in po]
+
+
+def permute_arr(col: str, po: list[int]):
+    """Column expression permuting a DIM array by the 1-based
+    old-position list ``po`` (new[i] = old[po[i]])."""
+    return F.array(*[F.col(col)[p - 1] for p in po])
+
+
 # refine fan-out: candidates ADC-retrieved per query before the exact
 # re-rank (FAISS IndexRefineFlat's k_factor × k, here 4 × 5)
 REFINE_R = 20

@@ -328,14 +328,17 @@ _QSET_SQL = f"""qset AS (
 
 
 def _adc_scan_sql(prefix: str, cb: str, pb: str, codes: str, k: int,
-                  nprobe: int = ivfpq.IVFPQ_NPROBE) -> str:
+                  nprobe: int = ivfpq.IVFPQ_NPROBE,
+                  qset: str = "qset") -> str:
     """Batch ADC scan CTEs against the given book/code CTE names:
-    {prefix}probe → {prefix}lut → {prefix}top (per-query top-k)."""
+    {prefix}probe → {prefix}lut → {prefix}top (per-query top-k).
+    ``qset`` names the (query_id, qqv) CTE to scan for — the permuted
+    twin passes its coordinate-permuted batch."""
     d2c = _L2.format(dim=_DIM, a="qs.qqv", b="b.ccqv", off="")
     return f"""{prefix}probe AS (
       SELECT query_id, c AS cid, qqv, ccqv FROM (
         SELECT qs.query_id, b.c, qs.qqv, b.ccqv, {d2c} AS cd2
-        FROM qset qs CROSS JOIN {cb} b
+        FROM {qset} qs CROSS JOIN {cb} b
         QUALIFY row_number() OVER (PARTITION BY qs.query_id
                                    ORDER BY cd2, b.c)
                 <= {nprobe}
@@ -871,3 +874,200 @@ def ivfpq_rerank_recall(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("r_candidates")
+
+
+# ---------------------------------------------------------------------
+# OPQ-style subspace re-balancing (VERDICT r10 task #5; Ge et al.
+# 2013): FAISS's default recall lever after training is a rotation
+# that balances per-subspace variance before PQ. An exact-integer
+# orthogonal rotation is not oracle-replayable, so this is the
+# permutation reduction — rank residual dims by exact
+# squared-deviation mass and deal them round-robin into the M
+# subspaces — measured head-to-head against the unpermuted trained
+# index on BOTH axes (encode distortion, recall@5). The coarse stage
+# is permutation-equivariant (full-vector L2 and md5 seeds are
+# coordinate-order-free), so only the per-subspace training, encode,
+# and LUT re-run on permuted coordinates.
+
+import re as _re
+
+
+def _perm_rename(sql: str) -> str:
+    """Prefix the per-subspace-chain CTE names with ``p`` so the
+    permuted twin coexists with the plain chain in one statement."""
+    return _re.sub(
+        r"\b(trv|pbt|sasg|sst|snew)", lambda m: "p" + m.group(1), sql
+    )
+
+
+def _permute_gain_sql() -> str:
+    fd = _FDIV.format(s="s1", n="n")
+    d2s = _L2.format(
+        dim=PQ_SUB, a="rv.rqv", b="p.pcqv", off=f"mm.m * {PQ_SUB} + "
+    )
+    pctes = f"""vstat AS (
+      SELECT u.j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rv.rqv[u.j]) AS BIGINT) AS s1,
+             CAST(sum(rv.rqv[u.j] * rv.rqv[u.j]) AS BIGINT) AS s2
+      FROM trv rv, unnest(generate_series(1, {_DIM})) AS u(j)
+      GROUP BY u.j
+    ),
+    vdev AS (
+      SELECT j, s2 - 2 * {fd} * s1 + n * {fd} * {fd} AS d FROM vstat
+    ),
+    perm AS (
+      SELECT j AS old_pos,
+             row_number() OVER (ORDER BY d DESC, j) - 1 AS rnk
+      FROM vdev
+    ),
+    pmap AS (
+      SELECT old_pos,
+             (rnk % {PQ_M}) * {PQ_SUB} + (rnk // {PQ_M}) + 1 AS new_pos
+      FROM perm
+    ),
+    parr AS (SELECT list(old_pos ORDER BY new_pos) AS po FROM pmap),
+    ptrv AS (
+      SELECT t.vec_id, t.cid,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> t.rqv[p.po[i]]) AS rqv
+      FROM trv t CROSS JOIN parr p
+    ),
+    ppbt0 AS (
+      SELECT b.k,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> b.pcqv[p.po[i]]) AS pcqv
+      FROM pbt0 b CROSS JOIN parr p
+    ),
+    pqset AS (
+      SELECT qs.query_id,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> qs.qqv[p.po[i]]) AS qqv
+      FROM qset qs CROSS JOIN parr p
+    ),
+    pcb AS (
+      SELECT b.c,
+             list_transform(generate_series(1, {_DIM}),
+                            i -> b.ccqv[p.po[i]]) AS ccqv
+      FROM cb{_CI} b CROSS JOIN parr p
+    )"""
+    psub = ",".join(
+        _perm_rename(_sub_iter_sql(t)) for t in range(1, _SI + 1)
+    )
+    ptail = f"""ptsub AS (
+      SELECT rv.vec_id, rv.cid, p.k, mm.m, {d2s} AS d2
+      FROM ptrv rv CROSS JOIN ppbt{_SI} p
+      CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    ptcodes AS (
+      SELECT vec_id, cid, m, k AS code, d2
+      FROM ptsub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2, k) = 1
+    )"""
+    return f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    {pctes},
+    {psub},
+    {ptail},
+    {_adc_scan_sql("s", f"cb{_CI}", f"pbt{_SI}", "tcodes", 5)},
+    {_adc_scan_sql("pp", "pcb", f"ppbt{_SI}", "ptcodes", 5,
+                   qset="pqset")},
+    {_EX_SQL},
+    hplain AS (SELECT CAST(count(*) AS BIGINT) AS hits
+               FROM stop JOIN ex USING (query_id, vec_id)),
+    hperm AS (SELECT CAST(count(*) AS BIGINT) AS hits
+              FROM pptop JOIN ex USING (query_id, vec_id))
+    SELECT variant, distortion, hits, total,
+           hits * 10000 // total AS recall_bp
+    FROM (
+      SELECT 'trained' AS variant,
+             (SELECT CAST(sum(d2) AS BIGINT) FROM tcodes) AS distortion,
+             hplain.hits, tot.total FROM hplain, tot
+      UNION ALL
+      SELECT 'trained_permuted' AS variant,
+             (SELECT CAST(sum(d2) AS BIGINT) FROM ptcodes) AS distortion,
+             hperm.hits, tot.total FROM hperm, tot
+    )
+    ORDER BY variant
+    """
+
+
+@query("ivfpq_permute_gain", materialize_ctes(_permute_gain_sql()))
+def ivfpq_permute_gain(spark, sf_dir):
+    """Variance-balanced subspace permutation vs the plain trained
+    index, both axes pinned in-result (VERDICT r10 task #5): encode
+    distortion and exact recall@5 of the trained index BEFORE and
+    AFTER dealing residual dims round-robin by variance into the M
+    subspaces (operators/ivfpq_train.py variance_permutation — the
+    oracle-replayable reduction of Ge 2013's OPQ rotation; the
+    permutation is a literal projection, the coarse stage is
+    permutation-equivariant and reused, and only the per-subspace
+    Lloyd refits run on permuted coordinates). The measured delta —
+    improvement OR an honest negative result — is the deliverable.
+
+    Measured verdict: NEGATIVE on this corpus. Distortion improves
+    marginally (−0.35%/−0.03%/−0.01% at sf0.001/0.01/0.1) but
+    recall@5 drops at every SF (3625→3406, 3562→3406, 3031→2750 bp):
+    the synthetic embeddings draw every dim i.i.d. from one
+    distribution, so per-dim variance is near-uniform, the
+    round-robin deal only reshuffles tie-level structure, and the
+    tiny quantization gain does not survive into retrieval. OPQ's
+    win requires anisotropic variance (real embeddings concentrate
+    mass in leading PCA dims); on an isotropic corpus the honest
+    recommendation is to SKIP the rotation stage — exactly what this
+    pinned result documents. Direction is pinned per-SF in
+    tests/test_ivfpq_train.py (deterministic pipeline ⇒ any flip is
+    a code change)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, packed = _encode_resid(resid, pb)
+    po = ivfpq_train.variance_permutation(resid)
+    presid = resid.select(
+        "vec_id", "cid", ivfpq_train.permute_arr("rqv", po).alias("rqv")
+    )
+    from etl_mp_transactions_spark.operators.ivfpq import residual_books
+
+    ppb = ivfpq_train.lloyd_refine_sub(presid, residual_books(presid))
+    pcodes, ppacked = _encode_resid(presid, ppb)
+    q = _quantized(emb, "vec_id")
+    qset = _qset_df(q)
+    exact = _exact_top5(q, qset)
+    tot = exact.agg(F.count("*").cast("bigint").alias("total"))
+    qset_p = qset.select(
+        "query_id", ivfpq_train.permute_arr("qqv", po).alias("qqv")
+    )
+    cb_p = cb.select(
+        "c", ivfpq_train.permute_arr("ccqv", po).alias("ccqv")
+    )
+
+    def variant(name, packed_df, top):
+        dist = packed_df.agg(
+            F.sum("distortion").cast("bigint").alias("distortion")
+        )
+        hits = (
+            top.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count("*").cast("bigint").alias("hits"))
+        )
+        return (
+            dist.crossJoin(hits)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("variant"),
+                "distortion",
+                "hits",
+                "total",
+                F.expr("hits * 10000 div total").alias("recall_bp"),
+            )
+        )
+
+    plain_top = ivfpq_train.adc_search(qset, cb, pb, codes, 5)
+    perm_top = ivfpq_train.adc_search(qset_p, cb_p, ppb, pcodes, 5)
+    return (
+        variant("trained", packed, plain_top)
+        .unionAll(variant("trained_permuted", ppacked, perm_top))
+        .orderBy("variant")
+    )

@@ -160,3 +160,37 @@ def test_rerank_topk_subset_of_candidates_exactly_ranked(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         d2s = [(r["exact_d2"], r["vec_id"]) for r in rs]
         assert d2s == sorted(d2s)
+
+
+def test_permute_gain_pins_honest_negative(spark, sf_dir):
+    """ivfpq_permute_gain (VERDICT r10 task #5): the variance
+    round-robin permutation must preserve the corpus/batch totals,
+    marginally improve encode distortion, and — the documented
+    negative result on this isotropic synthetic corpus — NOT improve
+    recall@5 (measured 3625 -> 3406 bp at sf0.001). The pipeline is
+    deterministic per SF, so a direction flip is a code change."""
+    from etl_mp_transactions_spark.registry import queries
+
+    rows = queries()["ivfpq_permute_gain"](spark, sf_dir).collect()
+    by = {r["variant"]: r for r in rows}
+    assert set(by) == {"trained", "trained_permuted"}
+    t, p = by["trained"], by["trained_permuted"]
+    assert t["total"] == p["total"]
+    assert p["distortion"] <= t["distortion"]
+    assert p["recall_bp"] <= t["recall_bp"]  # the honest negative
+
+
+def test_variance_permutation_is_a_permutation(spark, sf_dir):
+    """The dealt layout is a true permutation of 1..DIM and deals the
+    variance ranking round-robin: each subspace gets exactly one dim
+    of each variance tier."""
+    from etl_mp_transactions_spark.operators.ivfpq_train import (
+        _DIM,
+        trained_books,
+        variance_permutation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, resid = trained_books(emb, cache_key=("full", sf_dir))
+    po = variance_permutation(resid)
+    assert sorted(po) == list(range(1, _DIM + 1))
