@@ -725,9 +725,9 @@ _EX_SQL = f"""ex AS (
     tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex)"""
 
 
-@query(
-    "ivfpq_rerank_topk",
-    materialize_ctes(f"""
+# shared with the r21 streaming serving twin (queries/streaming_mm.py)
+# — frozen state makes the stream equal this batch result bit-for-bit
+RERANK_TOPK_SQL = f"""
     WITH {_TRAIN_CTES},
     {_QSET_SQL},
     {_adc_scan_sql("c", f"cb{_CI}", f"pbt{_SI}", "tcodes",
@@ -747,8 +747,10 @@ _EX_SQL = f"""ex AS (
     )
     WHERE rank <= 5
     ORDER BY query_id, rank
-    """),
-)
+    """
+
+
+@query("ivfpq_rerank_topk", materialize_ctes(RERANK_TOPK_SQL))
 def ivfpq_rerank_topk(spark, sf_dir):
     """Refined serving top-5 for the deterministic
     {ivfpq.IVFPQ_QBATCH}-query batch over the TRAINED index: ADC

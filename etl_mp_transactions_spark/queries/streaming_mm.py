@@ -1451,3 +1451,73 @@ def image_phash_neardup(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+from etl_mp_transactions_spark.queries.ivfpq_train_q import (  # noqa: E402
+    RERANK_TOPK_SQL,
+    _qset_df,
+)
+
+
+@query("r21_stream_rerank_serving", materialize_ctes(RERANK_TOPK_SQL))
+def r21_stream_rerank_serving(spark, sf_dir):
+    """Streaming refined ANN serving (16th stream==batch pin;
+    streaming/filesource.stream_rerank_serving_run): the trained
+    books and the encoded corpus are fitted offline and FROZEN; the
+    deterministic 64-query serving batch arrives as four
+    mtime-ordered files — one micro-batch each — plus a replay of the
+    first file that must contribute ZERO rows (already-served skip +
+    per-batch partition overwrite, the r19 no-ledger construction,
+    trivial again because frozen state makes every query's re-ranked
+    top-5 batch-independent). Each micro-batch ADC-retrieves
+    REFINE_R candidates and exact-re-ranks them against the original
+    vectors — the IndexRefineFlat serving path online. The final
+    result table must equal the batch ivfpq_rerank_topk bit for bit —
+    same oracle."""
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.operators import ivfpq_train
+    from etl_mp_transactions_spark.operators.ivfpq import _encode_resid
+    from etl_mp_transactions_spark.operators.pq import _quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_dir("r21_rerank")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    qv = _quantized(emb, "vec_id")
+    qids = _qset_df(qv).select(F.col("query_id").alias("vec_id"))
+    arriving = emb.join(
+        F.broadcast(qids), "vec_id", "left_semi"
+    ).withColumn("g", F.expr("vec_id % 4"))
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        arriving.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    out = filesource.stream_rerank_serving_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "served"),
+        cb,
+        pb,
+        codes,
+        qv,
+    )
+    return out.orderBy("query_id", "rank")

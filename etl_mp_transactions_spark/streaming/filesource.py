@@ -856,3 +856,76 @@ def stream_quality_gate_run(
     return spark.read.schema(out_schema).parquet(
         os.path.join(verdict_dir, "batch=*")
     )
+
+
+def stream_rerank_serving_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    cb: DataFrame,
+    pb: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    k_neighbors: int = 5,
+) -> DataFrame:
+    """Streaming refined ANN serving (R21): arriving QUERY batches
+    ADC-retrieve against the FROZEN trained index and exact-re-rank
+    against the original vectors (operators/ivfpq_train.py
+    rerank_exact — the IndexRefineFlat serving path), appending to a
+    batch-partitioned result table. This is the online half of the
+    production lifecycle: books trained and corpus encoded offline
+    (both frozen here), the query firehose served online.
+
+    Replay safety is the r19 construction, trivial again by frozen
+    state: every query's top-k is independent of its batch, so the
+    sink overwrites its own ``batch=<id>`` partition and an
+    at-least-once re-delivered file contributes zero via the
+    already-served skip (anti-join on query_id against every result
+    partition except this batch's own)."""
+    from etl_mp_transactions_spark.operators.ivfpq_train import (
+        rerank_exact,
+    )
+    from etl_mp_transactions_spark.operators.pq import _quantized
+
+    out_schema = "query_id long, vec_id long, exact_d2 long, rank long"
+
+    def _served_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(out_dir, d)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(out_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], "query_id long")
+        return (
+            spark.read.schema(out_schema).parquet(*dirs)
+            .select("query_id").distinct()
+        )
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qset = _quantized(batch_df, "vec_id").select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+        )
+        fresh = qset.join(
+            _served_except(batch_id), "query_id", "left_anti"
+        )
+        rerank_exact(
+            fresh, cb, pb, codes, vectors, k_neighbors
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["embeddings"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(out_schema).parquet(
+        os.path.join(out_dir, "batch=*")
+    )

@@ -26,3 +26,28 @@ def test_stream_equals_batch(spark, sf_dir):
 def test_rerun_is_deterministic(spark, sf_dir):
     fn = queries()["r19_stream_ivfpq_ingest"]
     assert _rows(fn(spark, sf_dir)) == _rows(fn(spark, sf_dir))
+
+
+def _served(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["exact_d2"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_stream_rerank_equals_batch(spark, sf_dir):
+    """r21 (16th stream==batch pin): the streamed refined serving
+    result must equal the batch ivfpq_rerank_topk bit for bit, with
+    the replay file contributing zero (exactly 5 rows per query)."""
+    stream = _served(queries()["r21_stream_rerank_serving"](spark, sf_dir))
+    batch = _served(queries()["ivfpq_rerank_topk"](spark, sf_dir))
+    assert stream == batch and len(stream) > 0
+    from collections import Counter
+
+    per_q = Counter(q for q, *_ in stream)
+    assert set(per_q.values()) == {5}
+
+
+def test_stream_rerank_rerun_is_deterministic(spark, sf_dir):
+    fn = queries()["r21_stream_rerank_serving"]
+    assert _served(fn(spark, sf_dir)) == _served(fn(spark, sf_dir))
