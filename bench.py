@@ -51,6 +51,21 @@ def main() -> None:
     # makes round-over-round headline deltas attributable — on a
     # quiet box (1-min loadavg well under the cpu count at start) a
     # delta is a plan change; on a loaded box it is noise.
+    # Quiet-box closing rule (VERDICT r10 task #4): rather than just
+    # FLAG a loud sample, wait (bounded) for the 1-min loadavg to
+    # drop below the quiet criterion before starting, so the recorded
+    # artifact is baseline-comparable whenever the box quiets down
+    # within the budget. SPARK_GRAFT_QUIET_WAIT=0 disables.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    waited = 0.0
+    while os.getloadavg()[0] >= 0.1 * cpus and waited < wait_budget:
+        print(
+            f"# loadavg {os.getloadavg()[0]:.2f} >= {0.1 * cpus:.1f};"
+            f" waiting for quiet box ({waited:.0f}s/{wait_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
     load_start = os.getloadavg()
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 

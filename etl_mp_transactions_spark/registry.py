@@ -55,7 +55,6 @@ _SPOTLIGHT: list[str] = [
     "q3_join_agg_topk",
     "j3_explode_outer",
     "declarative_pipeline_silver",
-    "agg_cube_having",
     "semi_join_exists",
     "q17_avg_subquery",
     "f2_file_lineage",
@@ -66,12 +65,10 @@ _SPOTLIGHT: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental_new_vs_old",
-    "dedup_containment_nearsubset",
     "j2_anomaly_pairs",
     "j2_tfidf_exact_pairs",
     "ann_cosine_topk",
     "embedding_neardup",
-    "semantic_dedup",
     "text_lang_id",
     "text_quality",
     "sequence_packing",
@@ -84,7 +81,6 @@ _SPOTLIGHT: list[str] = [
     "viterbi_em_recount",
     "dsir_importance_select",
     "label_propagation_communities",
-    "image_phash_neardup",
     # r10: Lloyd-trained codebooks (distortion gain + recall audit),
     # the full unigram-EM training loop, maximal-span exact dedup
     "ivfpq_train_gain",
@@ -98,6 +94,13 @@ _SPOTLIGHT: list[str] = [
     # r10 continuation: full k-means training with the in-result
     # monotone-inertia trajectory
     "kmeans_train_trajectory",
+    # r11: exact re-rank stage (recall-vs-R lift), positive-control
+    # deployment gate, OPQ permutation verdict, streaming refined
+    # serving twin
+    "ivfpq_rerank_recall",
+    "quality_classifier_poscontrol",
+    "ivfpq_permute_gain",
+    "r21_stream_rerank_serving",
 ]
 
 
