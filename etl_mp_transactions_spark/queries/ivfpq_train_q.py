@@ -495,7 +495,7 @@ def ivfpq_recall_at5(spark, sf_dir):
     )
 
     def stats(df, name, floor_bp):
-        hits = df.join(exact, ["query_id", "vec_id"], "left_semi").agg(
+        hits = df.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi").agg(
             F.count("*").cast("bigint").alias("hits")
         )
         tot = exact.agg(F.count("*").cast("bigint").alias("total"))
@@ -686,7 +686,7 @@ def ivfpq_nprobe_curve(spark, sf_dir):
         top = ivfpq_train.adc_search(qset, cb, pb, codes, 5, nprobe=np)
         hits = (
             top.select("query_id", "vec_id")
-            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
             .agg(F.count("*").cast("bigint").alias("hits"))
         )
         row = hits.crossJoin(F.broadcast(tot)).select(
@@ -851,7 +851,7 @@ def ivfpq_rerank_recall(spark, sf_dir):
             .filter(F.col("rk") <= 5)
             .select("query_id", "vec_id")
         )
-        return top5.join(exact, ["query_id", "vec_id"], "left_semi").agg(
+        return top5.join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi").agg(
             F.count("*").cast("bigint").alias("hits")
         )
 
@@ -1051,7 +1051,7 @@ def ivfpq_permute_gain(spark, sf_dir):
         )
         hits = (
             top.select("query_id", "vec_id")
-            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .join(F.broadcast(exact), ["query_id", "vec_id"], "left_semi")
             .agg(F.count("*").cast("bigint").alias("hits"))
         )
         return (
