@@ -1073,3 +1073,192 @@ def ivfpq_permute_gain(spark, sf_dir):
         .unionAll(variant("trained_permuted", ppacked, perm_top))
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------
+# Metadata-FILTERED ANN (r11 continuation) — the FAISS IDSelector /
+# vector-DB "filtered search" capability: top-k restricted to corpus
+# vectors sharing the query's label (the tenant/category filter
+# shape). The filter rides the ADC hash join as one more equi-key
+# (operators/ivfpq_train.py adc_search_filtered) — never a
+# post-filter — and at 100 TB a label-partitioned codes table turns
+# the same plan into partition pruning.
+
+_LAB_CTES = f"""lab AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+    ),
+    qsetl AS (
+      SELECT qs.query_id, qs.qqv, l.label
+      FROM qset qs JOIN lab l ON l.vec_id = qs.query_id
+    ),
+    lcodes AS (
+      SELECT c.vec_id, c.cid, c.m, c.code, c.d2, l.label
+      FROM tcodes c JOIN lab l USING (vec_id)
+    )"""
+
+
+def _adc_scan_filtered_sql(prefix: str, cb: str, k: int,
+                           nprobe: int = ivfpq.IVFPQ_NPROBE) -> str:
+    """Filtered batch ADC scan against qsetl/lcodes: probe and LUT
+    carry the query's target label; the code scan adds the label
+    equi-condition."""
+    d2c = _L2.format(dim=_DIM, a="qs.qqv", b="b.ccqv", off="")
+    return f"""{prefix}probe AS (
+      SELECT query_id, label, c AS cid, qqv, ccqv FROM (
+        SELECT qs.query_id, qs.label, b.c, qs.qqv, b.ccqv, {d2c} AS cd2
+        FROM qsetl qs CROSS JOIN {cb} b
+        QUALIFY row_number() OVER (PARTITION BY qs.query_id
+                                   ORDER BY cd2, b.c)
+                <= {nprobe}
+      )
+    ),
+    {prefix}lut AS (
+      SELECT p.query_id, p.label, p.cid, pp.k AS code, mm.m,
+             CAST(list_sum(list_transform(
+               generate_series(1, {PQ_SUB}),
+               j -> ((p.qqv[mm.m * {PQ_SUB} + j]
+                      - p.ccqv[mm.m * {PQ_SUB} + j])
+                     - pp.pcqv[mm.m * {PQ_SUB} + j])
+                  * ((p.qqv[mm.m * {PQ_SUB} + j]
+                      - p.ccqv[mm.m * {PQ_SUB} + j])
+                     - pp.pcqv[mm.m * {PQ_SUB} + j]))) AS BIGINT) AS ld2
+      FROM {prefix}probe p CROSS JOIN pbt{_SI} pp
+      CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    {prefix}top AS (
+      SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT l.query_id, c.vec_id,
+               CAST(sum(l.ld2) AS BIGINT) AS adc_d2,
+               row_number() OVER (PARTITION BY l.query_id
+                                  ORDER BY CAST(sum(l.ld2) AS BIGINT),
+                                           c.vec_id) AS rank
+        FROM lcodes c
+        JOIN {prefix}lut l
+          ON l.cid = c.cid AND l.m = c.m AND l.code = c.code
+         AND l.label = c.label
+        GROUP BY l.query_id, c.vec_id
+      )
+      WHERE rank <= {k}
+    )"""
+
+
+def _filtered_qset(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb, "vec_id")
+    labels = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return _qset_df(q).join(F.broadcast(labels), "query_id")
+
+
+@query(
+    "ivfpq_filtered_topk",
+    materialize_ctes(f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    {_LAB_CTES},
+    {_adc_scan_filtered_sql("f", f"cb{_CI}", 5)}
+    SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM ftop
+    ORDER BY query_id, rank
+    """),
+)
+def ivfpq_filtered_topk(spark, sf_dir):
+    """Label-FILTERED ADC top-5 for the deterministic 64-query batch
+    over the TRAINED index (module comment): each query retrieves
+    only among corpus vectors sharing its label — the
+    tenant/category-scoped search every production vector deployment
+    serves. The predicate is an equi-key of the ADC hash join (never
+    a post-filter); with ~10 labels the scan touches ~10% of the
+    probed lists' codes. ≤5 rows per query by construction (fewer
+    when the probed lists hold fewer same-label vectors). Exact
+    integer end-to-end; the oracle replays training, labeling, and
+    the filtered scan from scratch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    lcodes = codes.join(
+        emb.select(
+            "vec_id", F.col("label").cast("long").alias("label")
+        ),
+        "vec_id",
+    )
+    return ivfpq_train.adc_search_filtered(
+        _filtered_qset(spark, sf_dir), cb, pb, lcodes, 5
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ivfpq_filtered_recall",
+    materialize_ctes(f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    {_LAB_CTES},
+    {_adc_scan_filtered_sql("f", f"cb{_CI}", 5)},
+    fex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qs.query_id, q.vec_id,
+               {_L2.format(dim=_DIM, a="qs.qqv", b="q.qv", off="")} AS d2
+        FROM qsetl qs
+        JOIN lab l ON TRUE
+        JOIN q ON q.vec_id = l.vec_id AND l.label = qs.label
+        QUALIFY row_number() OVER (PARTITION BY qs.query_id
+                                   ORDER BY d2, q.vec_id) <= 5
+      )
+    ),
+    ftot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM fex),
+    fh AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           FROM ftop JOIN fex USING (query_id, vec_id))
+    SELECT fh.hits, ftot.total,
+           fh.hits * 10000 // ftot.total AS recall_bp
+    FROM fh, ftot
+    """),
+)
+def ivfpq_filtered_recall(spark, sf_dir):
+    """Recall@5 of the label-filtered ADC scan against the
+    label-filtered EXACT top-5 (ground truth restricted to the same
+    predicate — the honest reference for filtered search): exact
+    BIGINT hits/total the oracle recomputes from scratch. The
+    filtered exact reference stays batch-bounded (corpus × 64 with
+    the label equi-join, map-side top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    labels = emb.select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    lcodes = codes.join(labels, "vec_id")
+    qsetl = _filtered_qset(spark, sf_dir)
+    q = _quantized(emb, "vec_id")
+    ew = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    fex = (
+        q.join(labels, "vec_id")
+        .join(
+            F.broadcast(
+                qsetl.select("query_id", "qqv", "label")
+            ),
+            "label",
+        )
+        .withColumn("d2", F.expr(_FULL_D2.format(a="qv", b="qqv")))
+        .withColumn("r", F.row_number().over(ew))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    ftot = fex.agg(F.count("*").cast("bigint").alias("total"))
+    ftop = ivfpq_train.adc_search_filtered(qsetl, cb, pb, lcodes, 5)
+    fh = (
+        ftop.select("query_id", "vec_id")
+        .join(F.broadcast(fex), ["query_id", "vec_id"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    return fh.crossJoin(F.broadcast(ftot)).select(
+        "hits",
+        "total",
+        F.expr("hits * 10000 div total").alias("recall_bp"),
+    )
