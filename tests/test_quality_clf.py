@@ -246,3 +246,29 @@ def test_poscontrol_gate_passes_with_python_replay(spark, sf_dir):
     assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
     assert (r["accuracy_bp"], r["base_bp"]) == (acc_bp, base_bp)
     assert r["deployable"] and acc_bp >= base_bp + DEPLOY_MARGIN_BP
+
+
+def test_calibration_bins_monotone_and_bounded(spark, sf_dir):
+    """quality_classifier_calibration: bin means lie inside their
+    bin's probability range, counts cover the whole eval slice, and
+    the observed positive rate is monotone in bin — the property a
+    2-parameter logistic on a monotone feature guarantees."""
+    from etl_mp_transactions_spark.queries.quality_clf import CAL_BINS
+
+    rows = queries()["quality_classifier_calibration"](
+        spark, sf_dir
+    ).collect()
+    assert 1 <= len(rows) <= CAL_BINS
+    obs = []
+    for r in rows:
+        lo = r["bin"] * 1_000_000_000 // CAL_BINS
+        hi = (r["bin"] + 1) * 1_000_000_000 // CAL_BINS
+        # top bin absorbs p_nano == 1e9 (the least() clamp)
+        assert lo <= r["mean_p_nano"] <= (
+            1_000_000_000 if r["bin"] == CAL_BINS - 1 else hi
+        )
+        obs.append(r["obs_bp"])
+    assert obs == sorted(obs), obs
+    docs = load_table(spark, sf_dir, "documents")
+    n_eval = docs.filter("doc_id % 2 = 1").count()
+    assert sum(r["n"] for r in rows) == n_eval
