@@ -1262,3 +1262,84 @@ def ivfpq_filtered_recall(spark, sf_dir):
         "total",
         F.expr("hits * 10000 div total").alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------
+# Index-artifact lifecycle (r11 continuation): a production index is
+# a WRITTEN ARTIFACT — books + packed codes persisted once, loaded by
+# every serving replica. This query proves the stored form is
+# sufficient: it writes exactly (c, ccqv), (k, pcqv), and the packed
+# (vec_id, cid, pq_code) rows — the 32-bits-plus-a-list-id contract —
+# loads them back in a fresh plan, UNPACKS the nibbles in-scan, and
+# serves the deterministic query from the loaded artifact. Same
+# oracle as ivfpq_train_adc_topk: the round trip must be invisible.
+
+_TRAIN_TOPK_SQL = f"""
+    WITH {_TRAIN_CTES},
+    qv1 AS (
+      SELECT vec_id AS query_id, qv AS qqv FROM q
+      ORDER BY vec_id LIMIT 1
+    ),
+    qset AS (SELECT * FROM qv1),
+    {_adc_scan_sql("t", f"cb{_CI}", f"pbt{_SI}", "tcodes", 10)}
+    SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM ttop
+    ORDER BY rank
+    """
+
+
+@query("ivfpq_index_roundtrip", materialize_ctes(_TRAIN_TOPK_SQL))
+def ivfpq_index_roundtrip(spark, sf_dir):
+    """Serve from the LOADED index artifact (module comment): train,
+    encode, persist the deployable index (coarse books, PQ books,
+    packed 32-bit codes — nothing else), load it back in a fresh
+    serving plan, unpack the code nibbles in-scan
+    (shiftright(pq_code, 4m) & 15 — exact inverse of the little-
+    endian encode pack), and run the deterministic query's ADC
+    top-10 from the loaded artifact. Must equal serving from the
+    in-session index bit for bit — same oracle as
+    ivfpq_train_adc_topk; equality also pinned directly in
+    tests/test_ivfpq_train.py."""
+    import os
+
+    from etl_mp_transactions_spark.workdirs import run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    _, packed = _encode_resid(resid, pb)
+    work = run_dir("ivfpq_index")
+    cb.write.mode("overwrite").parquet(os.path.join(work, "coarse"))
+    pb.write.mode("overwrite").parquet(os.path.join(work, "pq"))
+    packed.select("vec_id", "cid", "pq_code").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "codes"))
+    lcb = spark.read.parquet(os.path.join(work, "coarse"))
+    lpb = spark.read.parquet(os.path.join(work, "pq"))
+    unpacked = (
+        spark.read.parquet(os.path.join(work, "codes"))
+        .select(
+            "vec_id",
+            "cid",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1))
+            ).alias("m"),
+            "pq_code",
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "m",
+            F.expr(
+                "cast(shiftright(pq_code, 4 * m) & 15 as int)"
+            ).alias("code"),
+        )
+    )
+    q = _quantized(emb, "vec_id")
+    qset = q.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    return ivfpq_train.adc_search(qset, lcb, lpb, unpacked, 10).orderBy(
+        "rank"
+    )

@@ -226,3 +226,22 @@ def test_filtered_recall_positive(spark, sf_dir):
     r = queries()["ivfpq_filtered_recall"](spark, sf_dir).collect()[0]
     assert r["total"] > 0 and 0 < r["hits"] <= r["total"]
     assert r["recall_bp"] >= 2000, r
+
+
+def test_index_roundtrip_equals_in_session(spark, sf_dir):
+    """ivfpq_index_roundtrip: serving from the written-then-loaded
+    artifact (books + packed 32-bit codes, nibbles unpacked in-scan)
+    must equal serving from the in-session index bit for bit — the
+    stored form is the complete index."""
+    from etl_mp_transactions_spark.registry import queries
+
+    qs = queries()
+    rt = [
+        (r["query_id"], r["vec_id"], r["adc_d2"], r["rank"])
+        for r in qs["ivfpq_index_roundtrip"](spark, sf_dir).collect()
+    ]
+    direct = [
+        (r["query_id"], r["vec_id"], r["adc_d2"], r["rank"])
+        for r in qs["ivfpq_train_adc_topk"](spark, sf_dir).collect()
+    ]
+    assert rt == direct and len(rt) == 10
