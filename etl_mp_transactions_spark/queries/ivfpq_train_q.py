@@ -1343,3 +1343,75 @@ def ivfpq_index_roundtrip(spark, sf_dir):
     return ivfpq_train.adc_search(qset, lcb, lpb, unpacked, 10).orderBy(
         "rank"
     )
+
+
+# ---------------------------------------------------------------------
+# Operating-point selection (r11 continuation): a deployment doesn't
+# ship the recall-vs-nprobe curve — it ships the OPERATING POINT the
+# curve implies for its recall SLO. This query automates that pick:
+# smallest nprobe whose measured recall@5 meets the SLO (scan cost
+# grows ∝ nprobe/KC, so smallest-meeting is cheapest-meeting); if no
+# rung meets it, fall back to the best-recall rung with
+# meets_slo=false — the honest "SLO unreachable at this quantization"
+# verdict.
+
+NPROBE_SLO_BP = 3000  # target recall@5
+
+
+def _nprobe_slo_sql() -> str:
+    base = _nprobe_curve_sql()
+    return f"""
+    WITH curve AS ({base}),
+    pick AS (
+      SELECT nprobe, recall_bp,
+             CASE WHEN recall_bp >= {NPROBE_SLO_BP} THEN 0 ELSE 1 END
+               AS miss
+      FROM curve
+    )
+    SELECT nprobe AS chosen_nprobe, recall_bp,
+           nprobe * 10000 // {ivfpq.IVFPQ_KC} AS scan_cost_bp,
+           miss = 0 AS meets_slo
+    FROM pick
+    QUALIFY row_number() OVER (
+      ORDER BY miss,
+               CASE WHEN miss = 0 THEN nprobe
+                    ELSE 10000 - recall_bp END,
+               nprobe
+    ) = 1
+    """
+
+
+@query("ivfpq_nprobe_slo", materialize_ctes(_nprobe_slo_sql()))
+def ivfpq_nprobe_slo(spark, sf_dir):
+    """Auto-tuned nprobe operating point for a recall@5 SLO of
+    {NPROBE_SLO_BP} bp (module comment): measure the trained index's
+    recall at every ladder rung (the ivfpq_nprobe_curve sweep),
+    choose the SMALLEST nprobe meeting the SLO — the cheapest
+    compliant scan, cost ∝ nprobe/KC carried in-result as
+    scan_cost_bp — or the best-recall rung with meets_slo=false when
+    the SLO is quantization-unreachable. Corpus-dependent by design:
+    the pick tightens or widens per corpus exactly as a production
+    tuner would (argmin with shared tiebreak text in both engines)."""
+    curve = ivfpq_nprobe_curve(spark, sf_dir)
+    pick = curve.select(
+        "nprobe",
+        "recall_bp",
+        F.when(F.col("recall_bp") >= NPROBE_SLO_BP, 0)
+        .otherwise(1)
+        .alias("miss"),
+    )
+    key = F.when(F.col("miss") == 0, F.col("nprobe")).otherwise(
+        10000 - F.col("recall_bp")
+    )
+    return (
+        pick.orderBy("miss", key, "nprobe")
+        .limit(1)
+        .select(
+            F.col("nprobe").alias("chosen_nprobe"),
+            "recall_bp",
+            F.expr(f"nprobe * 10000 div {ivfpq.IVFPQ_KC}").alias(
+                "scan_cost_bp"
+            ),
+            (F.col("miss") == 0).alias("meets_slo"),
+        )
+    )

@@ -245,3 +245,29 @@ def test_index_roundtrip_equals_in_session(spark, sf_dir):
         for r in qs["ivfpq_train_adc_topk"](spark, sf_dir).collect()
     ]
     assert rt == direct and len(rt) == 10
+
+
+def test_nprobe_slo_picks_cheapest_compliant_rung(spark, sf_dir):
+    """ivfpq_nprobe_slo: the chosen operating point is the SMALLEST
+    ladder rung whose curve recall meets the SLO (cheapest compliant
+    scan), consistent with the curve the tuner measured."""
+    from etl_mp_transactions_spark.operators.ivfpq import IVFPQ_KC
+    from etl_mp_transactions_spark.queries.ivfpq_train_q import (
+        NPROBE_SLO_BP,
+    )
+    from etl_mp_transactions_spark.registry import queries
+
+    qs = queries()
+    curve = {
+        r["nprobe"]: r["recall_bp"]
+        for r in qs["ivfpq_nprobe_curve"](spark, sf_dir).collect()
+    }
+    r = qs["ivfpq_nprobe_slo"](spark, sf_dir).collect()[0]
+    meeting = [n for n, bp in curve.items() if bp >= NPROBE_SLO_BP]
+    if meeting:
+        assert r["meets_slo"] and r["chosen_nprobe"] == min(meeting)
+    else:
+        best = max(curve.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert not r["meets_slo"] and r["chosen_nprobe"] == best[0]
+    assert r["recall_bp"] == curve[r["chosen_nprobe"]]
+    assert r["scan_cost_bp"] == r["chosen_nprobe"] * 10000 // IVFPQ_KC
