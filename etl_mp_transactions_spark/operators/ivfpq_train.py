@@ -470,6 +470,20 @@ def rerank_exact(
     never shuffles), and the re-rank window partitions on query_id
     over ≤ R rows each. Returns (query_id, vec_id, exact_d2, rank)."""
     cand = adc_search(qset, cb, pb, codes, r_candidates, nprobe=nprobe)
+    return rerank_candidates(cand, qset, vectors, k_neighbors)
+
+
+def rerank_candidates(
+    cand: DataFrame,
+    qset: DataFrame,
+    vectors: DataFrame,
+    k_neighbors: int,
+) -> DataFrame:
+    """The exact re-rank kernel over an arbitrary batch-bounded
+    candidate frame (query_id, vec_id): join back to the original
+    quantized vectors (broadcast probe side — the corpus never
+    shuffles), exact integer L2 vs the query, per-query top-k.
+    Shared by the plain and the metadata-filtered refine paths."""
     withq = cand.join(F.broadcast(qset), "query_id").select(
         "query_id", "vec_id", "qqv"
     )

@@ -1415,3 +1415,130 @@ def ivfpq_nprobe_slo(spark, sf_dir):
             (F.col("miss") == 0).alias("meets_slo"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# The COMPLETE production serving path (r11 final wave): metadata
+# filter + ADC retrieve + exact refine in one query plan — what a
+# tenant-scoped vector search actually executes per request — plus
+# the refine-fan-out auto-tuner, symmetric to ivfpq_nprobe_slo: both
+# quality knobs (how many lists to probe, how many candidates to
+# refine) now select their operating point from measured curves.
+
+
+@query(
+    "ivfpq_filtered_rerank_topk",
+    materialize_ctes(f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    {_LAB_CTES},
+    {_adc_scan_filtered_sql("c", f"cb{_CI}", ivfpq_train.REFINE_R)},
+    rr AS (
+      SELECT t.query_id, t.vec_id, {_EXACT_QD2} AS exact_d2
+      FROM ctop t
+      JOIN q ON q.vec_id = t.vec_id
+      JOIN qset qs ON qs.query_id = t.query_id
+    )
+    SELECT query_id, vec_id, exact_d2, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, vec_id, exact_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact_d2, vec_id) AS rank
+      FROM rr
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """),
+)
+def ivfpq_filtered_rerank_topk(spark, sf_dir):
+    """Filtered + refined serving: per query, ADC-retrieve
+    {ivfpq_train.REFINE_R} candidates AMONG same-label vectors (the
+    filter an equi-key of the scan join), then exact-re-rank the
+    batch-bounded candidates against the original vectors to the
+    final top-5 — the full per-request path of a tenant-scoped
+    production vector search (filter ∘ retrieve ∘ refine composed in
+    ONE plan; every stage reused from its standalone query). Exact
+    integer end-to-end, same refine kernel as ivfpq_rerank_topk
+    (operators/ivfpq_train.py rerank_candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    lcodes = codes.join(
+        emb.select(
+            "vec_id", F.col("label").cast("long").alias("label")
+        ),
+        "vec_id",
+    )
+    qsetl = _filtered_qset(spark, sf_dir)
+    cand = ivfpq_train.adc_search_filtered(
+        qsetl, cb, pb, lcodes, ivfpq_train.REFINE_R
+    )
+    q = _quantized(emb, "vec_id")
+    return ivfpq_train.rerank_candidates(
+        cand, qsetl.select("query_id", "qqv"), q, 5
+    ).orderBy("query_id", "rank")
+
+
+# refine-fan-out SLO: deliberately set where the small-SF curves meet
+# it but the sf0.1 curve tops out below — so BOTH verdict branches
+# (cheapest compliant R, and the honest "SLO unreachable at this
+# quantization/probe budget" fallback) are exercised at real SFs
+RERANK_SLO_BP = 5000
+
+
+def _rerank_slo_sql() -> str:
+    base = _rerank_recall_sql()
+    return f"""
+    WITH curve AS ({base}),
+    pick AS (
+      SELECT r_candidates, recall_bp,
+             CASE WHEN recall_bp >= {RERANK_SLO_BP} THEN 0 ELSE 1 END
+               AS miss
+      FROM curve
+    )
+    SELECT r_candidates AS chosen_r, recall_bp,
+           miss = 0 AS meets_slo
+    FROM pick
+    QUALIFY row_number() OVER (
+      ORDER BY miss,
+               CASE WHEN miss = 0 THEN r_candidates
+                    ELSE 10000 - recall_bp END,
+               r_candidates
+    ) = 1
+    """
+
+
+@query("ivfpq_rerank_slo", materialize_ctes(_rerank_slo_sql()))
+def ivfpq_rerank_slo(spark, sf_dir):
+    """Auto-tuned refine fan-out R for a recall@5 SLO of
+    {RERANK_SLO_BP} bp: measure the re-rank recall ladder
+    (ivfpq_rerank_recall — one ADC scan, rank-prefix rungs), choose
+    the SMALLEST R meeting the SLO (refine cost ∝ R per query), or
+    the best-recall rung with meets_slo=false when the SLO is
+    unreachable at this quantization/probe budget — measured: R=20
+    at sf0.001 (5093 bp), R=40 at sf0.01 (5718 bp), and the honest
+    meets_slo=FALSE at sf0.1 (the curve tops out at 4875 bp — the
+    tuner reports best-effort R=40 and flags the miss). Same argmin
+    shared-tiebreak text in both engines."""
+    curve = ivfpq_rerank_recall(spark, sf_dir)
+    pick = curve.select(
+        "r_candidates",
+        "recall_bp",
+        F.when(F.col("recall_bp") >= RERANK_SLO_BP, 0)
+        .otherwise(1)
+        .alias("miss"),
+    )
+    key = F.when(F.col("miss") == 0, F.col("r_candidates")).otherwise(
+        10000 - F.col("recall_bp")
+    )
+    return (
+        pick.orderBy("miss", key, "r_candidates")
+        .limit(1)
+        .select(
+            F.col("r_candidates").alias("chosen_r"),
+            "recall_bp",
+            (F.col("miss") == 0).alias("meets_slo"),
+        )
+    )

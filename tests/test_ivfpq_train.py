@@ -271,3 +271,51 @@ def test_nprobe_slo_picks_cheapest_compliant_rung(spark, sf_dir):
         assert not r["meets_slo"] and r["chosen_nprobe"] == best[0]
     assert r["recall_bp"] == curve[r["chosen_nprobe"]]
     assert r["scan_cost_bp"] == r["chosen_nprobe"] * 10000 // IVFPQ_KC
+
+
+def test_filtered_rerank_respects_predicate_and_exact_order(spark, sf_dir):
+    """ivfpq_filtered_rerank_topk (the full filter∘retrieve∘refine
+    serving path): every neighbor shares its query's label, and per
+    query the ranking is exactly (exact_d2, vec_id) ascending."""
+    from etl_mp_transactions_spark.registry import queries
+
+    out = queries()["ivfpq_filtered_rerank_topk"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    perq: dict = {}
+    for r in out:
+        assert lab[r["vec_id"]] == lab[r["query_id"]]
+        perq.setdefault(r["query_id"], []).append(
+            (r["rank"], r["exact_d2"], r["vec_id"])
+        )
+    for rows in perq.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert [r[1:] for r in rows] == sorted(r[1:] for r in rows)
+
+
+def test_rerank_slo_consistent_with_ladder(spark, sf_dir):
+    """ivfpq_rerank_slo: the chosen R is the smallest ladder rung
+    meeting the SLO, or the best-recall rung flagged meets_slo=False
+    when no rung reaches it."""
+    from etl_mp_transactions_spark.queries.ivfpq_train_q import (
+        RERANK_SLO_BP,
+    )
+    from etl_mp_transactions_spark.registry import queries
+
+    qs = queries()
+    curve = {
+        r["r_candidates"]: r["recall_bp"]
+        for r in qs["ivfpq_rerank_recall"](spark, sf_dir).collect()
+    }
+    r = qs["ivfpq_rerank_slo"](spark, sf_dir).collect()[0]
+    meeting = [k for k, bp in curve.items() if bp >= RERANK_SLO_BP]
+    if meeting:
+        assert r["meets_slo"] and r["chosen_r"] == min(meeting)
+    else:
+        best = max(curve.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert not r["meets_slo"] and r["chosen_r"] == best[0]
+    assert r["recall_bp"] == curve[r["chosen_r"]]
