@@ -8,6 +8,8 @@ code-scan sum."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.operators import ivfpq
@@ -29,8 +31,27 @@ def materialize_ctes(sql: str) -> str:
     semantically neutral; the rewrite is textual and safe here
     because in these generated statements ` AS (` only ever opens a
     CTE body (derived tables are aliased without AS, and window /
-    function syntax never matches ` AS (`). Idempotent."""
+    function syntax never matches ` AS (`). Idempotent. Guarded
+    (ADVICE r11): every rewrite site must look like a top-level CTE
+    head — ``WITH name AS (`` or ``, name AS (`` (optionally with a
+    column list) — so a future ``WINDOW w AS (...)`` or other
+    non-CTE ` AS (` construct fails loudly instead of being silently
+    rewritten into invalid SQL."""
+    for m in _AS_PAREN.finditer(sql):
+        head = sql[max(0, m.start() - 160) : m.end()]
+        if not _CTE_HEAD.search(head):
+            raise AssertionError(
+                "materialize_ctes: non-CTE ' AS (' at offset"
+                f" {m.start()}: ...{head[-80:]!r}"
+            )
     return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+_AS_PAREN = re.compile(r" AS \(")
+# a CTE head: WITH/comma, identifier, optional (col, ...) list
+_CTE_HEAD = re.compile(
+    r"(?:\bWITH\b|,)\s*[A-Za-z_][A-Za-z0-9_]*\s*(?:\([^()]*\))?\s+AS \(\Z"
+)
 
 
 def _ivfpq_ctes(base_pred: str = "TRUE", target_pred: str = "TRUE") -> str:

@@ -1,27 +1,53 @@
 """In-engine logistic regression (SURVEY.md §2.9 ML family): three
 unrolled Newton/IRLS steps with exact integer state — the fifth
 exact ITERATIVE oracle family (after pagerank, HITS, k-core, BFS),
-and the first whose recurrence runs through float nonlinearities.
+and the first whose recurrence runs through a sigmoid nonlinearity.
 
-The order-dependence problem: Newton steps need Σ(y−p), Σ(y−p)x,
-Σp(1−p), Σp(1−p)x, Σp(1−p)x² where p = σ(b0 + b1·x) — naive float
-sums vary with partitioning. The repo's nano-unit pattern fixes it:
-each ROW's contribution is one float expression immediately rounded
-to an integer nano-unit, then summed as exact order-free BIGINTs, so
-the model state after every step is a pair of exact NANO-unit
-integers and the whole 3-step trajectory is deterministic and
-oracle-checkable. The Newton solve per step is the shared-text 2x2
-Cramer float (regression.py contract) rounded once back to nano.
+PORTABLE SIGMOID (VERDICT r11 task #1). Earlier rounds evaluated
+``exp()`` inside each engine; JVM ``Math.exp`` and DuckDB's libm
+``exp`` are not bit-identical across builds, and a 1-ulp difference
+at a nano rounding boundary flips one per-row contribution → shifts
+the model state → value-hash divergence on a foreign box (the r11
+driver's ``quality_classifier_poscontrol`` red cell). The repo's own
+rule — "the portable float is the one neither engine computes" — is
+applied here the strong way: NO engine evaluates a transcendental at
+all.
+
+- z is kept in exact nano units (``b0 + b1*x``, all BIGINT) and
+  quantized to DECI units (0.1 resolution), clamped to [-20, 20]
+  where σ saturates to within 2e-9 of {0, 1};
+- σ at each of the 401 grid points is precomputed ONCE in Python
+  with exact ``fractions.Fraction`` arithmetic (e^0.1 via a 40-term
+  Taylor series — truncation error ~1e-50, far below the nano
+  rounding), so the literals are identical on every machine and
+  independent of any libm;
+- both engines read the SAME 401-row literal table: DuckDB via a
+  VALUES CTE, Spark via a broadcast-joined literal DataFrame; the
+  Python replay in tests uses the same dict. Three engines, one
+  grid, zero transcendentals.
+
+Exactness: with p a table literal, EVERY per-row contribution is
+pure BIGINT arithmetic — g = n·(y·1e9 − p_nano), h = n·⌊(p_nano·
+(1e9−p_nano)+5e8)/1e9⌋ — so the sums are order-free exact integers
+and the whole 3-step trajectory is deterministic and
+oracle-checkable. The Newton solve per step stays the shared-text
+2x2 Cramer float (IEEE +,-,*,/ are correctly rounded and therefore
+portable, unlike libm transcendentals) rounded once back to nano.
+
+Scale: rows are pre-grouped by (x, y) — the feature is an integer
+band / bit-length with a bounded (≤ ~64-value) domain, so training
+after ONE corpus scan runs on a ≤ 2·|domain|-row table: each Newton
+step is a tiny broadcast join + reduce, not a corpus pass. At 100 TB
+the scan happens once; the iterations are free.
 
 Feature/target mirror gini_best_split: x = floor(acctbal/500) band,
-y = (segment = BUILDING). Scale: each step is ONE scan + one
-5-integer reduce; the model broadcast back is 2 integers. Three
-steps = three passes — the standard fixed-iteration-count training
-shape (convergence monitoring would read the gradient norms this
-query already outputs).
+y = (segment = BUILDING).
 """
 
 from __future__ import annotations
+
+import math
+from fractions import Fraction
 
 from pyspark.sql import functions as F
 
@@ -29,31 +55,88 @@ from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 N_STEPS = 3
+NANO = 1_000_000_000
+SIG_LO, SIG_HI = -200, 200  # deci-z clamp: z in [-20.0, 20.0]
+_DECI = 100_000_000  # nano units per deci-z grid step
 
 
-def _contrib_sql(b0: str, b1: str) -> dict[str, str]:
-    """Per-row nano-unit contribution expressions given nano params.
-    Identical text in both engines (x, y are integer columns)."""
-    z = f"(({b0} + {b1} * x) / 1e9)"
-    p = f"(1.0 / (1.0 + exp(-{z})))"
-    return {
-        "g0": f"CAST(round(1e9 * (y - {p})) AS BIGINT)",
-        "g1": f"CAST(round(1e9 * (y - {p}) * x) AS BIGINT)",
-        "h00": f"CAST(round(1e9 * {p} * (1.0 - {p})) AS BIGINT)",
-        "h01": f"CAST(round(1e9 * {p} * (1.0 - {p}) * x) AS BIGINT)",
-        "h11": f"CAST(round(1e9 * {p} * (1.0 - {p}) * x * x) AS BIGINT)",
-    }
+def _build_sig_table() -> list[tuple[int, int]]:
+    """(zd, p_nano) for zd in [SIG_LO, SIG_HI]: round(1e9·σ(zd/10))
+    computed with exact rational arithmetic — environment-independent
+    literals (module docstring)."""
+    e01 = sum(
+        Fraction(1, 10) ** k / math.factorial(k) for k in range(40)
+    )  # e^0.1, truncation ~1e-50 relative
+    powers = [Fraction(1)]
+    for _ in range(SIG_HI):
+        powers.append(powers[-1] * e01)  # e^(k/10)
+    half = Fraction(1, 2)
+    tbl = []
+    for zd in range(SIG_LO, SIG_HI + 1):
+        ek = powers[abs(zd)]
+        sig = ek / (1 + ek) if zd >= 0 else 1 / (1 + ek)
+        tbl.append((zd, int(sig * NANO + half)))
+    return tbl
+
+
+SIG_TABLE = _build_sig_table()
+_SIG_PN = dict(SIG_TABLE)
+
+
+def sig_pn_py(z_nano: int) -> int:
+    """Python-replay twin of the in-engine lookup: nano-z → grid
+    p_nano (round-half-up deci quantization, clamped)."""
+    zd = (z_nano + _DECI // 2) // _DECI  # python // floors: exact
+    return _SIG_PN[max(SIG_LO, min(SIG_HI, zd))]
+
+
+def _zd_sql(b0: str, b1: str, x: str = "x", div: str = "//") -> str:
+    """Clamped round-to-nearest deci-z from nano params — exact
+    integer floor division via the adjusted-numerator shared pattern
+    (truncation == floor on an exact multiple, so Spark ``div`` and
+    DuckDB ``//`` agree for negative z too)."""
+    s = f"({b0} + {b1} * {x} + {_DECI // 2})"
+    fd = f"(({s} - ((({s}) % {_DECI}) + {_DECI}) % {_DECI}) {div} {_DECI})"
+    return f"greatest({SIG_LO}, least({SIG_HI}, {fd}))"
+
+
+def _h_sql(pn: str = "sig.pn", div: str = "//") -> str:
+    """round(1e9·p·(1−p)) from the grid p_nano — numerator is
+    non-negative so plain truncating division is floor."""
+    return f"((({pn} * ({NANO} - {pn})) + {NANO // 2}) {div} {NANO})"
+
+
+def _sig_cte() -> str:
+    vals = ", ".join(f"({zd}, {pn})" for zd, pn in SIG_TABLE)
+    return (
+        "sig AS (SELECT CAST(zd AS BIGINT) AS zd,"
+        " CAST(pn AS BIGINT) AS pn"
+        f" FROM (VALUES {vals}) v(zd, pn))"
+    )
+
+
+_ROWS_G_CTE = (
+    "rows_g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n"
+    " FROM rows GROUP BY x, y)"
+)
 
 
 def _newton_sql(prev: str, idx: int) -> str:
-    """One Newton step as two CTEs reading params from `prev`."""
-    c = _contrib_sql(f"{prev}.b0", f"{prev}.b1")
+    """One Newton step as two CTEs reading params from ``prev``:
+    pure-BIGINT contribution sums over the grouped rows (joined to
+    the sig grid on quantized z), then the shared-text Cramer
+    solve."""
+    zd = _zd_sql(f"{prev}.b0", f"{prev}.b1", x="g.x")
+    h = _h_sql()
     return f"""
     s{idx} AS (
-      SELECT sum({c['g0']}) AS g0, sum({c['g1']}) AS g1,
-             sum({c['h00']}) AS h00, sum({c['h01']}) AS h01,
-             sum({c['h11']}) AS h11
-      FROM rows CROSS JOIN {prev}
+      SELECT sum(g.n * (g.y * {NANO} - sig.pn)) AS g0,
+             sum(g.n * (g.y * {NANO} - sig.pn) * g.x) AS g1,
+             sum(g.n * {h}) AS h00,
+             sum(g.n * {h} * g.x) AS h01,
+             sum(g.n * {h} * g.x * g.x) AS h11
+      FROM rows_g g CROSS JOIN {prev}
+      JOIN sig ON sig.zd = {zd}
     ),
     p{idx} AS (
       SELECT {prev}.b0 + CAST(round(1e9 *
@@ -74,17 +157,129 @@ def _newton_sql(prev: str, idx: int) -> str:
     )"""
 
 
-def _oracle() -> str:
-    ctes = ["p0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1)"]
+def _train_cte_chain() -> list[str]:
+    """sig + rows_g + p0 + the N_STEPS unrolled steps — append after
+    a ``rows(x, y)`` CTE (shared by every family member)."""
+    ctes = [
+        _sig_cte(),
+        _ROWS_G_CTE,
+        f"p0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1)",
+    ]
     for i in range(1, N_STEPS + 1):
-        ctes.append(_newton_sql(f"p{i-1}", i))
-    return f"""
-    WITH rows AS (
+        ctes.append(_newton_sql(f"p{i - 1}", i))
+    return ctes
+
+
+def _score_sql(prev: str, x: str) -> tuple[str, str]:
+    """(join_clause, p_expr) scoring ``x`` against the ``prev``
+    params via the sig grid — for the oracle's pred/gate selects."""
+    zd = _zd_sql(f"{prev}.b0", f"{prev}.b1", x=x)
+    return f"JOIN sig ON sig.zd = {zd}", "sig.pn"
+
+
+# --------------------------------------------------------------- Spark
+
+
+def sig_spark_df(spark):
+    """The 401-row literal grid as a DataFrame (broadcast at every
+    use site — parameter-bounded by construction)."""
+    return spark.createDataFrame(SIG_TABLE, "zd BIGINT, pn BIGINT")
+
+
+def rows_grouped(rows):
+    """Corpus rows(x, y) → bounded rows_g(x, y, n): the ONE corpus
+    pass; everything after runs on ≤ 2·|x-domain| rows."""
+    return rows.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def with_p_nano(df, params, sig, x: str = "x"):
+    """Attach the grid ``pn`` to ``df`` (needs column ``x``) under
+    frozen ``params`` — broadcast param cross-join + broadcast sig
+    join on quantized z; no shuffle of ``df``."""
+    zd = F.expr(_zd_sql("b0", "b1", x=x, div="div"))
+    return (
+        df.crossJoin(F.broadcast(params))
+        .withColumn("zd", zd)
+        .join(F.broadcast(sig), "zd")
+        .drop("zd", "b0", "b1")
+    )
+
+
+def newton_train(spark, rows, n_steps: int = N_STEPS):
+    """(params_df, last_step_df) after ``n_steps`` exact Newton
+    steps over rows(x, y) — grouped once, then per-step tiny
+    broadcast joins (module docstring). State between steps is
+    localCheckpointed: two integers, the documented
+    parameter-bounded pattern."""
+    sig = sig_spark_df(spark)
+    rows_g = rows.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).localCheckpoint(eager=True)
+    params = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("b0"),
+        F.lit(0).cast("bigint").alias("b1"),
+    )
+    h = _h_sql(pn="pn", div="div")
+    last = None
+    for _ in range(n_steps):
+        zd = F.expr(_zd_sql("b0", "b1", x="x", div="div"))
+        j = (
+            rows_g.crossJoin(F.broadcast(params))
+            .withColumn("zd", zd)
+            .join(F.broadcast(sig), "zd")
+        )
+        sums = j.agg(
+            F.expr(f"sum(n * (y * {NANO} - pn))").alias("g0"),
+            F.expr(f"sum(n * (y * {NANO} - pn) * x)").alias("g1"),
+            F.expr(f"sum(n * {h})").alias("h00"),
+            F.expr(f"sum(n * {h} * x)").alias("h01"),
+            F.expr(f"sum(n * {h} * x * x)").alias("h11"),
+        )
+        step = (
+            sums.crossJoin(F.broadcast(params))
+            .select(
+                (
+                    F.col("b0")
+                    + F.expr(
+                        "CAST(round(1e9 *"
+                        " ((CAST(g0 AS DOUBLE) * h11"
+                        "   - CAST(g1 AS DOUBLE) * h01)"
+                        "  / (CAST(h00 AS DOUBLE) * h11"
+                        "     - CAST(h01 AS DOUBLE) * h01))) AS BIGINT)"
+                    )
+                ).alias("b0"),
+                (
+                    F.col("b1")
+                    + F.expr(
+                        "CAST(round(1e9 *"
+                        " ((CAST(g1 AS DOUBLE) * h00"
+                        "   - CAST(g0 AS DOUBLE) * h01)"
+                        "  / (CAST(h00 AS DOUBLE) * h11"
+                        "     - CAST(h01 AS DOUBLE) * h01))) AS BIGINT)"
+                    )
+                ).alias("b1"),
+                "g0", "g1", "h00", "h01", "h11",
+            )
+            .localCheckpoint(eager=True)
+        )
+        params = step.select("b0", "b1")
+        last = step
+    return params, last
+
+
+def _oracle() -> str:
+    ctes = [
+        """rows AS (
       SELECT CAST(floor(c_acctbal / 500.0) AS BIGINT) AS x,
              CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
       FROM customer
-    ),
-    {",".join(ctes)}
+    )""",
+        *_train_cte_chain(),
+    ]
+    return f"""
+    WITH {",".join(ctes)}
     SELECT b0 AS b0_nano, b1 AS b1_nano,
            g0 AS last_g0, g1 AS last_g1,
            h00 AS last_h00, h01 AS last_h01, h11 AS last_h11
@@ -95,9 +290,10 @@ def _oracle() -> str:
 @query("logistic_newton_steps", _oracle())
 def logistic_newton_steps(spark, sf_dir):
     """Three exact Newton steps of a 2-parameter logistic fit (module
-    docstring): per-row nano-rounded contributions → exact BIGINT
-    sums → shared-text Cramer solve → nano-integer model state; the
-    full trajectory is deterministic and both engines land on the
+    docstring): grid-sigmoid pure-BIGINT contributions over the
+    (x, y)-grouped rows → exact order-free sums → shared-text Cramer
+    solve → nano-integer model state; the full trajectory is
+    deterministic, transcendental-free, and both engines land on the
     identical final (b0, b1)."""
     cust = load_table(spark, sf_dir, "customer")
     rows = cust.select(
@@ -106,50 +302,8 @@ def logistic_newton_steps(spark, sf_dir):
         .otherwise(0)
         .alias("y"),
     )
-    params = spark.range(1).select(
-        F.lit(0).cast("bigint").alias("b0"),
-        F.lit(0).cast("bigint").alias("b1"),
-    )
-    last_sums = None
-    for _ in range(N_STEPS):
-        c = _contrib_sql("b0", "b1")
-        sums = (
-            rows.crossJoin(F.broadcast(params))
-            .agg(
-                F.expr(f"sum({c['g0']})").alias("g0"),
-                F.expr(f"sum({c['g1']})").alias("g1"),
-                F.expr(f"sum({c['h00']})").alias("h00"),
-                F.expr(f"sum({c['h01']})").alias("h01"),
-                F.expr(f"sum({c['h11']})").alias("h11"),
-            )
-        )
-        step = sums.crossJoin(F.broadcast(params)).select(
-            (
-                F.col("b0")
-                + F.expr(
-                    "CAST(round(1e9 *"
-                    " ((CAST(g0 AS DOUBLE) * h11 - CAST(g1 AS DOUBLE) * h01)"
-                    "  / (CAST(h00 AS DOUBLE) * h11"
-                    "     - CAST(h01 AS DOUBLE) * h01))) AS BIGINT)"
-                )
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + F.expr(
-                    "CAST(round(1e9 *"
-                    " ((CAST(g1 AS DOUBLE) * h00 - CAST(g0 AS DOUBLE) * h01)"
-                    "  / (CAST(h00 AS DOUBLE) * h11"
-                    "     - CAST(h01 AS DOUBLE) * h01))) AS BIGINT)"
-                )
-            ).alias("b1"),
-            "g0", "g1", "h00", "h01", "h11",
-        )
-        # materialize the tiny model state so the next pass reads two
-        # integers, not a growing lineage (the components.py lesson)
-        step = step.localCheckpoint(eager=True)
-        params = step.select("b0", "b1")
-        last_sums = step
-    return last_sums.select(
+    _, last = newton_train(spark, rows)
+    return last.select(
         F.col("b0").alias("b0_nano"),
         F.col("b1").alias("b1_nano"),
         F.col("g0").alias("last_g0"),

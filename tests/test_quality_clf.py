@@ -5,11 +5,10 @@ must reproduce Spark's model and verdicts (a third engine beyond the
 DuckDB oracle), and the fit must genuinely beat the base rate."""
 
 import hashlib
-import math
 from collections import Counter
 
 from etl_mp_transactions_spark.queries.dsir import DSIR_NB, DSIR_SCALE
-from etl_mp_transactions_spark.queries.logistic import N_STEPS
+from etl_mp_transactions_spark.queries.logistic import N_STEPS, sig_pn_py
 from etl_mp_transactions_spark.queries.quality_clf import (
     KEEP_THRESHOLD_NANO,
     POS_LANG,
@@ -52,18 +51,21 @@ def _python_features(docs):
 
 
 def _python_train(feats):
+    """Grid-sigmoid Newton replay (logistic.py portable-sigmoid
+    contract): pure-integer contributions from the shared 401-entry
+    grid — the same table both engines consume as literals."""
     b0 = b1 = 0  # nano units
-    rows = [(x, y) for _, x, y in feats.values()]
+    rows = Counter((x, y) for _, x, y in feats.values())
     for _ in range(N_STEPS):
         g0 = g1 = h00 = h01 = h11 = 0
-        for x, y in rows:
-            z = (b0 + b1 * x) / 1e9
-            p = 1.0 / (1.0 + math.exp(-z))
-            g0 += round(1e9 * (y - p))
-            g1 += round(1e9 * (y - p) * x)
-            h00 += round(1e9 * p * (1.0 - p))
-            h01 += round(1e9 * p * (1.0 - p) * x)
-            h11 += round(1e9 * p * (1.0 - p) * x * x)
+        for (x, y), n in rows.items():
+            pn = sig_pn_py(b0 + b1 * x)
+            h = (pn * (10**9 - pn) + 500_000_000) // 10**9
+            g0 += n * (y * 10**9 - pn)
+            g1 += n * (y * 10**9 - pn) * x
+            h00 += n * h
+            h01 += n * h * x
+            h11 += n * h * x * x
         det = float(h00) * h11 - float(h01) * h01
         b0 += round(1e9 * ((float(g0) * h11 - float(g1) * h01) / det))
         b1 += round(1e9 * ((float(g1) * h00 - float(g0) * h01) / det))
@@ -84,8 +86,7 @@ def test_gate_matches_python_trajectory(spark, sf_dir):
     b0, b1 = _python_train(feats)
     want = {}
     for doc_id, (lang, x, _) in feats.items():
-        z = (b0 + b1 * x) / 1e9
-        p_nano = round(1e9 * (1.0 / (1.0 + math.exp(-z))))
+        p_nano = sig_pn_py(b0 + b1 * x)
         want[doc_id] = (lang, x, p_nano, p_nano >= KEEP_THRESHOLD_NANO)
     rows = queries()["quality_classifier_gate"](spark, sf_dir).collect()
     got = {
@@ -155,8 +156,7 @@ def test_heldout_eval_rejects_memorizing_filter(spark, sf_dir):
     for doc_id, (_, x, y) in feats.items():
         if doc_id % 2 == 0:
             continue
-        z = (b0 + b1 * x) / 1e9
-        keep = round(1e9 * (1.0 / (1.0 + math.exp(-z)))) >= KEEP_THRESHOLD_NANO
+        keep = sig_pn_py(b0 + b1 * x) >= KEEP_THRESHOLD_NANO
         if y == 1 and keep:
             tp += 1
         elif y == 0 and keep:
@@ -229,11 +229,7 @@ def test_poscontrol_gate_passes_with_python_replay(spark, sf_dir):
     for doc_id, (_, x, y) in feats.items():
         if doc_id % 2 == 0:
             continue
-        z = (b0 + b1 * x) / 1e9
-        keep = (
-            round(1e9 * (1.0 / (1.0 + math.exp(-z))))
-            >= KEEP_THRESHOLD_NANO
-        )
+        keep = sig_pn_py(b0 + b1 * x) >= KEEP_THRESHOLD_NANO
         tp += y == 1 and keep
         fp += y == 0 and keep
         tn += y == 0 and not keep

@@ -182,8 +182,12 @@ def test_poisson_bootstrap_weights_vs_python(spark, sf_dir, q):
 
 def test_logistic_newton_vs_python(spark, sf_dir, q):
     """Exact re-derivation of the 3-step nano-integer Newton
-    trajectory in python."""
+    trajectory in python — grid-sigmoid contributions from the
+    shared logistic.py 401-entry table (no transcendental in any of
+    the three engines)."""
     import math
+
+    from etl_mp_transactions_spark.queries.logistic import sig_pn_py
 
     pdf = q["logistic_newton_steps"](spark, sf_dir).toPandas()
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
@@ -194,13 +198,13 @@ def test_logistic_newton_vs_python(spark, sf_dir, q):
     for _ in range(3):
         g0 = g1 = h00 = h01 = h11 = 0
         for xi, yi in zip(x, y):
-            z = (b0 + b1 * xi) / 1e9
-            p = 1.0 / (1.0 + math.exp(-z))
-            g0 += round(1e9 * (yi - p))
-            g1 += round(1e9 * (yi - p) * xi)
-            h00 += round(1e9 * p * (1.0 - p))
-            h01 += round(1e9 * p * (1.0 - p) * xi)
-            h11 += round(1e9 * p * (1.0 - p) * xi * xi)
+            pn = sig_pn_py(b0 + b1 * xi)
+            h = (pn * (10**9 - pn) + 500_000_000) // 10**9
+            g0 += yi * 10**9 - pn
+            g1 += (yi * 10**9 - pn) * xi
+            h00 += h
+            h01 += h * xi
+            h11 += h * xi * xi
         det = float(h00) * h11 - float(h01) * h01
         d0 = (float(g0) * h11 - float(g1) * h01) / det
         d1 = (float(g1) * h00 - float(g0) * h01) / det
