@@ -25,13 +25,26 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from fractions import Fraction
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_mp_transactions_spark.functions.exactmath import LN2_FRAC, ln_frac
+
 N_HIST_BUCKETS = 16
+
+# (c/32)·log2(c/32) for bucket count c in [0, 32], precomputed once
+# with exact rational arithmetic (exactmath.py) — the entropy of a
+# 32-byte asset is a fixed-order sum of these shared literals, so
+# the UDF, the DuckDB oracle, and any future engine agree bitwise
+# with NO libm log2 anywhere (VERDICT r11 task #2)
+ENT32_TERM = [0.0] + [
+    float(Fraction(c, 32) * ln_frac(Fraction(c, 32)) / LN2_FRAC)
+    for c in range(1, 33)
+]
 
 ASSET_SCHEMA = T.StructType(
     [
@@ -167,8 +180,15 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 b = np.frombuffer(bytes(content), dtype=np.uint8)
                 hist = np.bincount(b >> 4, minlength=N_HIST_BUCKETS)
                 n = b.size
-                p = hist[hist > 0] / n
-                ents.append(float(-(p * np.log2(p)).sum()) if n else 0.0)
+                if n == 32:
+                    # literal-grid entropy terms, summed in bucket
+                    # index order (matches the oracle's list_sum)
+                    ents.append(-sum(ENT32_TERM[c] for c in hist))
+                elif n:
+                    p = hist[hist > 0] / n
+                    ents.append(float(-(p * np.log2(p)).sum()))
+                else:
+                    ents.append(0.0)
                 hists.append(hist.astype("int64").tolist())
                 sizes.append(int(n))
             yield pd.DataFrame(

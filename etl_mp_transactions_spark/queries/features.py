@@ -15,10 +15,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import (
+    exp2_nano_sql,
+    ln_nano_sql,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 DECAY_HALFLIFE_H = 24.0  # hours
+_HALFLIFE_US = int(3600 * DECAY_HALFLIFE_H) * 1_000_000
 DECAY_T0 = "2024-02-01 00:00:00"  # fixed 'now' anchor just past the
 # event range (events span Jan 2024) — a far-future anchor decays
 # every weight to zero and the aggregate degenerates
@@ -28,16 +33,17 @@ SMOOTH_M = 50  # target-encoding pseudo-count
 @query(
     "time_decay_scores",
     f"""
-    WITH terms AS (
+    WITH decayed AS (
       SELECT event_type,
-             CAST(round(
-               CAST(round(value * 100) AS BIGINT)
-               * pow(2.0, -((epoch_us(TIMESTAMP '{DECAY_T0}')
-                             - epoch_us(ts))
-                            / 1000000.0)
-                           / (3600.0 * {DECAY_HALFLIFE_H}))
-               * 1000000) AS BIGINT) AS micro
+             CAST(round(value * 100) AS BIGINT)
+             * {exp2_nano_sql(f"epoch_us(ts) - epoch_us(TIMESTAMP '{DECAY_T0}')", str(_HALFLIFE_US), "duck")}
+             + 500 AS a
       FROM events
+    ),
+    terms AS (
+      SELECT event_type,
+             ((a - ((a % 1000) + 1000) % 1000) // 1000) AS micro
+      FROM decayed
     )
     SELECT event_type,
            count(*)::BIGINT AS n,
@@ -48,30 +54,33 @@ SMOOTH_M = 50  # target-encoding pseudo-count
 def time_decay_scores(spark, sf_dir):
     """Exponentially time-decayed value per event type (half-life
     24 h, fixed anchor): the feature-store freshness-weighted
-    aggregate. Each row's decayed contribution is computed in one
-    float formula and immediately rounded to integer micro-cents, so
-    the aggregation is an exact BIGINT sum — order-independent and
-    engine-portable (the picorank pattern). Age is microsecond-exact
-    (epoch_us == unix_micros): a whole-second truncation disagrees
-    with DuckDB's fractional epoch() on sub-second timestamps.
-    Map-only + one tiny agg."""
+    aggregate. The decay 2^(-age/halflife) comes from the exactmath
+    EXP2 grid (pure-integer, microsecond-exact age as the rational
+    exponent — no engine evaluates pow(); VERDICT r11 task #2), so
+    each row's micro-cent contribution is an exact BIGINT and the
+    aggregation is an order-independent exact sum (the picorank
+    pattern, now transcendental-free). Map-only + one tiny agg."""
     ev = load_table(spark, sf_dir, "events")
-    age_s = (
-        F.unix_micros(F.lit(DECAY_T0).cast("timestamp"))
-        - F.unix_micros(F.col("ts").cast("timestamp"))
-    ) / 1000000.0
+    age_neg_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lit(DECAY_T0).cast("timestamp")
+    )
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    micro = F.round(
-        cents
-        * F.pow(F.lit(2.0), -age_s / (3600.0 * DECAY_HALFLIFE_H))
-        * 1000000,
-        0,
-    ).cast("bigint")
-    return ev.select("event_type", micro.alias("micro")).groupBy(
-        "event_type"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum("micro").alias("decayed_microcents"),
+    decay = F.expr(
+        exp2_nano_sql("__age_neg_us", str(_HALFLIFE_US), "spark")
+    )
+    a = cents * decay + F.lit(500)
+    micro = F.expr(
+        "((__a - ((__a % 1000) + 1000) % 1000) div 1000)"
+    )
+    return (
+        ev.withColumn("__age_neg_us", age_neg_us)
+        .withColumn("__a", a)
+        .select("event_type", micro.alias("micro"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("micro").alias("decayed_microcents"),
+        )
     )
 
 
@@ -130,7 +139,7 @@ def target_encoding(spark, sf_dir):
 
 @query(
     "key_skew_report",
-    """
+    f"""
     WITH freq AS (
       SELECT l_suppkey AS key, count(*)::BIGINT AS n
       FROM lineitem GROUP BY l_suppkey
@@ -139,9 +148,9 @@ def target_encoding(spark, sf_dir):
             FROM freq),
     terms AS (
       SELECT n, t.total, t.k,
-             CAST(round(-(n::DOUBLE / t.total)
-                        * ln(n::DOUBLE / t.total) * 1000000000)
-                  AS BIGINT) AS nano_h
+             (n * ({ln_nano_sql("t.total", "duck")}
+                   - {ln_nano_sql("n", "duck")})
+              + t.total // 2) // t.total AS nano_h
       FROM freq CROSS JOIN tot t
     )
     SELECT max(k) AS n_keys,
@@ -158,8 +167,11 @@ def key_skew_report(spark, sf_dir):
     hottest-key share vs mean, and the Shannon entropy of the key
     distribution (uniform ⇒ ln k). Per-key entropy terms are rounded
     to nano-nats and summed in BIGINT (order-independent — the
-    picorank pattern); this is the report the salting/AQE-skew
-    machinery (skew_strings.py) consumes to decide WHETHER to salt."""
+    picorank pattern); the per-key term -p·ln(p) = n·(ln_nano(total)
+    - ln_nano(n))/total runs entirely on the exactmath integer-ln
+    kernel — no engine evaluates ln() (VERDICT r11 task #2). This is
+    the report the salting/AQE-skew machinery (skew_strings.py)
+    consumes to decide WHETHER to salt."""
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
     freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
         F.count("*").alias("n")
@@ -167,12 +179,16 @@ def key_skew_report(spark, sf_dir):
     tot = freq.agg(
         F.sum("n").alias("total"), F.count("*").alias("k")
     )
-    p = F.col("n").cast("double") / F.col("total")
+    nano_h = F.expr(
+        f"(n * ({ln_nano_sql('total', 'spark')}"
+        f" - {ln_nano_sql('n', 'spark')})"
+        " + total div 2) div total"
+    )
     terms = freq.crossJoin(F.broadcast(tot)).select(
         "n",
         "total",
         "k",
-        F.round(-p * F.log(p) * 1e9, 0).cast("bigint").alias("nano_h"),
+        nano_h.alias("nano_h"),
     )
     return terms.agg(
         F.max("k").alias("n_keys"),

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import ln_nano_sql
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -366,7 +367,7 @@ def cdc_merge_apply(spark, sf_dir):
 
 @query(
     "woe_information_value",
-    """
+    f"""
     WITH base AS (
       SELECT c.c_mktsegment AS band,
              (o.o_orderstatus = 'F')::BIGINT AS bad
@@ -379,14 +380,20 @@ def cdc_merge_apply(spark, sf_dir):
       FROM base GROUP BY band
     ),
     tot AS (SELECT SUM(goods)::BIGINT AS g, SUM(bads)::BIGINT AS b
-            FROM per_band)
+            FROM per_band),
+    lw AS (
+      SELECT band, goods, bads, t.g, t.b,
+             ({ln_nano_sql("greatest(goods, 1)", "duck")}
+              + {ln_nano_sql("t.b", "duck")}
+              - {ln_nano_sql("greatest(bads, 1)", "duck")}
+              - {ln_nano_sql("t.g", "duck")}) AS woe_nano
+      FROM per_band CROSS JOIN tot t
+    )
     SELECT band, goods, bads,
-           round(ln((goods::DOUBLE / t.g) / (bads::DOUBLE / t.b)), 12)
-             AS woe,
-           round((goods::DOUBLE / t.g - bads::DOUBLE / t.b)
-                 * ln((goods::DOUBLE / t.g) / (bads::DOUBLE / t.b)), 12)
-             AS iv_contrib
-    FROM per_band CROSS JOIN tot t
+           round(woe_nano / 1e9, 12) AS woe,
+           round((goods::DOUBLE / g - bads::DOUBLE / b)
+                 * woe_nano / 1e9, 12) AS iv_contrib
+    FROM lw
     """,
 )
 def woe_information_value(spark, sf_dir):
@@ -416,11 +423,25 @@ def woe_information_value(spark, sf_dir):
     )
     gr = F.col("goods").cast("double") / F.col("g")
     br = F.col("bads").cast("double") / F.col("b")
-    woe = F.log(gr / br)
-    return per_band.crossJoin(F.broadcast(tot)).select(
-        "band",
-        "goods",
-        "bads",
-        F.round(woe, 12).alias("woe"),
-        F.round((gr - br) * woe, 12).alias("iv_contrib"),
+    # woe = ln((goods·b)/(bads·g)) as an exactmath nano integer —
+    # no engine ln(); downstream floats are IEEE-exact on identical
+    # operands, hence portable
+    woe_nano = F.expr(
+        f"({ln_nano_sql('greatest(goods, 1)', 'spark')}"
+        f" + {ln_nano_sql('b', 'spark')}"
+        f" - {ln_nano_sql('greatest(bads, 1)', 'spark')}"
+        f" - {ln_nano_sql('g', 'spark')})"
+    )
+    return (
+        per_band.crossJoin(F.broadcast(tot))
+        .withColumn("woe_nano", woe_nano)
+        .select(
+            "band",
+            "goods",
+            "bads",
+            F.round(F.col("woe_nano") / 1e9, 12).alias("woe"),
+            F.round((gr - br) * F.col("woe_nano") / 1e9, 12).alias(
+                "iv_contrib"
+            ),
+        )
     )

@@ -11,13 +11,29 @@ headline PSI number is order-independent and engine-exact.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import (
+    arr_lookup_sql,
+    ln_frac,
+    ln_nano_sql,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 PSI_SPLIT = "1998-01-01 00:00:00"  # baseline vs current period split
 PSI_BAND_CENTS = 25_000_00  # $25k order-value bands
+
+# Benford expected first-digit frequencies log10(1 + 1/d), d = 1..9:
+# precomputed once with exact rational series and injected into both
+# engines as the correctly-rounded double literals (exactmath.py
+# portability contract — no engine evaluates ln())
+_LN10 = ln_frac(Fraction(10))
+BENFORD_EXPECTED = [
+    float(ln_frac(Fraction(d + 1, d)) / _LN10) for d in range(1, 10)
+]
 
 
 @query(
@@ -36,15 +52,21 @@ PSI_BAND_CENTS = 25_000_00  # $25k order-value bands
       FROM banded GROUP BY band
     ),
     tot AS (SELECT SUM(n_base)::BIGINT AS nb, SUM(n_cur)::BIGINT AS nc
-            FROM per)
+            FROM per),
+    lnr AS (
+      SELECT band, n_base, n_cur, t.nb, t.nc,
+             ({ln_nano_sql("greatest(n_cur, 1)", "duck")}
+              + {ln_nano_sql("t.nb", "duck")}
+              - {ln_nano_sql("greatest(n_base, 1)", "duck")}
+              - {ln_nano_sql("t.nc", "duck")}) AS lnr_nano
+      FROM per CROSS JOIN tot t
+    )
     SELECT band, n_base, n_cur,
-           round((n_cur::DOUBLE / t.nc - n_base::DOUBLE / t.nb)
-                 * ln((n_cur::DOUBLE / t.nc) / (n_base::DOUBLE / t.nb)),
-                 12) AS psi_contrib,
-           CAST(round((n_cur::DOUBLE / t.nc - n_base::DOUBLE / t.nb)
-                 * ln((n_cur::DOUBLE / t.nc) / (n_base::DOUBLE / t.nb))
-                 * 1000000000) AS BIGINT) AS psi_nano
-    FROM per CROSS JOIN tot t
+           round((n_cur::DOUBLE / nc - n_base::DOUBLE / nb)
+                 * lnr_nano / 1e9, 12) AS psi_contrib,
+           CAST(round((n_cur::DOUBLE / nc - n_base::DOUBLE / nb)
+                 * lnr_nano) AS BIGINT) AS psi_nano
+    FROM lnr
     """,
 )
 def population_stability_index(spark, sf_dir):
@@ -81,19 +103,35 @@ def population_stability_index(spark, sf_dir):
     )
     q = F.col("n_cur").cast("double") / F.col("nc")
     p = F.col("n_base").cast("double") / F.col("nb")
-    contrib = (q - p) * F.log(q / p)
-    return per.crossJoin(F.broadcast(tot)).select(
-        "band",
-        "n_base",
-        "n_cur",
-        F.round(contrib, 12).alias("psi_contrib"),
-        F.round(contrib * 1e9, 0).cast("bigint").alias("psi_nano"),
+    # ln(q/p) via the exactmath integer-ln kernel (identical nano
+    # integer in both engines — no libm); the remaining float ops
+    # are IEEE-exact on identical operands, hence portable
+    lnr_nano = F.expr(
+        f"({ln_nano_sql('greatest(n_cur, 1)', 'spark')}"
+        f" + {ln_nano_sql('nb', 'spark')}"
+        f" - {ln_nano_sql('greatest(n_base, 1)', 'spark')}"
+        f" - {ln_nano_sql('nc', 'spark')})"
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("lnr_nano", lnr_nano)
+        .select(
+            "band",
+            "n_base",
+            "n_cur",
+            F.round((q - p) * F.col("lnr_nano") / 1e9, 12).alias(
+                "psi_contrib"
+            ),
+            F.round((q - p) * F.col("lnr_nano"), 0)
+            .cast("bigint")
+            .alias("psi_nano"),
+        )
     )
 
 
 @query(
     "benford_audit",
-    """
+    f"""
     WITH digits AS (
       SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                               AS VARCHAR), 1, 1) AS BIGINT) AS d
@@ -104,12 +142,14 @@ def population_stability_index(spark, sf_dir):
     tot AS (SELECT SUM(n)::BIGINT AS total FROM per)
     SELECT d, n,
            round(n::DOUBLE / t.total, 12) AS observed,
-           round(ln(1.0 + 1.0 / d) / ln(10.0), 12) AS expected,
+           round({arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")}, 12)
+             AS expected,
            round((n::DOUBLE / t.total
-                  - ln(1.0 + 1.0 / d) / ln(10.0))
+                  - {arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")})
                  * (n::DOUBLE / t.total
-                    - ln(1.0 + 1.0 / d) / ln(10.0))
-                 / (ln(1.0 + 1.0 / d) / ln(10.0)), 12) AS chi2_contrib
+                    - {arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")})
+                 / {arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")}, 12)
+             AS chi2_contrib
     FROM per CROSS JOIN tot t
     """,
 )
@@ -134,7 +174,9 @@ def benford_audit(spark, sf_dir):
     )
     tot = per.agg(F.sum("n").alias("total"))
     obs = F.col("n").cast("double") / F.col("total")
-    exp = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    # expected = log10(1+1/d) from the BENFORD_EXPECTED literal table
+    # (python-precomputed exact-rational; no engine ln())
+    exp = F.expr(arr_lookup_sql(BENFORD_EXPECTED, "d", "spark"))
     return per.crossJoin(F.broadcast(tot)).select(
         "d",
         "n",

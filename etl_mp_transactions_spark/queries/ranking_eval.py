@@ -290,7 +290,7 @@ def ndcg_ranking_eval(spark, sf_dir):
     f"""
     WITH params AS (
       SELECT least(8, greatest(4,
-               CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+               CAST(length(bin(greatest(count(*), 2) - 1)) - 8 AS INT))) AS bits
       FROM embeddings
     ),
     sigs AS (

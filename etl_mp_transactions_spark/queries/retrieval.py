@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import ln_nano_sql
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -80,7 +81,8 @@ def _tokens_expr():
     ),
     scored AS (
       SELECT tf.doc_id,
-             ln(1.0 + (c.n_docs - df.df + 0.5) / (df.df + 0.5))
+             (({ln_nano_sql("2 * c.n_docs + 2", "duck")}
+               - {ln_nano_sql("2 * df.df + 1", "duck")}) / 1e9)
                * (tf.tf * ({BM25_K1} + 1.0))
                / (tf.tf + {BM25_K1}
                   * (1.0 - {BM25_B}
@@ -121,10 +123,12 @@ def bm25_scoring(spark, sf_dir):
         F.count_distinct("doc_id").alias("df")
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    # idf = ln(1+(N-df+.5)/(df+.5)) == ln((2N+2)/(2df+1)): exactmath
+    # integer-ln difference, identical nano integer in both engines
     s = (
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.expr(
+            f"({ln_nano_sql('2 * n_docs + 2', 'spark')}"
+            f" - {ln_nano_sql('2 * df + 1', 'spark')}) / 1e9"
         )
         * (F.col("tf") * (BM25_K1 + 1.0))
         / (
@@ -149,7 +153,7 @@ def bm25_scoring(spark, sf_dir):
 
 @query(
     "pmi_collocations",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -173,18 +177,22 @@ def bm25_scoring(spark, sf_dir):
             FROM toks WHERE length(l) >= 2)
       GROUP BY 1, 2
       HAVING count(*) >= 5
+    ),
+    sc AS (
+      SELECT w1, w2, n_xy,
+             ({ln_nano_sql("n_xy", "duck")}
+              + 2 * {ln_nano_sql("t.n_uni", "duck")}
+              - {ln_nano_sql("t.n_bi", "duck")}
+              - {ln_nano_sql("u1.n", "duck")}
+              - {ln_nano_sql("u2.n", "duck")}) AS pmi_nano
+      FROM bi
+      JOIN uni u1 ON bi.w1 = u1.w
+      JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN tot t
     )
-    SELECT w1, w2, n_xy,
-           round(ln((n_xy::DOUBLE / t.n_bi)
-                    / ((u1.n::DOUBLE / t.n_uni)
-                       * (u2.n::DOUBLE / t.n_uni))), 12) AS pmi
-    FROM bi
-    JOIN uni u1 ON bi.w1 = u1.w
-    JOIN uni u2 ON bi.w2 = u2.w
-    CROSS JOIN tot t
-    ORDER BY ln((n_xy::DOUBLE / t.n_bi)
-                / ((u1.n::DOUBLE / t.n_uni)
-                   * (u2.n::DOUBLE / t.n_uni))) DESC, w1, w2
+    SELECT w1, w2, n_xy, round(pmi_nano / 1e9, 12) AS pmi
+    FROM sc
+    ORDER BY pmi_nano DESC, w1, w2
     LIMIT 20
     """,
 )
@@ -227,21 +235,29 @@ def pmi_collocations(spark, sf_dir):
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
-    pmi = F.log(
-        (F.col("n_xy").cast("double") / F.col("n_bi"))
-        / (
-            (F.col("n1").cast("double") / F.col("n_uni"))
-            * (F.col("n2").cast("double") / F.col("n_uni"))
-        )
+    # pmi = ln(n_xy·n_uni² / (n_bi·n1·n2)) as an exact nano integer
+    # (five exactmath integer-ln terms — no engine ln(); the factors
+    # are kept separate so every ln argument stays < 2^50)
+    pmi_nano = F.expr(
+        f"({ln_nano_sql('n_xy', 'spark')}"
+        f" + 2 * {ln_nano_sql('n_uni', 'spark')}"
+        f" - {ln_nano_sql('n_bi', 'spark')}"
+        f" - {ln_nano_sql('n1', 'spark')}"
+        f" - {ln_nano_sql('n2', 'spark')})"
     )
     return (
         bi.join(u1, "w1")
         .join(u2, "w2")
         .crossJoin(F.broadcast(tot))
-        .select("w1", "w2", "n_xy", pmi.alias("raw"))
-        .orderBy(F.desc("raw"), "w1", "w2")
+        .select("w1", "w2", "n_xy", pmi_nano.alias("pmi_nano"))
+        .orderBy(F.desc("pmi_nano"), "w1", "w2")
         .limit(20)
-        .select("w1", "w2", "n_xy", F.round("raw", 12).alias("pmi"))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(F.col("pmi_nano") / 1e9, 12).alias("pmi"),
+        )
     )
 
 

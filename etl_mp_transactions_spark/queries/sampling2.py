@@ -25,8 +25,16 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import (
+    ln_nano_py,
+    ln_nano_sql,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
+
+# ln(2^32 + 1) in nano units — the A-Res u-denominator, precomputed
+# on the same exactmath grid the per-row ln(h+1) uses
+_LN_UDEN_NANO = ln_nano_py(4294967297)
 
 SAMPLE_K = 50
 
@@ -112,14 +120,18 @@ def percentile_latency_bands(spark, sf_dir):
 @query(
     "weighted_sample_ares",
     f"""
-    WITH drawn AS (
+    WITH hashed AS (
       SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents,
-             ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':ares'), 1, 8))::BIGINT
-                 + 1) / 4294967297.0)
-               / (CAST(round(o_totalprice * 100) AS BIGINT) / 100.0)
-               AS neg_key
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':ares'),
+                             1, 8))::BIGINT + 1 AS h1
       FROM orders
+    ),
+    drawn AS (
+      SELECT o_orderkey, weight_cents,
+             (({ln_nano_sql("h1", "duck")} - {_LN_UDEN_NANO}) / 1e9)
+               / (weight_cents / 100.0) AS neg_key
+      FROM hashed
     )
     SELECT o_orderkey, weight_cents,
            round(neg_key, 12) AS sort_key
@@ -137,7 +149,7 @@ def weighted_sample_ares(spark, sf_dir):
     the reported key to 12 decimals only affects display, the order
     uses the raw key with a full tiebreak."""
     orders = load_table(spark, sf_dir, "orders")
-    u = (
+    h1 = (
         F.conv(
             F.substring(
                 F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":ares"))),
@@ -148,12 +160,22 @@ def weighted_sample_ares(spark, sf_dir):
             10,
         ).cast("bigint")
         + 1
-    ) / F.lit(4294967297.0)
+    )
     w_cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-    neg_key = F.log(u) / (w_cents / F.lit(100.0))
+    # ln(u) = ln(h+1) - ln(2^32+1) on the exactmath integer-ln grid
+    # (no engine ln()); the division by weight is IEEE-exact on
+    # identical operands, so the selection order is portable
+    neg_key = F.expr(
+        f"(({ln_nano_sql('h1', 'spark')} - {_LN_UDEN_NANO}) / 1e9)"
+        " / (weight_cents / 100.0)"
+    )
     drawn = orders.select(
         "o_orderkey",
         w_cents.alias("weight_cents"),
+        h1.alias("h1"),
+    ).select(
+        "o_orderkey",
+        "weight_cents",
         neg_key.alias("neg_key"),
     )
     return (

@@ -30,8 +30,14 @@ linear in edges for fixed cap.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import (
+    arr_lookup_sql,
+    ln_frac,
+)
 from etl_mp_transactions_spark.operators.distranks import (
     global_row_number,
     ntile_from_rank,
@@ -40,6 +46,15 @@ from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 AA_DEGREE_CAP = 40
+# round(1e9 / ln(d)) for d in [2, AA_DEGREE_CAP]: the Adamic-Adar
+# weights over the BOUNDED degree domain, precomputed once with
+# exact rational arithmetic and injected into both engines as
+# literals — no engine evaluates ln() (exactmath.py portability
+# contract; the values are the correctly-rounded true weights)
+AA_W_NANO = [
+    int(Fraction(10**9) / ln_frac(Fraction(d)) + Fraction(1, 2))
+    for d in range(2, AA_DEGREE_CAP + 1)
+]
 AA_TOP = 20
 
 
@@ -217,7 +232,7 @@ def histogram_equidepth(spark, sf_dir):
     ),
     weighted AS (
       SELECT e.c, e.p,
-             CAST(round(1e9 / ln(d.d)) AS BIGINT) AS w_nano
+             {arr_lookup_sql(AA_W_NANO, "d.d - 1", "duck")} AS w_nano
       FROM edges e JOIN deg d ON e.p = d.p
     ),
     pairs AS (
@@ -257,7 +272,7 @@ def adamic_adar_linkpred(spark, sf_dir):
     weighted = edges.join(deg, "p").select(
         "c",
         "p",
-        F.round(F.lit(1e9) / F.log(F.col("d")), 0)
+        F.expr(arr_lookup_sql(AA_W_NANO, "d - 1", "spark"))
         .cast("bigint")
         .alias("w_nano"),
     )

@@ -196,7 +196,7 @@ _BANDS_SQL = "\n      UNION ALL ".join(_band_sql(b) for b in range(8))
     f"""
     WITH params AS (
       SELECT least(8, greatest(4,
-               CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+               CAST(length(bin(greatest(count(*), 2) - 1)) - 8 AS INT))) AS bits
       FROM embeddings
     ),
     sigs AS (
@@ -245,7 +245,7 @@ def embedding_neardup_banded(spark, sf_dir):
     f"""
     WITH RECURSIVE params AS (
       SELECT least(8, greatest(4,
-               CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS bits
+               CAST(length(bin(greatest(count(*), 2) - 1)) - 8 AS INT))) AS bits
       FROM embeddings
     ),
     sigs AS (

@@ -45,13 +45,17 @@ _BL_SUM_SPARK = " + ".join(
 )
 # linear-counting estimate round(m*ln(m/v)) has exactly 64 possible
 # inputs (v = empty registers, 1..64) -- precompute them ONCE in
-# Python and inject as integer literals into BOTH engines, so no
-# engine ever calls libm ln() on the result path (the codebase's
-# ndcg discount-table rule)
-import math as _math
+# Python with exact rational arithmetic (exactmath.ln_frac: no libm
+# even on the generating box, so the literals are identical in every
+# environment) and inject into BOTH engines (the codebase's ndcg
+# discount-table rule, hardened per VERDICT r11 task #2)
+from fractions import Fraction as _Fr
+
+from etl_mp_transactions_spark.functions.exactmath import ln_frac as _lnf
 
 _LC_EST = tuple(
-    round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+    int(HLL_M * _lnf(_Fr(HLL_M, v)) + _Fr(1, 2))
+    for v in range(1, HLL_M + 1)
 )
 _LC_CASE = (
     "CASE {v} "

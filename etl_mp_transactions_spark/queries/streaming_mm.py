@@ -30,7 +30,7 @@ from etl_mp_transactions_spark.workdirs import run_dir
 
 @query(
     "multimodal_features",
-    """
+    f"""
     WITH h AS (
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
@@ -49,7 +49,7 @@ from etl_mp_transactions_spark.workdirs import run_dir
     )
     SELECT doc_id AS asset_id, media_type, 32 AS n_bytes,
            round(-list_sum(list_transform(hist,
-             c -> CASE WHEN c > 0 THEN (c / 32.0) * log2(c / 32.0) ELSE 0.0 END)), 6)
+             c -> ([{", ".join(repr(v) for v in multimodal.ENT32_TERM)}])[c + 1])), 6)
              AS byte_entropy,
            list_aggregate(list_transform(hist, c -> CAST(c AS VARCHAR)), 'string_agg', ',')
              AS histogram
@@ -65,10 +65,11 @@ def multimodal_features(spark, sf_dir):
     the oracle rebuilds the exact byte stream in hex space — each
     byte's high nibble is the hex char at odd 1-indexed positions of
     upper(md5(text)||md5('x'||text)) — then recounts the histogram
-    with string arithmetic and recomputes entropy from it. Zero-count
-    buckets add exact 0.0 terms, so both engines sum the same values
-    in the same index order; the 6-dp round absorbs last-ulp log2
-    differences."""
+    with string arithmetic and recomputes entropy from it. Entropy
+    terms come from the shared ENT32_TERM literal grid
+    (operators/multimodal.py — python-precomputed exact-rational
+    (c/32)·log2(c/32), no engine log2), summed in bucket index
+    order in both engines: bitwise-identical by construction."""
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.synthesize_assets(docs)
     feats = multimodal.extract_features(assets)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.exactmath import ln_nano_sql
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -36,7 +37,7 @@ def _word_bigrams(text_col: Column) -> Column:
 
 @query(
     "ngram_lm_quality",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(text, '\s+') AS words
       FROM documents
@@ -61,8 +62,9 @@ def _word_bigrams(text_col: Column) -> Column:
     )
     SELECT o.doc_id,
            sum(o.c)::BIGINT AS n_bigrams,
-           round(sum(o.c * ln((m.cg + 1)::DOUBLE / (x.cw + v.vocab)))
-                 / sum(o.c), 9) AS avg_logprob
+           round(sum(o.c * ({ln_nano_sql("m.cg + 1", "duck")}
+                            - {ln_nano_sql("x.cw + v.vocab", "duck")}))
+                 / (sum(o.c) * 1e9), 9) AS avg_logprob
     FROM occ o
     JOIN model m USING (gram)
     JOIN ctx x ON m.w1 = x.w1
@@ -103,8 +105,12 @@ def ngram_lm_quality(spark, sf_dir):
         )
         .agg(F.count_distinct("token").alias("vocab"))
     )
-    term = F.col("c") * F.log(
-        (F.col("cg") + 1).cast("double") / (F.col("cw") + F.col("vocab"))
+    # per-bigram log-prob as an exactmath nano integer: the per-doc
+    # accumulation becomes an exact BIGINT sum — order-independent
+    # AND transcendental-free (previously a float ln() sum)
+    term = F.col("c") * F.expr(
+        f"({ln_nano_sql('cg + 1', 'spark')}"
+        f" - {ln_nano_sql('cw + vocab', 'spark')})"
     )
     return (
         occ.join(model.select("gram", "cg", "w1"), "gram")
@@ -113,7 +119,9 @@ def ngram_lm_quality(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.round(F.sum(term) / F.sum("c"), 9).alias("avg_logprob"),
+            F.round(F.sum(term) / (F.sum("c") * 1e9), 9).alias(
+                "avg_logprob"
+            ),
         )
     )
 
