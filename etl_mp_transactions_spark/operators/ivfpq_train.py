@@ -240,8 +240,17 @@ def trained_books(
     the corpus identity, e.g. the sf_dir), the KC/KS-row trained
     books memoize process-wide — sound because the pipeline is
     deterministic per corpus and the memo holds only the
-    parameter-bounded literal rows."""
+    parameter-bounded literal rows. The caller-supplied key is
+    hardened with a cheap corpus fingerprint (row count + max id —
+    one small agg), so a reused key over DIFFERENT data (rewritten
+    fixture dir, wrong frame) misses instead of silently serving
+    stale books (ADVICE r11)."""
     spark = embeddings.sparkSession
+    if cache_key is not None:
+        fp = embeddings.agg(
+            F.count("*").alias("n"), F.max(id_col).alias("mx")
+        ).collect()[0]
+        cache_key = (cache_key, int(fp["n"]), fp["mx"])
     if cache_key is not None and cache_key in _BOOK_MEMO:
         cb_rows, pb_rows = _BOOK_MEMO[cache_key]
         cb = spark.createDataFrame(cb_rows, "c int, ccqv array<bigint>")

@@ -86,7 +86,16 @@ class SeenKeysStore:
     def table(self) -> DataFrame:
         """Full store frame (key, seen_at). mergeSchema covers stores
         written before the retention column existed (their rows read
-        as seen_at NULL = no TTL)."""
+        as seen_at NULL = no TTL).
+
+        A read that resolved to the parked ``.old`` generation is
+        eagerly localCheckpointed HERE (ADVICE r11): Spark reads
+        lazily, and the winning compact() rmtree's ``.old`` right
+        after its swap — without the eager cut, a plan that resolved
+        mid-swap could fail with file-not-found when its action
+        finally runs. Pinning the (bounded, one-key-per-row) store
+        at resolve time closes that window; reads from the live path
+        stay lazy."""
         src = self._read_dir()
         if src is not None:
             df = self.spark.read.option("mergeSchema", "true").parquet(
@@ -96,7 +105,11 @@ class SeenKeysStore:
                 df = df.withColumn(
                     TS_COL, F.lit(None).cast("timestamp_ntz")
                 )
-            return df.select(self.key, TS_COL)
+            df = df.select(self.key, TS_COL)
+            if src != self.path:  # resolved to .old: pin before the
+                # superseding compact deletes it
+                df = df.localCheckpoint(eager=True)
+            return df
         from pyspark.sql import types as T
 
         return self.spark.createDataFrame(
@@ -162,8 +175,11 @@ class SeenKeysStore:
         (path→.old, then tmp→path). That swap is NOT atomic: a reader
         never sees a PARTIAL generation (each rename is), but in the
         instant between the two renames the live path does not exist —
-        a reader landing exactly there transparently reads the parked
-        ``.old`` generation (``_read_dir`` — never mutating), and a
+        a reader landing exactly there resolves to the parked ``.old``
+        generation and eagerly pins it (``_read_dir`` + the
+        localCheckpoint in ``table()`` — never mutating; the eager cut
+        is what survives this compact deleting ``.old`` moments
+        later), and a
         crash there parks the data at ``.old`` until the next WRITE
         entry point's ``_recover()`` renames it back, so the crash
         case self-heals to the pre-compaction generation.

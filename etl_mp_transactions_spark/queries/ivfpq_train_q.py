@@ -1149,7 +1149,10 @@ def _filtered_qset(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("label").cast("long").alias("label"),
     )
-    return _qset_df(q).join(F.broadcast(labels), "query_id")
+    # broadcast the 64-row query batch, never the corpus-sized label
+    # frame (ADVICE r11): the labels side stays partitioned and the
+    # join reduces it to the batch
+    return labels.join(F.broadcast(_qset_df(q)), "query_id")
 
 
 @query(

@@ -77,8 +77,6 @@ _SPOTLIGHT: list[str] = [
     "r1_stream_dedup",
     "r6_stream_tumbling",
     # r9-family representatives rotated into the driver window
-    "ivfpq_adc_topk",
-    "viterbi_em_recount",
     "dsir_importance_select",
     "label_propagation_communities",
     # r10: Lloyd-trained codebooks (distortion gain + recall audit),
@@ -94,13 +92,20 @@ _SPOTLIGHT: list[str] = [
     # r10 continuation: full k-means training with the in-result
     # monotone-inertia trajectory
     "kmeans_train_trajectory",
-    # r11: exact re-rank stage (recall-vs-R lift), positive-control
-    # deployment gate, OPQ permutation verdict, streaming refined
-    # serving twin
+    # r11: exact re-rank stage (recall-vs-R lift) + positive-control
+    # deployment gate (pinned until driver-green per VERDICT r11 #6)
     "ivfpq_rerank_recall",
     "quality_classifier_poscontrol",
-    "ivfpq_permute_gain",
-    "r21_stream_rerank_serving",
+    # r12 swaps (VERDICT r11 task #6): the remaining r11 serving-path
+    # families get driver attestation — filtered+refined one-plan
+    # serving, the refine-R auto-tuner, the index-artifact round
+    # trip, and the calibration audit. Displaced (all driver-green in
+    # r11, families still represented): ivfpq_adc_topk,
+    # viterbi_em_recount, ivfpq_permute_gain, r21_stream_rerank_serving.
+    "ivfpq_filtered_rerank_topk",
+    "ivfpq_rerank_slo",
+    "ivfpq_index_roundtrip",
+    "quality_classifier_calibration",
 ]
 
 
@@ -110,7 +115,7 @@ _SPOTLIGHT: list[str] = [
 # periodically get driver coverage instead of being permanently
 # invisible to the driver gate. Bump the salt each round to rotate.
 _ROTATION_SLOTS = 4
-_ROTATION_SALT = "r11"
+_ROTATION_SALT = "r12"
 
 
 def _spotlight_first(d: dict) -> dict:
