@@ -58,6 +58,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -158,7 +159,7 @@ _N_PIECES = (
 
 @query(
     "viterbi_segment_vocab",
-    f"""
+    materialize_ctes(f"""
     WITH {_SEG_CTES}
     SELECT word,
            CAST(length(word) AS BIGINT) AS n_chars,
@@ -167,7 +168,7 @@ _N_PIECES = (
            {_N_PIECES} AS n_pieces
     FROM seg
     ORDER BY word
-    """,
+    """),
 )
 def viterbi_segment_vocab(spark, sf_dir):
     """Viterbi segmentation of every distinct corpus word (module
@@ -188,7 +189,7 @@ def viterbi_segment_vocab(spark, sf_dir):
 
 @query(
     "viterbi_tokenize_docs",
-    f"""
+    materialize_ctes(f"""
     WITH {_SEG_CTES},
     segn AS (
       SELECT word, cost, {_N_PIECES} AS np
@@ -207,7 +208,7 @@ def viterbi_segment_vocab(spark, sf_dir):
     FROM docw d JOIN segn s ON s.word = d.word
     GROUP BY d.doc_id
     ORDER BY d.doc_id
-    """,
+    """),
 )
 def viterbi_tokenize_docs(spark, sf_dir):
     """Tokenize every document through the learned Viterbi
@@ -381,7 +382,7 @@ def _vocab0_df(pieces: DataFrame) -> DataFrame:
 
 @query(
     "viterbi_em_recount",
-    f"""
+    materialize_ctes(f"""
     WITH {_SEG_CTES},
     used AS (
       SELECT u.piece,
@@ -398,7 +399,7 @@ def _vocab0_df(pieces: DataFrame) -> DataFrame:
                            // u.used_count)) AS BIGINT) AS new_cost
     FROM used u JOIN vocab0 v ON v.piece = u.piece
     ORDER BY u.piece
-    """,
+    """),
 )
 def viterbi_em_recount(spark, sf_dir):
     """Hard-EM M-step of unigram-LM tokenizer training (Kudo 2018 §3
@@ -639,13 +640,13 @@ def _em_trained(spark, sf_dir) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 @query(
     "viterbi_em_vocab",
-    f"""
+    materialize_ctes(f"""
     WITH {_EM_CTES}
     SELECT piece, ucount, pcost,
            CAST(length(piece) AS BIGINT) AS piece_len
     FROM v{EM_ITERS + 1}c
     ORDER BY piece
-    """,
+    """),
 )
 def viterbi_em_vocab(spark, sf_dir):
     """The TRAINED unigram vocabulary after {EM_ITERS} full EM rounds
@@ -666,7 +667,7 @@ def viterbi_em_vocab(spark, sf_dir):
 
 @query(
     "viterbi_em_train",
-    f"""
+    materialize_ctes(f"""
     WITH {_EM_CTES}
     SELECT word,
            path AS segmentation,
@@ -674,7 +675,7 @@ def viterbi_em_vocab(spark, sf_dir):
            {_N_PIECES} AS n_pieces
     FROM seg_{EM_ITERS + 1}
     ORDER BY word
-    """,
+    """),
 )
 def viterbi_em_train(spark, sf_dir):
     """Full unigram-EM tokenizer training (Kudo 2018 §3 complete,
@@ -697,7 +698,7 @@ def viterbi_em_train(spark, sf_dir):
 
 @query(
     "viterbi_em_tokenize_docs",
-    f"""
+    materialize_ctes(f"""
     WITH {_EM_CTES},
     segn AS (
       SELECT word, cost, {_N_PIECES} AS np
@@ -716,7 +717,7 @@ def viterbi_em_train(spark, sf_dir):
     FROM docw d JOIN segn s ON s.word = d.word
     GROUP BY d.doc_id
     ORDER BY d.doc_id
-    """,
+    """),
 )
 def viterbi_em_tokenize_docs(spark, sf_dir):
     """Tokenize every document through the EM-TRAINED vocabulary —
