@@ -1545,3 +1545,217 @@ def ivfpq_rerank_slo(spark, sf_dir):
             (F.col("miss") == 0).alias("meets_slo"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Index maintenance: deletes + compaction (VERDICT r11 task #3). A
+# production index also DELETES (FAISS remove_ids, vector-DB
+# tombstones): serving must mask tombstoned vectors immediately, and
+# a background compaction eventually drops their codes physically.
+# Two pins close the lifecycle:
+# - ivfpq_delete_serve: the tombstone anti-join RIDES the ADC code
+#   scan (never a post-filter of the top-k — a post-filter would
+#   return short lists and leak deleted ids into ranking);
+# - ivfpq_compact_roundtrip: compaction rewrites the persisted code
+#   artifact without the tombstoned rows; serving from the compacted
+#   artifact must be bit-identical to an index built by encoding only
+#   the surviving vectors against the SAME frozen books (encode is
+#   per-vector given the books, so the oracle's survivor-filtered
+#   code CTE IS that rebuilt index). At 100 TB: the tombstone table
+#   is small and broadcast; compaction is one anti-join + rewrite of
+#   the codes artifact, books untouched, no retrain.
+
+DELETE_PRED = "vec_id % 7 = 3"  # deterministic tombstone set (~14%)
+_LIVE_PRED = "vec_id % 7 <> 3"
+
+_DELETE_SERVE_SQL = f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    del AS (SELECT vec_id FROM q WHERE {DELETE_PRED}),
+    dcodes AS (
+      SELECT c.vec_id, c.cid, c.m, c.code
+      FROM tcodes c ANTI JOIN del d USING (vec_id)
+    ),
+    {{scan}}
+    SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM dtop
+    ORDER BY query_id, rank
+    """.format(scan=_adc_scan_sql("d", f"cb{_CI}", f"pbt{_SI}", "dcodes", 5))
+
+
+@query("ivfpq_delete_serve", materialize_ctes(_DELETE_SERVE_SQL))
+def ivfpq_delete_serve(spark, sf_dir):
+    """Tombstone-masked ADC serving (module comment): the deleted-ids
+    table anti-joins the UNPACKED code rows before the LUT join, so
+    the mask rides the probed-list scan and every query still returns
+    a full top-5 drawn from live vectors only. Books and surviving
+    codes are untouched — the instant-delete half of the maintenance
+    story, compaction being the other half. Broadcast tombstones;
+    exact integer end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    tombs = emb.select("vec_id").filter(F.expr(DELETE_PRED))
+    live = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
+    q = _quantized(emb, "vec_id")
+    return (
+        ivfpq_train.adc_search(_qset_df(q), cb, pb, live, 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_COMPACT_SQL = f"""
+    WITH {_TRAIN_CTES},
+    {_QSET_SQL},
+    ccodes AS (SELECT vec_id, cid, m, code FROM tcodes
+               WHERE {_LIVE_PRED}),
+    {{scan}},
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_codes_before FROM q),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS n_codes_after
+           FROM q WHERE {_LIVE_PRED})
+    SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank,
+           nb.n_codes_before, na.n_codes_after
+    FROM ktop CROSS JOIN nb CROSS JOIN na
+    ORDER BY query_id, rank
+    """.format(scan=_adc_scan_sql("k", f"cb{_CI}", f"pbt{_SI}", "ccodes", 10))
+
+
+@query("ivfpq_compact_roundtrip", materialize_ctes(_COMPACT_SQL))
+def ivfpq_compact_roundtrip(spark, sf_dir):
+    """List compaction through the PHYSICAL artifact (module
+    comment): persist the packed-code artifact and a tombstone table,
+    compact by anti-joining the tombstones and REWRITING the artifact
+    (packed rows physically dropped — one row per vector, so row
+    counts before/after ride the result), reload the compacted
+    artifact in a fresh plan, unpack nibbles in-scan, and serve the
+    deterministic query batch top-10. The oracle builds the index
+    from the surviving vectors against the same frozen books —
+    serving from the compacted artifact must match it bit for bit."""
+    import os
+
+    from etl_mp_transactions_spark.workdirs import run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    _, packed = _encode_resid(resid, pb)
+    work = run_dir("ivfpq_compact")
+    codes_v1 = os.path.join(work, "codes.v1")
+    codes_v2 = os.path.join(work, "codes.v2")
+    packed.select("vec_id", "cid", "pq_code").write.mode(
+        "overwrite"
+    ).parquet(codes_v1)
+    emb.select("vec_id").filter(F.expr(DELETE_PRED)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "tombstones"))
+    # --- compaction job: artifact in, smaller artifact out
+    art = spark.read.parquet(codes_v1)
+    tombs = spark.read.parquet(os.path.join(work, "tombstones"))
+    art.join(F.broadcast(tombs), "vec_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(codes_v2)
+    # --- fresh serving plan from the compacted artifact
+    n_before = spark.read.parquet(codes_v1).count()
+    compacted = spark.read.parquet(codes_v2)
+    n_after = compacted.count()
+    unpacked = compacted.select(
+        "vec_id",
+        "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+        "pq_code",
+    ).select(
+        "vec_id",
+        "cid",
+        "m",
+        F.expr("cast(shiftright(pq_code, 4 * m) & 15 as int)").alias(
+            "code"
+        ),
+    )
+    q = _quantized(emb, "vec_id")
+    return (
+        ivfpq_train.adc_search(_qset_df(q), cb, pb, unpacked, 10)
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.lit(n_before).cast("bigint").alias("n_codes_before"),
+            F.lit(n_after).cast("bigint").alias("n_codes_after"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("r22_stream_delete_serve", materialize_ctes(_DELETE_SERVE_SQL))
+def r22_stream_delete_serve(spark, sf_dir):
+    """Streaming delete twin (17th stream==batch pin;
+    streaming/filesource.stream_delete_tombstones_run): the
+    tombstone set arrives as four mtime-ordered id files — one
+    micro-batch each — plus a replay of the first file that must
+    contribute zero rows (already-tombstoned skip + per-batch
+    partition overwrite; deletes are additionally idempotent as a
+    set union, so this pin is the easiest of the 17 to keep and the
+    cheapest to break detection on). Serving through the streamed
+    tombstone table must equal the batch ivfpq_delete_serve bit for
+    bit — same oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.streaming import filesource
+    from etl_mp_transactions_spark.workdirs import run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_dir("r22_delserve")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    dels = emb.select("vec_id").filter(F.expr(DELETE_PRED)).withColumn(
+        "g", F.expr("(vec_id div 7) % 4")
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        dels.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    tombs = filesource.stream_delete_tombstones_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "tombstones"),
+    )
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    live = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
+    q = _quantized(emb, "vec_id")
+    return (
+        ivfpq_train.adc_search(_qset_df(q), cb, pb, live, 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -929,3 +929,59 @@ def stream_rerank_serving_run(
     return spark.read.schema(out_schema).parquet(
         os.path.join(out_dir, "batch=*")
     )
+
+
+def stream_delete_tombstones_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    tomb_dir: str,
+) -> DataFrame:
+    """Streaming DELETE ingestion (R22): arriving tombstone-id
+    batches append to a batch-partitioned parquet tombstone table —
+    the delete half of the index-maintenance lifecycle
+    (queries/ivfpq_train_q.ivfpq_delete_serve consumes the final
+    set). Replay safety is the r17/r19 no-ledger construction, and
+    deletes make it doubly safe: the sink overwrites its own
+    ``batch=<id>`` partition and an at-least-once re-delivered file
+    contributes zero rows via the already-tombstoned skip — and even
+    a duplicate that slipped through would be erased by the
+    ``distinct()`` read (tombstones are a set union; deletes are
+    idempotent by nature)."""
+
+    def _tombed_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(tomb_dir, d)
+            for d in sorted(os.listdir(tomb_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(tomb_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], "vec_id long")
+        return spark.read.schema("vec_id long").parquet(*dirs)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.select("vec_id").join(
+            _tombed_except(batch_id), "vec_id", "left_anti"
+        )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(tomb_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema("vec_id long")
+        .parquet(os.path.join(tomb_dir, "batch=*"))
+        .distinct()
+    )

@@ -319,3 +319,99 @@ def test_rerank_slo_consistent_with_ladder(spark, sf_dir):
         best = max(curve.items(), key=lambda kv: (kv[1], -kv[0]))
         assert not r["meets_slo"] and r["chosen_r"] == best[0]
     assert r["recall_bp"] == curve[r["chosen_r"]]
+
+
+def test_delete_serve_masks_all_tombstones(spark, sf_dir):
+    """ivfpq_delete_serve: no tombstoned vec_id appears in any served
+    top-k, every query returns a full top-5 from the live corpus, and
+    the result equals serving from a physically-filtered code table
+    (tombstone-mask == compaction, the maintenance invariant)."""
+    from etl_mp_transactions_spark.queries.ivfpq_train_q import (
+        DELETE_PRED,
+    )
+    from etl_mp_transactions_spark.registry import queries
+
+    rows = queries()["ivfpq_delete_serve"](spark, sf_dir).collect()
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    deleted = {
+        r["vec_id"]
+        for r in emb.select("vec_id").filter(F.expr(DELETE_PRED)).collect()
+    }
+    assert rows and not any(r["vec_id"] in deleted for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_compact_roundtrip_drops_rows_and_matches_mask(spark, sf_dir):
+    """ivfpq_compact_roundtrip: the compacted artifact physically
+    lost exactly the tombstoned rows (counts in-result), and its
+    served top-5 prefix equals the tombstone-masked serving of
+    ivfpq_delete_serve — compaction must be invisible to serving."""
+    from etl_mp_transactions_spark.registry import queries
+
+    qs = queries()
+    crows = qs["ivfpq_compact_roundtrip"](spark, sf_dir).collect()
+    n_before = crows[0]["n_codes_before"]
+    n_after = crows[0]["n_codes_after"]
+    assert 0 < n_after < n_before
+    drows = qs["ivfpq_delete_serve"](spark, sf_dir).collect()
+    ctop5 = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_d2"])
+        for r in crows
+        if r["rank"] <= 5
+    }
+    dtop5 = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_d2"])
+        for r in drows
+    }
+    assert ctop5 == dtop5
+
+
+def test_stream_delete_replay_contributes_zero(spark, sf_dir, tmp_path):
+    """stream_delete_tombstones_run: a re-delivered tombstone file is
+    absorbed (its batch partition holds zero rows), and the distinct
+    union equals the batch tombstone set."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etl_mp_transactions_spark.streaming import filesource
+
+    stage = str(tmp_path / "in")
+    os.makedirs(stage)
+    ids = spark.range(0, 40).select(F.col("id").alias("vec_id"))
+    for g in range(2):
+        tmp = str(tmp_path / f"tmp{g}")
+        ids.filter(F.col("vec_id") % 2 == g).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(os.path.join(tmp, part), os.path.join(stage, f"f{g}.parquet"))
+        os.utime(os.path.join(stage, f"f{g}.parquet"), (1700 + g, 1700 + g))
+    import shutil
+
+    shutil.copy(
+        os.path.join(stage, "f0.parquet"),
+        os.path.join(stage, "replay.parquet"),
+    )
+    os.utime(os.path.join(stage, "replay.parquet"), (1710, 1710))
+    tomb_dir = str(tmp_path / "tombs")
+    out = filesource.stream_delete_tombstones_run(
+        spark, stage, str(tmp_path / "ckpt"), tomb_dir
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == list(range(40))
+    sizes = {
+        d: spark.read.schema("vec_id long")
+        .parquet(os.path.join(tomb_dir, d))
+        .count()
+        for d in os.listdir(tomb_dir)
+        if d.startswith("batch=")
+    }
+    assert sorted(sizes.values()) == [0, 20, 20], sizes
