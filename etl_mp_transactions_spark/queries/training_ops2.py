@@ -6,11 +6,11 @@ All three are LLM-pipeline staples the reference lacks (its only
 text scoring is the per-pair TF-IDF of src/ai.py:21-25); each is
 expressed relationally so the DuckDB oracle checks exact values.
 
-Float policy: LM log-probs are per-distinct-gram ``ln`` terms
-multiplied by exact int64 counts and summed — summation order differs
-across engines/partitionings, so the *reported* average is rounded to
-9 dp on both sides (same class as stats_via_sums); all counts stay
-BIGINT end-to-end.
+Float policy (r12): LM log-probs are exactmath integer-ln nano terms
+multiplied by exact int64 counts and summed as BIGINTs — order-free
+and transcendental-free (PORTABILITY.md); the reported average is one
+final deterministic division rounded to 9 dp. All counts stay BIGINT
+end-to-end.
 """
 
 from __future__ import annotations

@@ -58,6 +58,15 @@ def get_spark(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
+        # the oracle harness collects FULL results for exact-value
+        # comparison; at sf1 the widest full-output queries serialize
+        # >1g of task results (the 1g default aborts the collect, not
+        # the query). A verification-harness knob, not a production
+        # path — production queries never collect data-scale frames.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- adaptive execution: runtime re-plan, skew splitting ---
