@@ -1855,3 +1855,91 @@ def ivfpq_upsert_serve(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Index health: list-occupancy report. Deletes/upserts and corpus
+# drift unbalance the coarse lists over time; scan cost per query is
+# proportional to the PROBED lists' occupancy, so a hot list is a
+# latency tail. This is the monitoring read a maintenance scheduler
+# consumes to decide WHEN to retrain/rebalance (the key_skew_report
+# pattern applied to the index itself). KC rows out at any corpus
+# size.
+
+REBALANCE_SKEW_BP = 20000  # max list ≥ 2× the mean ⇒ recommend
+
+
+_LIST_STATS_SQL = f"""
+    WITH {_TRAIN_CTES},
+    lists AS (SELECT c AS cid FROM cb{_CI}),
+    occ AS (
+      SELECT l.cid, CAST(coalesce(x.n, 0) AS BIGINT) AS n_vectors
+      FROM lists l LEFT JOIN (
+        SELECT cid, count(DISTINCT vec_id) AS n
+        FROM tcodes GROUP BY cid
+      ) x USING (cid)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_vectors) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS nl,
+             CAST(max(n_vectors) AS BIGINT) AS mx
+      FROM occ
+    )
+    SELECT o.cid, o.n_vectors,
+           o.n_vectors * 10000 // t.nt AS share_bp,
+           t.mx * t.nl * 10000 // t.nt AS max_over_mean_bp,
+           t.mx * t.nl * 10000 // t.nt >= {REBALANCE_SKEW_BP}
+             AS rebalance_recommended
+    FROM occ o CROSS JOIN tot t
+    ORDER BY o.cid
+    """
+
+
+@query("ivfpq_list_stats", materialize_ctes(_LIST_STATS_SQL))
+def ivfpq_list_stats(spark, sf_dir):
+    """Coarse-list occupancy report of the trained index (module
+    comment): per list its vector count and share, plus the
+    hottest-list-vs-mean ratio and the rebalance verdict (max ≥
+    {REBALANCE_SKEW_BP} bp of mean). Zero-vector lists ride along via
+    the codebook left join — an empty list is itself a health signal
+    (dead centroid). One group-by over the code table; KC-row
+    output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb, pb, resid = ivfpq_train.trained_books(
+        emb, cache_key=("full", sf_dir)
+    )
+    codes, _ = _encode_resid(resid, pb)
+    occ = (
+        cb.select(F.col("c").alias("cid"))
+        .join(
+            codes.groupBy("cid").agg(
+                F.countDistinct("vec_id").alias("n")
+            ),
+            "cid",
+            "left",
+        )
+        .select(
+            "cid",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+                "n_vectors"
+            ),
+        )
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("nl"),
+        F.max("n_vectors").cast("bigint").alias("mx"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vectors",
+            F.expr("n_vectors * 10000 div nt").alias("share_bp"),
+            F.expr("mx * nl * 10000 div nt").alias("max_over_mean_bp"),
+            (
+                F.expr("mx * nl * 10000 div nt") >= REBALANCE_SKEW_BP
+            ).alias("rebalance_recommended"),
+        )
+        .orderBy("cid")
+    )
