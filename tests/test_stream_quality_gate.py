@@ -13,9 +13,12 @@ from etl_mp_transactions_spark.queries.quality_clf import (
     _bigrams_df,
     _docx_against,
     _lm_from,
-    _p_nano_sql,
     _trained_params,
     KEEP_THRESHOLD_NANO,
+)
+from etl_mp_transactions_spark.queries.logistic import (
+    sig_spark_df,
+    with_p_nano,
 )
 from etl_mp_transactions_spark.registry import queries
 from etl_mp_transactions_spark.sources.tables import load_table
@@ -37,16 +40,17 @@ def test_stream_equals_batch(spark, sf_dir):
     lm = _lm_from(wb).localCheckpoint(eager=True)
     params = _trained_params(spark, _docx_against(wb, lm))
     arriving = docs.filter(F.expr(_STREAM_ARRIVING_PRED))
-    p_nano = F.expr(_p_nano_sql("b0", "b1"))
     batch = _rows(
-        _docx_against(_bigrams_df(arriving), lm)
-        .crossJoin(F.broadcast(params))
-        .select(
+        with_p_nano(
+            _docx_against(_bigrams_df(arriving), lm),
+            params,
+            sig_spark_df(spark),
+        ).select(
             "doc_id",
             "lang",
             "x",
-            p_nano.alias("p_nano"),
-            (p_nano >= KEEP_THRESHOLD_NANO).alias("keep"),
+            F.col("pn").alias("p_nano"),
+            (F.col("pn") >= KEEP_THRESHOLD_NANO).alias("keep"),
         )
     )
     assert stream == batch and len(stream) > 0
