@@ -42,6 +42,16 @@ _GRID = 512  # mantissa grid resolution
 _INTERP = 4096  # 12-bit sub-grid interpolation
 
 
+_TRIM = 10**60  # denominator cap for series intermediates: each trim
+# perturbs by ≤ 1e-60, 10^51 below the nano grid rounding — the
+# literals are unchanged, but import-time cost stays milliseconds
+# instead of dragging 10^1000-digit exact rationals through the sums
+
+
+def _trim(x: Fraction) -> Fraction:
+    return Fraction(round(x * _TRIM), _TRIM)
+
+
 def ln_frac(r: Fraction, terms: int = 80) -> Fraction:
     """ln(r) as an exact-rational series: atanh form
     ln(r) = 2·Σ t^(2k+1)/(2k+1), t = (r-1)/(r+1) — |t| ≤ 1/3 on
@@ -56,13 +66,15 @@ def ln_frac(r: Fraction, terms: int = 80) -> Fraction:
     while r < Fraction(1, 2):
         r *= 2
         shift -= 1
-    t = (r - 1) / (r + 1)
+    t = _trim((r - 1) / (r + 1))
     acc = Fraction(0)
     tk = t
-    t2 = t * t
+    t2 = _trim(t * t)
     for k in range(terms):
-        acc += tk / (2 * k + 1)
-        tk *= t2
+        acc = _trim(acc + tk / (2 * k + 1))
+        tk = _trim(tk * t2)
+        if tk == 0:
+            break
     return 2 * acc + shift * LN2_FRAC if shift else 2 * acc
 
 
@@ -72,8 +84,8 @@ def _ln2_frac() -> Fraction:
     tk = t
     t2 = t * t
     for k in range(80):
-        acc += tk / (2 * k + 1)
-        tk *= t2
+        acc = _trim(acc + tk / (2 * k + 1))
+        tk = _trim(tk * t2)
     return 2 * acc
 
 
@@ -82,20 +94,23 @@ LN2_NANO = int(LN2_FRAC * NANO + Fraction(1, 2))  # 693147181
 
 
 def exp_frac(x: Fraction, terms: int = 40) -> Fraction:
-    """e^x as an exact-rational Taylor series (range-reduce by
-    halving until |x| ≤ 1/4, then square back — keeps term count
-    and denominators bounded)."""
+    """e^x as a rational Taylor series, exact to far below nano
+    (range-reduce by halving until |x| ≤ 1/4, then square back;
+    intermediates denominator-capped at 1e-60 — see _TRIM)."""
     squarings = 0
     while abs(x) > Fraction(1, 4):
         x /= 2
         squarings += 1
+    x = _trim(x)
     acc = Fraction(1)
     term = Fraction(1)
     for k in range(1, terms):
-        term *= x / k
+        term = _trim(term * x / k)
         acc += term
+        if term == 0:
+            break
     for _ in range(squarings):
-        acc *= acc
+        acc = _trim(acc * acc)
     return acc
 
 
