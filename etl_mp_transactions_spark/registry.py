@@ -240,6 +240,7 @@ def _load_all() -> None:
         graph5,
         wordpiece,
         dsir,
+        hybrid,
     )
 
     _LOADED = True
