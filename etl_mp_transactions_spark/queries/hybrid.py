@@ -325,15 +325,27 @@ def _topk_per_query(
     ).filter(F.col(rank_name) <= k)
 
 
-def _lex_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lex_arm(
+    spark: SparkSession, sf_dir: str, qids: DataFrame | None = None
+) -> DataFrame:
+    """Lexical arm. ``qids`` (a 1-column ``doc_id`` frame) overrides
+    the default 0..NQ-1 query batch — the streaming twin serves each
+    arriving micro-batch's ids against the same frozen corpus, and
+    per-query results are batch-independent by construction (df is
+    per-term, corpus stats are global)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens_expr().alias("l"))
     dl = toks.select("doc_id", F.size("l").cast("long").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    qtoks = (
+        toks.join(F.broadcast(qids), "doc_id", "left_semi")
+        if qids is not None
+        else toks.filter(F.col("doc_id") < _NQ)
+    )
     qtf = (
-        toks.filter(F.col("doc_id") < _NQ)
+        qtoks
         .select(
             F.col("doc_id").alias("query_id"), F.explode("l").alias("term")
         )
@@ -394,10 +406,19 @@ def _quantized(emb: DataFrame) -> DataFrame:
     )
 
 
-def _sem_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sem_arm(
+    spark: SparkSession, sf_dir: str, qset: DataFrame | None = None
+) -> DataFrame:
+    """Semantic arm. ``qset`` (query_id, qqv quantized vector)
+    overrides the default batch — the streaming twin passes the
+    ARRIVING vectors, quantized per micro-batch."""
     qv = _quantized(load_table(spark, sf_dir, "embeddings"))
-    qs = qv.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    qs = (
+        qset
+        if qset is not None
+        else qv.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+        )
     )
     semd = (
         qv.crossJoin(F.broadcast(qs))
@@ -425,9 +446,18 @@ def _rrf_part(c: str) -> Column:
     )
 
 
-def _fused(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lex = _lex_arm(spark, sf_dir).select("query_id", "doc_id", "r_lex")
-    sem = _sem_arm(spark, sf_dir).select("query_id", "doc_id", "r_sem")
+def _fused(
+    spark: SparkSession,
+    sf_dir: str,
+    qids: DataFrame | None = None,
+    qset: DataFrame | None = None,
+) -> DataFrame:
+    lex = _lex_arm(spark, sf_dir, qids).select(
+        "query_id", "doc_id", "r_lex"
+    )
+    sem = _sem_arm(spark, sf_dir, qset).select(
+        "query_id", "doc_id", "r_sem"
+    )
     fusedall = (
         lex.join(sem, ["query_id", "doc_id"], "full_outer")
         .withColumn("r_lex", F.coalesce("r_lex", F.lit(0).cast("long")))
@@ -457,14 +487,15 @@ def hybrid_lexical_topk(spark, sf_dir):
     )
 
 
-@query(
-    "hybrid_rrf_fusion",
-    materialize_ctes(
-        f"""WITH {_lex_ctes()}{_sem_ctes()}{_fused_ctes()}
+# shared with the r23 streaming serving twin (queries/streaming_mm.py)
+RRF_FUSION_SQL = materialize_ctes(
+    f"""WITH {_lex_ctes()}{_sem_ctes()}{_fused_ctes()}
     SELECT query_id, doc_id, r_lex, r_sem, rrf_nano, fused_rank
     FROM fused"""
-    ),
 )
+
+
+@query("hybrid_rrf_fusion", RRF_FUSION_SQL)
 def hybrid_rrf_fusion(spark, sf_dir):
     """RRF fusion of the lexical and semantic top-20 lists (fused
     top-10 per query, both arm ranks carried; absent rank = 0)."""

@@ -1522,3 +1522,60 @@ def r21_stream_rerank_serving(spark, sf_dir):
         qv,
     )
     return out.orderBy("query_id", "rank")
+
+
+from etl_mp_transactions_spark.queries.hybrid import (  # noqa: E402
+    RRF_FUSION_SQL,
+    _NQ as _HYB_NQ,
+)
+
+
+@query("r23_stream_hybrid_serving", RRF_FUSION_SQL)
+def r23_stream_hybrid_serving(spark, sf_dir):
+    """Streaming hybrid-search serving (18th stream==batch pin;
+    streaming/filesource.stream_hybrid_serving_run): the corpus
+    (documents + embeddings) is FROZEN; the deterministic 8-query
+    batch arrives as four mtime-ordered files — one micro-batch each —
+    plus a replay of the first file that must contribute ZERO rows
+    (already-served skip + per-batch partition overwrite, the r19
+    no-ledger construction — trivial here because per-query hybrid
+    results are batch-independent: BM25 df is per-term, corpus stats
+    are global, RRF sees only that query's two arm lists). Each
+    micro-batch runs the full request path online: lexical BM25 arm
+    from the arriving query's doc terms, exact quantized-L2 semantic
+    arm from the arriving vector, RRF-fused top-10. The final result
+    table must equal the batch hybrid_rrf_fusion bit for bit — same
+    oracle."""
+    import shutil
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_dir("r23_hybrid")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    arriving = emb.filter(F.col("vec_id") < _HYB_NQ).withColumn(
+        "g", F.expr("vec_id % 4")
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        arriving.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    return filesource.stream_hybrid_serving_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "served"),
+        sf_dir,
+    )

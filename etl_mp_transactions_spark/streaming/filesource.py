@@ -985,3 +985,75 @@ def stream_delete_tombstones_run(
         .parquet(os.path.join(tomb_dir, "batch=*"))
         .distinct()
     )
+
+
+def stream_hybrid_serving_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    sf_dir: str,
+) -> DataFrame:
+    """Streaming HYBRID search serving (R23): arriving QUERY batches
+    (embeddings rows) are served against the frozen corpus — lexical
+    BM25 arm from the query doc's terms, exact quantized-L2 semantic
+    arm from the arriving vector, RRF-fused top-10 — appending to a
+    batch-partitioned result table (queries/hybrid.py is the batch
+    twin; same oracle).
+
+    Replay safety is the r19/r21 no-ledger construction: per-query
+    results are batch-independent (BM25 df is per-term, corpus stats
+    are global, fusion sees only that query's two arm lists), so the
+    sink overwrites its own ``batch=<id>`` partition and an
+    at-least-once re-delivered file contributes zero via the
+    already-served skip (anti-join on query_id against every result
+    partition except this batch's own)."""
+    from etl_mp_transactions_spark.operators.pq import _quantized
+    from etl_mp_transactions_spark.queries.hybrid import _fused
+
+    out_schema = (
+        "query_id long, doc_id long, r_lex long, r_sem long,"
+        " rrf_nano long, fused_rank long"
+    )
+
+    def _served_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(out_dir, d)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(out_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], "query_id long")
+        return (
+            spark.read.schema(out_schema).parquet(*dirs)
+            .select("query_id").distinct()
+        )
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qset = _quantized(batch_df, "vec_id").select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+        )
+        fresh = qset.join(
+            _served_except(batch_id), "query_id", "left_anti"
+        )
+        qids = fresh.select(F.col("query_id").alias("doc_id"))
+        _fused(spark, sf_dir, qids=qids, qset=fresh).select(
+            "query_id", "doc_id", "r_lex", "r_sem", "rrf_nano",
+            "fused_rank",
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["embeddings"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(out_schema).parquet(
+        os.path.join(out_dir, "batch=*")
+    )

@@ -51,3 +51,33 @@ def test_stream_rerank_equals_batch(spark, sf_dir):
 def test_stream_rerank_rerun_is_deterministic(spark, sf_dir):
     fn = queries()["r21_stream_rerank_serving"]
     assert _served(fn(spark, sf_dir)) == _served(fn(spark, sf_dir))
+
+
+def _fused_rows(df):
+    return sorted(
+        (
+            r["query_id"],
+            r["doc_id"],
+            r["r_lex"],
+            r["r_sem"],
+            r["rrf_nano"],
+            r["fused_rank"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_stream_hybrid_equals_batch(spark, sf_dir):
+    """r23 (18th stream==batch pin): the streamed hybrid serving
+    result must equal the batch hybrid_rrf_fusion bit for bit, with
+    the replay file contributing zero (each query served exactly
+    once: fused ranks unique per query)."""
+    stream = _fused_rows(
+        queries()["r23_stream_hybrid_serving"](spark, sf_dir)
+    )
+    batch = _fused_rows(queries()["hybrid_rrf_fusion"](spark, sf_dir))
+    assert stream == batch and len(stream) > 0
+    seen = set()
+    for q, _, _, _, _, fr in stream:
+        assert (q, fr) not in seen, "replay double-served a query"
+        seen.add((q, fr))
