@@ -1,0 +1,446 @@
+"""Exact-arithmetic PCA over the embedding corpus: top principal
+direction by unrolled power iteration on the normalized covariance
+scatter, and extreme-example selection along that axis (SURVEY.md
+§2.9 training-pipeline extensions — the eigen-decomposition side of
+the distributed-linear-algebra family started by gram_matrix; no
+reference counterpart, north-star additions).
+
+Exactness design (PORTABILITY.md): the pipeline is integer end to end
+except three sanctioned float classes, each IEEE-deterministic across
+engines:
+
+1. CAST(BIGINT AS DOUBLE) is correctly rounded by IEEE 754 even when
+   the integer exceeds 2^53, so the centered scatter
+   Md_ij = G_ij − s_i·s_j/n (whose exact integer form n·G − s·s would
+   overflow BIGINT beyond n ≈ 3000) is computed in doubles from exact
+   integer inputs with identical expression shape in both engines —
+   identical doubles, no overflow at any n.
+2. Every normalization is ONE double divide (+ multiply + round) on
+   exact-representable operands: the scatter is max-normalized to
+   ±1e6 (``mn``), the matvec result w (≤ 64·1e6·1e6 = 6.4e13 < 2^53,
+   exact BIGINT from an order-free integer sum) is max-normalized to
+   ±1e6 (``wm``) so its norm² Σwm² ≤ 6.4e13 stays an exact BIGINT,
+   and the unit step divides by sqrt(n2) — sqrt is correctly rounded
+   BY THE IEEE STANDARD (PORTABILITY.md), so it stays engine-side.
+3. The Rayleigh-quotient report is one final nano-rounded ratio of
+   two exact BIGINT dot products.
+
+Power iteration: v0 = uniform, T = 8 unrolled steps of
+v ← normalize(Mn·v) with v held in micro units (±1e6); the result is
+sign-canonicalized (first nonzero component positive). Zero-guards
+(mw = 0, n2 = 0) keep degenerate inputs deterministic.
+
+Scale shape (100 TB):
+- the only corpus-sized work is the Gram/column-sum pass, reused from
+  embeddings2.gram_matrix: per-partition 64×64 int64 numpy matmuls
+  inside Arrow mapInPandas, communication O(partitions·d²) never
+  O(rows); column sums are one map-side-combined posexplode agg;
+- everything after is d² = 4096 rows: the 8 iterations run on a
+  localCheckpoint-ed scatter (one bounded materialization, so the
+  loop replans over 4096 rows instead of replaying the corpus pass);
+- the projection query injects the learned 64-dim direction and the
+  64 column sums as LITERAL arrays (the documented parameter-bounded
+  collect class, same as the k-means freezes): the corpus pass is
+  then ONE scan with an order-free integer fold per row and a
+  TakeOrderedAndProject top-k — no shuffle, no window;
+- the projection's integer bound: |n·q − s|·|vk| ≤ 64·(n·6e5)·1e3
+  stays under 2^63 to n ≈ 2·10^8 vectors per... the per-element
+  product, summed over 64 dims — documented at the expression site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+_DIM = 64
+_ITERS = 8
+
+
+# ---------------------------------------------------------------- DuckDB
+
+
+def _scatter_ctes() -> str:
+    """q → gram + column sums → centered scatter (double, exact-input)
+    → max-normalized integer scatter ``mn`` (i, j 0-based)."""
+    return """q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    nrow AS (SELECT count(*)::BIGINT AS n FROM q),
+    g AS (
+      SELECT i.i - 1 AS i, j.j - 1 AS j,
+             CAST(sum(q.qv[i.i] * q.qv[j.j]) AS BIGINT) AS g
+      FROM q,
+           unnest(generate_series(1, 64)) AS i(i),
+           unnest(generate_series(1, 64)) AS j(j)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT i.i - 1 AS i, CAST(sum(q.qv[i.i]) AS BIGINT) AS s
+      FROM q, unnest(generate_series(1, 64)) AS i(i)
+      GROUP BY 1
+    ),
+    md AS (
+      SELECT g.i, g.j,
+             CAST(g.g AS DOUBLE)
+               - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)
+                 / CAST(nr.n AS DOUBLE) AS md
+      FROM g
+      JOIN s si ON si.i = g.i
+      JOIN s sj ON sj.i = g.j
+      CROSS JOIN nrow nr
+    ),
+    mx AS (SELECT max(abs(md)) AS mx FROM md),
+    mn AS (
+      SELECT i, j,
+             CASE WHEN mx.mx = 0 THEN 0
+                  ELSE CAST(round(1e6 * (md.md / mx.mx)) AS BIGINT)
+             END AS mn
+      FROM md CROSS JOIN mx
+    )"""
+
+
+def _iter_ctes(k: int) -> str:
+    """One power-iteration step: integer matvec → max-normalize →
+    exact norm² → micro-unit step."""
+    return f""",
+    w{k} AS (
+      SELECT m.i, CAST(sum(m.mn * p.v) AS BIGINT) AS w
+      FROM mn m JOIN it{k - 1} p ON p.i = m.j GROUP BY 1
+    ),
+    mw{k} AS (SELECT max(abs(w)) AS mw FROM w{k}),
+    wm{k} AS (
+      SELECT w.i,
+             CASE WHEN mw.mw = 0 THEN w.w
+                  ELSE CAST(round(1e6 * (CAST(w.w AS DOUBLE)
+                                         / CAST(mw.mw AS DOUBLE)))
+                       AS BIGINT) END AS wm
+      FROM w{k} w CROSS JOIN mw{k} mw
+    ),
+    n2{k} AS (SELECT CAST(sum(wm * wm) AS BIGINT) AS n2 FROM wm{k}),
+    it{k} AS (
+      SELECT wm.i,
+             CASE WHEN n.n2 = 0 THEN wm.wm
+                  ELSE CAST(round(1e6 * (CAST(wm.wm AS DOUBLE)
+                                         / sqrt(CAST(n.n2 AS DOUBLE))))
+                       AS BIGINT) END AS v
+      FROM wm{k} wm CROSS JOIN n2{k} n
+    )"""
+
+
+def _power_ctes() -> str:
+    its = "".join(_iter_ctes(k) for k in range(1, _ITERS + 1))
+    t = _ITERS
+    return f"""{_scatter_ctes()},
+    it0 AS (
+      SELECT i.i - 1 AS i, CAST(1000000 AS BIGINT) AS v
+      FROM unnest(generate_series(1, 64)) AS i(i)
+    ){its},
+    wf AS (
+      SELECT m.i, CAST(sum(m.mn * p.v) AS BIGINT) AS w
+      FROM mn m JOIN it{t} p ON p.i = m.j GROUP BY 1
+    ),
+    mwf AS (SELECT max(abs(w)) AS mw FROM wf),
+    wmf AS (
+      SELECT w.i,
+             CASE WHEN mw.mw = 0 THEN w.w
+                  ELSE CAST(round(1e6 * (CAST(w.w AS DOUBLE)
+                                         / CAST(mw.mw AS DOUBLE)))
+                       AS BIGINT) END AS wm
+      FROM wf w CROSS JOIN mwf mw
+    ),
+    rq AS (
+      SELECT CAST(round(1e9 * (CAST(sum(p.v * wm.wm) AS DOUBLE)
+                               / CAST(sum(p.v * p.v) AS DOUBLE)))
+             AS BIGINT) AS rq_nano
+      FROM it{t} p JOIN wmf wm ON wm.i = p.i
+    ),
+    sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+      FROM it{t} WHERE v <> 0 ORDER BY i LIMIT 1
+    ),
+    vfin AS (
+      SELECT i AS dim,
+             v * coalesce((SELECT sg FROM sgn), 1) AS v_micro
+      FROM it{t}
+    )"""
+
+
+# ----------------------------------------------------------------- Spark
+
+
+def _scatter_mn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, mn): max-normalized integer covariance scatter,
+    localCheckpoint-ed (4096 rows — bounded materialization, module
+    docstring)."""
+    from etl_mp_transactions_spark.queries.embeddings2 import gram_matrix
+
+    g = gram_matrix(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv")
+    )
+    s = (
+        qv.select(F.posexplode("qv").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").cast("long").alias("s"))
+    )
+    nrow = qv.agg(F.count("*").alias("n"))
+    md = (
+        g.join(F.broadcast(s.select(F.col("i").alias("gi"), F.col("s").alias("si"))), F.col("i") == F.col("gi"))
+        .drop("gi")
+        .join(F.broadcast(s.select(F.col("i").alias("gj"), F.col("s").alias("sj"))), F.col("j") == F.col("gj"))
+        .drop("gj")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("g").cast("double")
+                - F.col("si").cast("double")
+                * F.col("sj").cast("double")
+                / F.col("n").cast("double")
+            ).alias("md"),
+        )
+    )
+    mx = md.agg(F.max(F.abs(F.col("md"))).alias("mx"))
+    mn = md.crossJoin(F.broadcast(mx)).select(
+        "i",
+        "j",
+        F.when(F.col("mx") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(F.lit(1e6) * (F.col("md") / F.col("mx"))).cast("long")
+        )
+        .alias("mn"),
+    )
+    return mn.localCheckpoint()
+
+
+def _power_direction(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (vfin(dim, v_micro), rq(rq_nano)) — the canonicalized
+    direction and its Rayleigh-quotient report."""
+    mn = _scatter_mn(spark, sf_dir)
+    it = spark.range(_DIM).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(1_000_000).cast("long").alias("v"),
+    )
+
+    def _step(prev: DataFrame) -> tuple[DataFrame, DataFrame]:
+        w = (
+            mn.join(
+                F.broadcast(prev.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("mn") * F.col("v")).cast("long").alias("w"))
+        )
+        mw = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
+        wm = w.crossJoin(F.broadcast(mw)).select(
+            "i",
+            F.when(F.col("mw") == 0, F.col("w"))
+            .otherwise(
+                F.round(
+                    F.lit(1e6)
+                    * (F.col("w").cast("double") / F.col("mw").cast("double"))
+                )
+                .cast("long")
+            )
+            .alias("wm"),
+        )
+        n2 = wm.agg(F.sum(F.col("wm") * F.col("wm")).cast("long").alias("n2"))
+        nxt = wm.crossJoin(F.broadcast(n2)).select(
+            "i",
+            F.when(F.col("n2") == 0, F.col("wm"))
+            .otherwise(
+                F.round(
+                    F.lit(1e6)
+                    * (
+                        F.col("wm").cast("double")
+                        / F.sqrt(F.col("n2").cast("double"))
+                    )
+                )
+                .cast("long")
+            )
+            .alias("v"),
+        )
+        return nxt, wm
+
+    for _ in range(_ITERS):
+        it, _wm = _step(it)
+        # per-round plan cut (the documented analyzer-blowup
+        # workaround, viterbi_em pattern): each step references its
+        # predecessor several times (w→mw+wm, wm→n2+next), so an
+        # uncut 8-step plan grows exponentially; the iterate is 64
+        # rows, so the cut is milliseconds
+        it = it.localCheckpoint()
+    _nxt, wmf = _step(it)
+    rq = (
+        it.join(wmf, "i")
+        .agg(
+            F.round(
+                F.lit(1e9)
+                * (
+                    F.sum(F.col("v") * F.col("wm")).cast("double")
+                    / F.sum(F.col("v") * F.col("v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("rq_nano")
+        )
+    )
+    sgn = (
+        it.filter(F.col("v") != 0)
+        .orderBy("i")
+        .limit(1)
+        .select(
+            F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sg")
+        )
+    )
+    # left cross join with a 0/1-row sign frame: coalesce to +1
+    vfin = (
+        it.crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("i").alias("dim"),
+            (F.col("v") * F.coalesce(F.col("sg"), F.lit(1)))
+            .cast("long")
+            .alias("v_micro"),
+        )
+        if sgn.count() > 0
+        else it.select(
+            F.col("i").alias("dim"), F.col("v").cast("long").alias("v_micro")
+        )
+    )
+    return vfin, rq
+
+
+@query(
+    "pca_power_direction",
+    materialize_ctes(
+        f"""WITH {_power_ctes()}
+    SELECT f.dim, f.v_micro, r.rq_nano
+    FROM vfin f CROSS JOIN rq r"""
+    ),
+)
+def pca_power_direction(spark, sf_dir):
+    """Top principal direction of the embedding corpus: 8 unrolled
+    power-iteration steps on the max-normalized covariance scatter,
+    micro-unit components, sign-canonicalized, with the nano Rayleigh
+    quotient carried on every row (the convergence/eigenvalue
+    report)."""
+    vfin, rq = _power_direction(spark, sf_dir)
+    return vfin.crossJoin(F.broadcast(rq)).select(
+        "dim", "v_micro", "rq_nano"
+    )
+
+
+@query(
+    "pca_extreme_projection",
+    materialize_ctes(
+        f"""WITH {_power_ctes()},
+    vk AS (
+      SELECT dim,
+             CAST(round(CAST(v_micro AS DOUBLE) / 1e3) AS BIGINT) AS vk
+      FROM vfin
+    ),
+    q2 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT q2.vec_id,
+             CAST(sum((nr.n * q2.qv[d.i] - s.s) * vk.vk) AS BIGINT)
+               AS proj
+      FROM q2
+      CROSS JOIN nrow nr,
+           unnest(generate_series(1, 64)) AS d(i)
+      JOIN s ON s.i = d.i - 1
+      JOIN vk ON vk.dim = d.i - 1
+      GROUP BY 1
+    ),
+    tops AS (
+      SELECT vec_id, proj, 'top' AS side,
+             CAST(row_number() OVER (ORDER BY proj DESC, vec_id)
+                  AS BIGINT) AS rank
+      FROM proj ORDER BY proj DESC, vec_id LIMIT 10
+    ),
+    bots AS (
+      SELECT vec_id, proj, 'bottom' AS side,
+             CAST(row_number() OVER (ORDER BY proj ASC, vec_id)
+                  AS BIGINT) AS rank
+      FROM proj ORDER BY proj ASC, vec_id LIMIT 10
+    )
+    SELECT vec_id, proj, side, rank FROM tops
+    UNION ALL
+    SELECT vec_id, proj, side, rank FROM bots"""
+    ),
+)
+def pca_extreme_projection(spark, sf_dir):
+    """Extreme examples along the principal axis: exact integer
+    projection proj = Σ_j (n·q_j − s_j)·vk_j (direction descaled to
+    kilo units; |term| ≤ 64·n·6e5·1e3 — BIGINT-safe past 10^8 rows),
+    top-10 and bottom-10 with ranks. The direction, column sums, and
+    n are injected as LITERALS after the parameter-bounded collects
+    (module docstring), so the corpus pass is one scan with an
+    order-free integer fold and a TakeOrderedAndProject — no shuffle,
+    no window."""
+    vfin, _rq = _power_direction(spark, sf_dir)
+    # parameter-bounded collects: 64 + 64 + 1 rows
+    vk = [0] * _DIM
+    for r in vfin.collect():
+        vk[r.dim] = int(round(r.v_micro / 1e3))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv"),
+    )
+    s = [0] * _DIM
+    srows = (
+        qv.select(F.posexplode("qv").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").cast("long").alias("s"))
+        .collect()
+    )
+    for r in srows:
+        s[r.i] = int(r.s)
+    n = qv.count()
+    s_arr = "array(" + ", ".join(f"{x}L" for x in s) + ")"
+    vk_arr = "array(" + ", ".join(f"{x}L" for x in vk) + ")"
+    proj = qv.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(sequence(0, {_DIM - 1}), 0L,"
+            f" (acc, j) -> acc + ({n}L * qv[j] - {s_arr}[j])"
+            f" * {vk_arr}[j])"
+        ).alias("proj"),
+    )
+    def _side(df: DataFrame, order: list, label: str) -> DataFrame:
+        # TakeOrderedAndProject for the corpus-wide top-k, then the
+        # rank window runs over the 10 surviving rows only
+        w = Window.orderBy(*order)
+        return (
+            df.orderBy(*order)
+            .limit(10)
+            .select(
+                "vec_id",
+                "proj",
+                F.lit(label).alias("side"),
+                F.row_number().over(w).cast("long").alias("rank"),
+            )
+        )
+
+    tops = _side(proj, [F.desc("proj"), F.asc("vec_id")], "top")
+    bots = _side(proj, [F.asc("proj"), F.asc("vec_id")], "bottom")
+    return tops.unionByName(bots)

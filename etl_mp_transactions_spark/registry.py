@@ -241,6 +241,7 @@ def _load_all() -> None:
         wordpiece,
         dsir,
         hybrid,
+        pca,
     )
 
     _LOADED = True

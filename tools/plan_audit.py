@@ -57,6 +57,9 @@ GLOBAL_WIN_OK: dict[str, str] = {
     "poisson_bootstrap_ci": "B=32 resample-total rows",
     "pq_adc_topk": "rank window over the LIMIT-10 ADC result"
     " (k-row bounded by construction)",
+    "pca_extreme_projection": "rank windows over the two LIMIT-10"
+    " projection extremes (k-row bounded by construction; the"
+    " corpus top-k itself is TakeOrderedAndProject)",
     "dsir_importance_select": "rank window over the LIMIT-100"
     " TakeOrdered selection (k-row bounded by construction)",
     "ivfpq_adc_topk": "rank window over the LIMIT-10 ADC result"
