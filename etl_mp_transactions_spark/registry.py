@@ -242,6 +242,7 @@ def _load_all() -> None:
         dsir,
         hybrid,
         pca,
+        interleave,
     )
 
     _LOADED = True
