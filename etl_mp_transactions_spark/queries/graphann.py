@@ -1,0 +1,355 @@
+"""Graph-based ANN (the NSW/HNSW paradigm, Malkov & Yashunin 2016)
+over the embedding corpus: an exact integer-L2 kNN graph plus greedy
+best-first search, completing the ANN family's paradigm coverage
+(brute-force / LSH / IVF / PQ / IVF-PQ / graph) — SURVEY.md §2.9; no
+reference counterpart, north-star additions.
+
+- ``graph_ann_greedy_search``: build the degree-8 kNN graph (exact
+  quantized-L2 top-8 per node), then walk it: from a deterministic
+  entry point (the smallest corpus id ≠ query), T = 8 unrolled hops,
+  each moving to the best of {current} ∪ neighbors(current) by exact
+  d2 to the query — monotone by construction (the current node is
+  always a candidate), so the walk never cycles. Output: the full
+  hop trajectory per query.
+- ``graph_ann_search_verdict``: the honest quality report — final
+  node vs the TRUE nearest neighbor (exact corpus argmin), with the
+  found_exact verdict and the hop at which the walk converged. Greedy
+  search on a plain kNN graph is NOT guaranteed to find the true NN
+  (that is the point of HNSW's hierarchy); the verdict measures how
+  often it does on this corpus, per query, exactly.
+
+Exactness: vectors quantized to micro ints (the pq.py contract), all
+distances exact BIGINT (d2 ≤ 64·(2.4e6)² ≈ 3.7e14), ties broken by
+node id, entry and walk fully deterministic. The Spark kNN build is a
+2-D tiled cogroup (the operators/ann.cosine_topk shape) with an int64
+numpy Gram per cell — |a−b|² = |a|² + |b|² − 2ab with every product
+≤ 64·1.44e12 ≈ 9.2e13, exact in int64 — so graph edges match the
+DuckDB n² QUALIFY oracle bit for bit.
+
+Scale shape (100 TB): the O(n²) exact kNN build is the honest
+baseline and is evenly distributed (tile pairs, no CartesianProduct,
+O(n·G) replication); a production build would seed edges from the
+IVF-bucketed candidates (ann_ivf) — same downstream walk. The graph
+(n·8 rows) is the persisted index artifact, localCheckpoint-ed here
+(the bounded-materialization class: it IS the index); each hop is a
+broadcast of the ≤|Q|-row frontier joined into the graph — per-hop
+work O(|Q|·degree), independent of n, the defining property of graph
+ANN serving."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
+from etl_mp_transactions_spark.registry import query
+from etl_mp_transactions_spark.sources.tables import load_table
+
+_NQ = 8  # query batch: ids 0..7 (the hybrid/sem-arm contract)
+_DEG = 8  # kNN graph out-degree
+_HOPS = 8  # unrolled greedy hops
+_DIM = 64
+
+
+# ---------------------------------------------------------------- DuckDB
+
+_L2 = (
+    "CAST(list_sum(list_transform(generate_series(1, 64),"
+    " j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))) AS BIGINT)"
+)
+
+
+def _graph_ctes() -> str:
+    d2_ab = _L2.format(a="a.qv", b="b.qv")
+    d2_node = _L2.format(a="v.qv", b="qs.qqv")
+    hops = []
+    for t in range(1, _HOPS + 1):
+        hops.append(f""",
+    cand{t} AS (
+      SELECT query_id, node FROM hop{t - 1}
+      UNION ALL
+      SELECT h.query_id, g.dst AS node
+      FROM hop{t - 1} h JOIN knn g ON g.src = h.node
+    ),
+    hop{t} AS (
+      SELECT query_id, CAST({t} AS BIGINT) AS hop, node, d2 FROM (
+        SELECT c.query_id, c.node, {_L2.format(a="v.qv", b="qs.qqv")} AS d2,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           c.node) AS rn
+        FROM cand{t} c
+        JOIN qv v ON v.vec_id = c.node
+        JOIN qs ON qs.query_id = c.query_id
+        WHERE c.node <> c.query_id
+      ) WHERE rn = 1
+    )""")
+    return f"""qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, qv AS qqv FROM qv WHERE vec_id < {_NQ}
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {d2_ab}, b.vec_id) AS rnk
+        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= {_DEG}
+    ),
+    entry AS (
+      SELECT qs.query_id, min(v.vec_id) AS node
+      FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
+      GROUP BY 1
+    ),
+    hop0 AS (
+      SELECT e.query_id, CAST(0 AS BIGINT) AS hop, e.node,
+             {d2_node} AS d2
+      FROM entry e
+      JOIN qv v ON v.vec_id = e.node
+      JOIN qs ON qs.query_id = e.query_id
+    ){"".join(hops)},
+    trajectory AS (
+      {" UNION ALL ".join(f"SELECT query_id, hop, node, d2 FROM hop{t}" for t in range(_HOPS + 1))}
+    )"""
+
+
+_SEARCH_SQL = materialize_ctes(
+    f"""WITH {_graph_ctes()}
+    SELECT query_id, hop, node AS node_id, d2 FROM trajectory"""
+)
+
+_VERDICT_SQL = materialize_ctes(
+    f"""WITH {_graph_ctes()},
+    exactnn AS (
+      SELECT query_id, node AS exact_nn, d2 AS exact_d2 FROM (
+        SELECT qs.query_id, v.vec_id AS node,
+               {_L2.format(a="v.qv", b="qs.qqv")} AS d2,
+               row_number() OVER (PARTITION BY qs.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           v.vec_id) AS rn
+        FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
+      ) WHERE rn = 1
+    ),
+    fin AS (
+      SELECT query_id, node AS final_node, d2 AS final_d2
+      FROM hop{_HOPS}
+    ),
+    conv AS (
+      SELECT t.query_id, CAST(min(t.hop) AS BIGINT) AS converged_hop
+      FROM trajectory t JOIN fin f ON f.query_id = t.query_id
+                                  AND t.d2 = f.final_d2
+      GROUP BY 1
+    )
+    SELECT f.query_id, f.final_node, f.final_d2,
+           e.exact_nn, e.exact_d2,
+           f.final_d2 = e.exact_d2 AS found_exact,
+           c.converged_hop
+    FROM fin f
+    JOIN exactnn e ON e.query_id = f.query_id
+    JOIN conv c ON c.query_id = f.query_id"""
+)
+
+
+# ----------------------------------------------------------------- Spark
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+        ).alias("qv"),
+    )
+
+
+def l2_knn_graph(
+    emb: DataFrame, deg: int = _DEG, n_tiles: int = 8, n_chunks: int = 4
+) -> DataFrame:
+    """(src, dst): exact quantized-L2 top-``deg`` per node via the 2-D
+    tiled cogroup (operators/ann.cosine_topk shape) with an int64
+    numpy Gram per cell — every distance exact, no CartesianProduct,
+    per-task memory bounded by the grid."""
+    import numpy as np
+    import pandas as pd
+
+    q = _quantized(emb)
+    corpus = q.select(
+        F.col("vec_id").alias("nid"),
+        F.col("qv").alias("nqv"),
+        F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int").alias("ct"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("qt"),
+    )
+    queries = q.select(
+        "*",
+        F.pmod(F.col("vec_id"), F.lit(n_chunks)).cast("int").alias("qt"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("ct"),
+    )
+
+    def local_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"),
+                 "dst": pd.Series(dtype="int64"),
+                 "d2": pd.Series(dtype="int64")}
+            )
+        A = np.stack(left["qv"].to_numpy()).astype(np.int64)
+        B = np.stack(right["nqv"].to_numpy()).astype(np.int64)
+        # |a-b|^2 = |a|^2 + |b|^2 - 2ab, all int64-exact (module doc)
+        d2 = (
+            (A * A).sum(axis=1)[:, None]
+            + (B * B).sum(axis=1)[None, :]
+            - 2 * (A @ B.T)
+        )
+        src_ids = left["vec_id"].to_numpy()
+        dst_ids = right["nid"].to_numpy()
+        rows = []
+        k = min(deg + 1, d2.shape[1])  # +1: self may be in the tile
+        for r in range(d2.shape[0]):
+            idx = np.lexsort((dst_ids, d2[r]))[:k]
+            for c in idx:
+                if dst_ids[c] != src_ids[r]:
+                    rows.append((src_ids[r], dst_ids[c], d2[r, c]))
+        return pd.DataFrame(rows, columns=["src", "dst", "d2"]).astype(
+            "int64"
+        )
+
+    cand = (
+        queries.groupBy("qt", "ct")
+        .cogroup(corpus.groupBy("qt", "ct"))
+        .applyInPandas(local_knn, "src long, dst long, d2 long")
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= deg)
+        .select("src", "dst")
+    )
+
+
+def _d2_expr() -> F.Column:
+    return F.expr(
+        "aggregate(zip_with(qv, qqv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+
+
+def _trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb)
+    qs = q.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    # the graph IS the index artifact — one bounded materialization
+    knn = l2_knn_graph(emb).localCheckpoint()
+    entry = (
+        q.crossJoin(F.broadcast(qs.select("query_id")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("vec_id").alias("node"))
+    )
+
+    def scored(cands: DataFrame) -> DataFrame:
+        # cands: (query_id, node); pick per-query argmin d2 to query
+        return (
+            cands.filter(F.col("node") != F.col("query_id"))
+            .join(q.select(F.col("vec_id").alias("node"), "qv"), "node")
+            .join(F.broadcast(qs), "query_id")
+            .select("query_id", "node", _d2_expr().alias("d2"))
+        )
+
+    w = Window.partitionBy("query_id").orderBy("d2", "node")
+    hop = (
+        scored(entry)
+        .select(
+            "query_id", F.lit(0).cast("long").alias("hop"), "node", "d2"
+        )
+        .localCheckpoint()
+    )
+    traj = hop
+    for t in range(1, _HOPS + 1):
+        frontier = hop.select("query_id", "node")
+        cands = frontier.unionByName(
+            F.broadcast(frontier)
+            .join(knn, frontier["node"] == knn["src"])
+            .select("query_id", F.col("dst").alias("node"))
+        )
+        hop = (
+            scored(cands)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).cast("long").alias("hop"),
+                "node",
+                "d2",
+            )
+            .localCheckpoint()  # per-hop plan cut (frontier reused 2x)
+        )
+        traj = traj.unionByName(hop)
+    return traj
+
+
+@query("graph_ann_greedy_search", _SEARCH_SQL)
+def graph_ann_greedy_search(spark, sf_dir):
+    """Greedy best-first walk over the exact degree-8 kNN graph: the
+    full hop-0..8 trajectory per query (monotone d2 by construction —
+    the current node is always a candidate)."""
+    return _trajectory(spark, sf_dir).select(
+        "query_id", "hop", F.col("node").alias("node_id"), "d2"
+    )
+
+
+@query("graph_ann_search_verdict", _VERDICT_SQL)
+def graph_ann_search_verdict(spark, sf_dir):
+    """Per-query search-quality report: final node vs the true nearest
+    neighbor (found_exact), plus the hop where the walk converged —
+    the honest measure of plain-kNN-graph greedy search (no HNSW
+    hierarchy)."""
+    traj = _trajectory(spark, sf_dir).localCheckpoint()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb)
+    qs = q.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "node")
+    exactnn = (
+        q.select(F.col("vec_id").alias("node"), "qv")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("node") != F.col("query_id"))
+        .select("query_id", "node", _d2_expr().alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("node").alias("exact_nn"),
+            F.col("d2").alias("exact_d2"),
+        )
+    )
+    fin = traj.filter(F.col("hop") == _HOPS).select(
+        "query_id",
+        F.col("node").alias("final_node"),
+        F.col("d2").alias("final_d2"),
+    )
+    conv = (
+        traj.join(F.broadcast(fin), "query_id")
+        .filter(F.col("d2") == F.col("final_d2"))
+        .groupBy("query_id")
+        .agg(F.min("hop").cast("long").alias("converged_hop"))
+    )
+    return (
+        fin.join(exactnn, "query_id")
+        .join(conv, "query_id")
+        .select(
+            "query_id",
+            "final_node",
+            "final_d2",
+            "exact_nn",
+            "exact_d2",
+            (F.col("final_d2") == F.col("exact_d2")).alias("found_exact"),
+            "converged_hop",
+        )
+    )

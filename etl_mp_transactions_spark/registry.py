@@ -243,6 +243,7 @@ def _load_all() -> None:
         hybrid,
         pca,
         interleave,
+        graphann,
     )
 
     _LOADED = True

@@ -1,0 +1,95 @@
+"""Semantic invariants for the graph-ANN family (queries/graphann.py):
+graph legality, walk monotonicity, and a full Python replay of the
+kNN-graph build + greedy search."""
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from etl_mp_transactions_spark.queries.graphann import (
+    _DEG,
+    _HOPS,
+    _NQ,
+    graph_ann_greedy_search,
+    graph_ann_search_verdict,
+    l2_knn_graph,
+)
+
+
+def _quant(sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    s = X * 1e6
+    q = (np.floor(np.abs(s) + 0.5) * np.sign(s)).astype(np.int64)
+    return emb["vec_id"].to_numpy(), q
+
+
+def _d2(q, a, b):
+    d = q[a] - q[b]
+    return int((d * d).sum())
+
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    ids, q = _quant(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    got = defaultdict(set)
+    for r in l2_knn_graph(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).collect():
+        got[r.src].add(r.dst)
+    for v in list(pos)[:20]:  # spot-check 20 nodes exhaustively
+        d2s = sorted(
+            (_d2(q, pos[v], pos[u]), u) for u in pos if u != v
+        )[:_DEG]
+        assert got[v] == {u for _, u in d2s}, v
+
+
+def test_walk_is_monotone_and_legal(spark, sf_dir):
+    ids, q = _quant(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    traj = defaultdict(dict)
+    for r in graph_ann_greedy_search(spark, sf_dir).collect():
+        traj[r.query_id][r.hop] = (r.node_id, r.d2)
+    assert set(traj) == set(range(_NQ))
+    for qid, hops in traj.items():
+        assert set(hops) == set(range(_HOPS + 1))
+        d2s = [hops[h][1] for h in range(_HOPS + 1)]
+        assert all(b <= a for a, b in zip(d2s, d2s[1:])), qid
+        for h in range(_HOPS + 1):
+            node, d2 = hops[h]
+            assert node != qid
+            assert d2 == _d2(q, pos[node], pos[qid])
+
+
+def test_greedy_python_replay(spark, sf_dir):
+    ids, q = _quant(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    graph = defaultdict(list)
+    for v in pos:
+        nbrs = sorted(
+            (_d2(q, pos[v], pos[u]), u) for u in pos if u != v
+        )[:_DEG]
+        graph[v] = [u for _, u in nbrs]
+    expected = {}
+    for qid in range(_NQ):
+        cur = min(u for u in pos if u != qid)
+        for _h in range(_HOPS):
+            cands = [cur] + [u for u in graph[cur] if u != qid]
+            cur = min(cands, key=lambda u: (_d2(q, pos[u], pos[qid]), u))
+        exact = min(
+            (u for u in pos if u != qid),
+            key=lambda u: (_d2(q, pos[u], pos[qid]), u),
+        )
+        expected[qid] = (
+            cur,
+            _d2(q, pos[cur], pos[qid]),
+            exact,
+            _d2(q, pos[exact], pos[qid]),
+        )
+    for r in graph_ann_search_verdict(spark, sf_dir).collect():
+        fn, fd, en, ed = expected[r.query_id]
+        assert (r.final_node, r.final_d2) == (fn, fd), r
+        assert (r.exact_nn, r.exact_d2) == (en, ed), r
+        assert r.found_exact == (fd == ed)
+        assert 0 <= r.converged_hop <= _HOPS
