@@ -244,6 +244,7 @@ def _load_all() -> None:
         pca,
         interleave,
         graphann,
+        video,
     )
 
     _LOADED = True
