@@ -173,17 +173,33 @@ def l2_knn_graph(
     tiled cogroup (operators/ann.cosine_topk shape) with an int64
     numpy Gram per cell — every distance exact, no CartesianProduct,
     per-task memory bounded by the grid."""
+    return l2_knn_topk(emb, emb, deg, n_tiles, n_chunks).select(
+        "src", "dst"
+    )
+
+
+def l2_knn_topk(
+    queries_emb: DataFrame,
+    corpus_emb: DataFrame,
+    deg: int = _DEG,
+    n_tiles: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """(src, dst, d2): exact top-``deg`` corpus neighbors per query
+    vector (self excluded) — the generalized tiled build; queries and
+    corpus may be different frames (the incremental-insert shapes)."""
     import numpy as np
     import pandas as pd
 
-    q = _quantized(emb)
+    q = _quantized(corpus_emb)
+    qq = _quantized(queries_emb)
     corpus = q.select(
         F.col("vec_id").alias("nid"),
         F.col("qv").alias("nqv"),
         F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int").alias("ct"),
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("qt"),
     )
-    queries = q.select(
+    queries = qq.select(
         "*",
         F.pmod(F.col("vec_id"), F.lit(n_chunks)).cast("int").alias("qt"),
         F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("ct"),
@@ -226,7 +242,7 @@ def l2_knn_graph(
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= deg)
-        .select("src", "dst")
+        .select("src", "dst", "d2")
     )
 
 
@@ -352,4 +368,59 @@ def graph_ann_search_verdict(spark, sf_dir):
             (F.col("final_d2") == F.col("exact_d2")).alias("found_exact"),
             "converged_hop",
         )
+    )
+
+
+_INCR_SQL = materialize_ctes(
+    f"""WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    knn AS (
+      SELECT src, dst, rnk FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_L2.format(a="a.qv", b="b.qv")},
+                                           b.vec_id) AS rnk
+        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= {_DEG}
+    )
+    SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM knn"""
+)
+
+
+@query("graph_ann_incremental_insert", _INCR_SQL)
+def graph_ann_incremental_insert(spark, sf_dir):
+    """Graph-index maintenance — incremental INSERT pinned as
+    insert == rebuild (the FAISS ``add`` semantics for a kNN graph,
+    the graph-family sibling of ivfpq_upsert_serve): ~10% of vectors
+    (vec_id % 10 == 7) arrive AFTER the base graph is built. The
+    arriving nodes compute their top-8 against the full set, and each
+    base node's edge list is re-ranked over (its old 8 edges ∪ its
+    top-8 among the arrivals) — an EXACT identity, since dropping no
+    nodes means the new global top-8 is contained in that union. The
+    result must equal the full rebuild bit for bit (the oracle is the
+    rebuild). Per-insert work here is exact (base × arriving tiled
+    cogroup); a production insert generates base-side candidates by
+    graph search instead — the identity and the merge are the same."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    arriving = emb.filter(F.col("vec_id") % 10 == 7)
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    base_graph = l2_knn_topk(base, base)
+    base_cand = l2_knn_topk(base, arriving)
+    upd = (
+        base_graph.unionByName(base_cand)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DEG)
+    )
+    arr_edges = (
+        l2_knn_topk(arriving, emb)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DEG)
+    )
+    return upd.select("src", "dst", "rnk").unionByName(
+        arr_edges.select("src", "dst", "rnk")
     )

@@ -729,3 +729,88 @@ def hybrid_mmr_rerank(spark, sf_dir):
         )
         sel = sel.unionByName(pick)
     return sel.select("query_id", "pick_step", "doc_id", "mmr_score")
+
+
+@query(
+    "hybrid_mrr_eval",
+    materialize_ctes(
+        f"""WITH {_lex_ctes()}{_sem_ctes()}{_fused_ctes()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    qlab AS (
+      SELECT vec_id AS query_id, label AS qlabel FROM lab
+      WHERE vec_id < {_NQ}
+    ),
+    rl AS (
+      SELECT l.query_id, CAST(round(1e9 / min(l.r_lex)) AS BIGINT) AS rr
+      FROM lex l
+      JOIN lab ON lab.vec_id = l.doc_id
+      JOIN qlab q ON q.query_id = l.query_id AND lab.label = q.qlabel
+      WHERE l.r_lex <= {_K_FUSED} GROUP BY 1
+    ),
+    rs AS (
+      SELECT s.query_id, CAST(round(1e9 / min(s.r_sem)) AS BIGINT) AS rr
+      FROM sem s
+      JOIN lab ON lab.vec_id = s.doc_id
+      JOIN qlab q ON q.query_id = s.query_id AND lab.label = q.qlabel
+      WHERE s.r_sem <= {_K_FUSED} GROUP BY 1
+    ),
+    rf AS (
+      SELECT f.query_id,
+             CAST(round(1e9 / min(f.fused_rank)) AS BIGINT) AS rr
+      FROM fused f
+      JOIN lab ON lab.vec_id = f.doc_id
+      JOIN qlab q ON q.query_id = f.query_id AND lab.label = q.qlabel
+      WHERE f.fused_rank <= {_K_FUSED} GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(rl.rr, 0) AS rr_lex_nano,
+           coalesce(rs.rr, 0) AS rr_sem_nano,
+           coalesce(rf.rr, 0) AS rr_rrf_nano
+    FROM qlab q
+    LEFT JOIN rl ON rl.query_id = q.query_id
+    LEFT JOIN rs ON rs.query_id = q.query_id
+    LEFT JOIN rf ON rf.query_id = q.query_id"""
+    ),
+)
+def hybrid_mrr_eval(spark, sf_dir):
+    """Reciprocal rank of the FIRST relevant result (label-match, @10)
+    for each arm and the fused list, nano-scaled (0 = no relevant in
+    window) — with hits@10 (hybrid_fusion_gain) this completes the
+    IR-eval pair the serving path is tuned by."""
+    lex = _lex_arm(spark, sf_dir)
+    sem = _sem_arm(spark, sf_dir)
+    fused = _fused(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    qlab = lab.filter(F.col("doc_id") < _NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+
+    def rr(df: DataFrame, rank_col: str, name: str) -> DataFrame:
+        return (
+            df.filter(F.col(rank_col) <= _K_FUSED)
+            .join(lab, "doc_id")
+            .join(F.broadcast(qlab), "query_id")
+            .filter(F.col("label") == F.col("qlabel"))
+            .groupBy("query_id")
+            .agg(
+                F.round(F.lit(1e9) / F.min(rank_col))
+                .cast("long")
+                .alias(name)
+            )
+        )
+
+    z = F.lit(0).cast("long")
+    return (
+        qlab.select("query_id")
+        .join(rr(lex, "r_lex", "rr_lex_nano"), "query_id", "left")
+        .join(rr(sem, "r_sem", "rr_sem_nano"), "query_id", "left")
+        .join(rr(fused, "fused_rank", "rr_rrf_nano"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("rr_lex_nano", z).alias("rr_lex_nano"),
+            F.coalesce("rr_sem_nano", z).alias("rr_sem_nano"),
+            F.coalesce("rr_rrf_nano", z).alias("rr_rrf_nano"),
+        )
+    )

@@ -93,3 +93,28 @@ def test_greedy_python_replay(spark, sf_dir):
         assert (r.exact_nn, r.exact_d2) == (en, ed), r
         assert r.found_exact == (fd == ed)
         assert 0 <= r.converged_hop <= _HOPS
+
+
+def test_incremental_insert_equals_rebuild(spark, sf_dir):
+    """insert == rebuild: the incrementally maintained graph must
+    equal l2_knn_topk over the full corpus exactly."""
+    from etl_mp_transactions_spark.queries.graphann import (
+        graph_ann_incremental_insert,
+        l2_knn_topk,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    rebuilt = {
+        (r.src, r.dst, r.rnk)
+        for r in l2_knn_topk(emb, emb)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    incr = {
+        (r.src, r.dst, r.rnk)
+        for r in graph_ann_incremental_insert(spark, sf_dir).collect()
+    }
+    assert incr == rebuilt and len(incr) > 0

@@ -159,3 +159,38 @@ def test_arm_topk_two_phase_matches_single_window(spark, sf_dir):
     )
     joined = got.join(re_ranked, ["query_id", "doc_id", "d2"])
     assert joined.filter(F.col("r_sem") != F.col("r")).count() == 0
+
+
+def test_mrr_consistent_with_lists(spark, sf_dir):
+    """Re-derive each reciprocal rank from the raw lists + labels."""
+    from etl_mp_transactions_spark.queries.hybrid import (
+        _lex_arm,
+        _sem_arm,
+        hybrid_mrr_eval,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+
+    def first_rel(rows, rank_attr):
+        best = {}
+        for r in rows:
+            qlab = labels.get(r.query_id)
+            rank = getattr(r, rank_attr)
+            if rank <= _K_FUSED and labels.get(r.doc_id) == qlab:
+                best[r.query_id] = min(best.get(r.query_id, 99), rank)
+        return {q: round(1e9 / rk) for q, rk in best.items()}
+
+    el = first_rel(_lex_arm(spark, sf_dir).collect(), "r_lex")
+    es = first_rel(_sem_arm(spark, sf_dir).collect(), "r_sem")
+    ef = first_rel(
+        hybrid_rrf_fusion(spark, sf_dir).collect(), "fused_rank"
+    )
+    for r in hybrid_mrr_eval(spark, sf_dir).collect():
+        assert r.rr_lex_nano == el.get(r.query_id, 0)
+        assert r.rr_sem_nano == es.get(r.query_id, 0)
+        assert r.rr_rrf_nano == ef.get(r.query_id, 0)
