@@ -108,6 +108,15 @@ _SPOTLIGHT: list[str] = [
     "quality_classifier_calibration",
 ]
 
+# r12 in-round swaps: the two new flagship families built this round
+# (hybrid retrieval serving, graph ANN) get driver attestation
+# immediately. Displaced (both driver-green for many rounds, their
+# families still represented: multimodal_features, r1_stream_dedup):
+_SPOTLIGHT[_SPOTLIGHT.index("multimodal_decode")] = "hybrid_rrf_fusion"
+_SPOTLIGHT[_SPOTLIGHT.index("r6_stream_tumbling")] = (
+    "graph_ann_greedy_search"
+)
+
 
 # Rotation slots (ADVICE r10): the tail of the 50-entry driver window
 # is NOT hand-curated — it is a deterministic per-round draw from the
