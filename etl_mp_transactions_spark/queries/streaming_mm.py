@@ -1579,3 +1579,50 @@ def r23_stream_hybrid_serving(spark, sf_dir):
         os.path.join(work, "served"),
         sf_dir,
     )
+
+
+from etl_mp_transactions_spark.queries.video import (  # noqa: E402
+    video_scene_cuts as _batch_scene_cuts,
+)
+from etl_mp_transactions_spark.registry import _ORACLES as _OR  # noqa: E402
+
+
+@query("r24_stream_scene_cuts", _OR["video_scene_cuts"])
+def r24_stream_scene_cuts(spark, sf_dir):
+    """Streaming video scene-cut detection (19th stream==batch pin;
+    streaming/filesource.stream_scene_cuts_run): the documents table
+    arrives as four mtime-ordered files plus a replay of the first
+    that must contribute ZERO rows (already-served skip + per-batch
+    partition overwrite — trivial because scene detection reads only
+    each asset's own bytes). The final scene table must equal the
+    batch video_scene_cuts bit for bit — same oracle."""
+    import shutil
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = run_dir("r24_scenes")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    arriving = docs.withColumn("g", F.expr("doc_id % 4"))
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        arriving.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    return filesource.stream_scene_cuts_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "served"),
+    )

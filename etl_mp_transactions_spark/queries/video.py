@@ -133,11 +133,17 @@ def video_scene_keyframes(spark, sf_dir):
 
 
 def _scenes(spark, sf_dir):
+    return scenes_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def scenes_from_docs(docs):
+    """Per-frame scene table from a documents frame — shared by the
+    batch queries and the r24 streaming twin (scene detection is
+    per-asset, so any row subset computes independently)."""
     from etl_mp_transactions_spark.operators.multimodal import (
         synthesize_assets,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     assets = synthesize_assets(docs).filter(
         F.col("media_type") == "video"
     )

@@ -1057,3 +1057,80 @@ def stream_hybrid_serving_run(
     return spark.read.schema(out_schema).parquet(
         os.path.join(out_dir, "batch=*")
     )
+
+
+def stream_scene_cuts_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> DataFrame:
+    """Streaming video scene-cut detection (R24): document batches
+    arrive, their video assets are segmented per micro-batch
+    (queries/video.scenes_from_docs — scene detection reads only the
+    asset's own bytes, so any row subset computes independently), and
+    scene rows land in a batch-partitioned table. Replay safety is
+    the r19/r21/r23 no-ledger construction: per-asset results are
+    batch-independent by definition, the sink overwrites its own
+    ``batch=<id>`` partition, and a re-delivered file contributes
+    zero via the already-served skip on asset_id."""
+    from etl_mp_transactions_spark.queries.video import scenes_from_docs
+
+    out_schema = (
+        "asset_id long, scene_id long, start_frame long,"
+        " n_frames long, intra_max_diff long"
+    )
+
+    def _served_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(out_dir, d)
+            for d in sorted(os.listdir(out_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ] if os.path.isdir(out_dir) else []
+        if not dirs:
+            return spark.createDataFrame([], "asset_id long")
+        return (
+            spark.read.schema(out_schema).parquet(*dirs)
+            .select("asset_id").distinct()
+        )
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.join(
+            _served_except(batch_id).withColumnRenamed(
+                "asset_id", "doc_id"
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        sc = scenes_from_docs(fresh)
+        out = sc.groupBy("asset_id", "scene_id").agg(
+            F.min("frame_idx").cast("long").alias("start_frame"),
+            F.count("*").cast("long").alias("n_frames"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("cut") == 1, None).otherwise(
+                        F.col("diff")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("intra_max_diff"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    stream = spark.readStream.format("parquet").schema(
+        SCHEMAS["documents"]
+    ).option("maxFilesPerTrigger", 1).load(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(serve_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(out_schema).parquet(
+        os.path.join(out_dir, "batch=*")
+    )

@@ -93,3 +93,22 @@ def test_scene_partition_covers_all_frames(spark, sf_dir):
         for r in rs:
             assert r.start_frame == nxt
             nxt += r.n_frames
+
+
+def test_stream_scene_cuts_equals_batch(spark, sf_dir):
+    """r24 (19th stream==batch pin): the streamed scene table must
+    equal batch video_scene_cuts bit for bit; the replay file must
+    contribute zero (scene ids unique per asset)."""
+    from etl_mp_transactions_spark.registry import queries
+
+    def rows(df):
+        return sorted(
+            (r.asset_id, r.scene_id, r.start_frame, r.n_frames,
+             r.intra_max_diff)
+            for r in df.collect()
+        )
+
+    stream = rows(queries()["r24_stream_scene_cuts"](spark, sf_dir))
+    batch = rows(queries()["video_scene_cuts"](spark, sf_dir))
+    assert stream == batch and len(stream) > 0
+    assert len({(a, s) for a, s, *_ in stream}) == len(stream)
