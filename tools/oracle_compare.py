@@ -92,6 +92,13 @@ def main() -> int:
     con = duckdb.connect()
     import os as _os
 
+    # cap DuckDB: its default memory_limit is 80% of RAM, which on top
+    # of the Spark driver heap OOM-killed the sf1 gate (r12) — spill
+    # to disk instead. Override with SPARK_GRAFT_DUCK_MEM.
+    duck_mem = _os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+    con.sql(f"SET memory_limit = '{duck_mem}'")
+    con.sql("SET temp_directory = '.tmp'")
+
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
