@@ -296,9 +296,17 @@ def ndcg_ranking_eval(spark, sf_dir):
     sigs AS (
       {_BANDS_SQL}
     ),
+    labs AS (SELECT vec_id, label FROM embeddings),
     bands AS (
-      SELECT vec_id, b, substr(sig8, 1, (SELECT bits FROM params)) AS bkey
-      FROM sigs
+      -- labels ride the band rows: comparing labels via two separate
+      -- labs joins let the optimizer reorder to the labs x labs
+      -- INEQUALITY join (n^2 = 4e8 rows at sf1 — the 75 GB DuckDB
+      -- spill, r12); with the label on each side of the equi-join,
+      -- a.label <> nb.label is a plain post-join filter
+      SELECT s.vec_id, s.b,
+             substr(s.sig8, 1, (SELECT bits FROM params)) AS bkey,
+             l.label
+      FROM sigs s JOIN labs l ON l.vec_id = s.vec_id
     ),
     q AS (
       SELECT vec_id, label,
@@ -310,8 +318,8 @@ def ndcg_ranking_eval(spark, sf_dir):
       -- candidate-side bucket cap, mirrored bit-for-bit with the
       -- engine (operators/ann.MINE_BUCKET_CAP): deterministic
       -- vec_id order per (band, bucket)
-      SELECT vec_id, b, bkey
-      FROM (SELECT vec_id, b, bkey,
+      SELECT vec_id, b, bkey, label
+      FROM (SELECT vec_id, b, bkey, label,
                    row_number() OVER (PARTITION BY b, bkey
                                       ORDER BY vec_id) AS p
             FROM bands)
@@ -321,16 +329,16 @@ def ndcg_ranking_eval(spark, sf_dir):
       SELECT DISTINCT a.vec_id AS anchor_id, nb.vec_id AS negative_id
       FROM bands a
       JOIN negb nb ON a.b = nb.b AND a.bkey = nb.bkey
-      JOIN q qa ON qa.vec_id = a.vec_id
-      JOIN q qn ON qn.vec_id = nb.vec_id
-      WHERE qa.label <> qn.label
+      WHERE a.label <> nb.label
     ),
     scored AS (
+      -- in-row list arithmetic, NOT a correlated unnest subquery:
+      -- the correlated form materialized |cand| x 64 rows and
+      -- filled 75 GB of DuckDB spill at sf1 (r12); identical BIGINTs
       SELECT c.anchor_id, qa.label AS anchor_label,
              c.negative_id, qn.label AS negative_label,
-             (SELECT CAST(sum(qa.qv[u.pos] * qn.qv[u.pos]) AS BIGINT)
-              FROM unnest(generate_series(1, len(qa.qv))) AS u(pos))
-               AS qdot
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                    j -> qa.qv[j] * qn.qv[j])) AS BIGINT) AS qdot
       FROM cand c
       JOIN q qa ON qa.vec_id = c.anchor_id
       JOIN q qn ON qn.vec_id = c.negative_id
