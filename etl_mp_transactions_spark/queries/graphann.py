@@ -214,21 +214,37 @@ def l2_knn_topk(
             )
         A = np.stack(left["qv"].to_numpy()).astype(np.int64)
         B = np.stack(right["nqv"].to_numpy()).astype(np.int64)
-        # |a-b|^2 = |a|^2 + |b|^2 - 2ab, all int64-exact (module doc)
-        d2 = (
-            (A * A).sum(axis=1)[:, None]
-            + (B * B).sum(axis=1)[None, :]
-            - 2 * (A @ B.T)
-        )
         src_ids = left["vec_id"].to_numpy()
         dst_ids = right["nid"].to_numpy()
+        bn = (B * B).sum(axis=1)
         rows = []
-        k = min(deg + 1, d2.shape[1])  # +1: self may be in the tile
-        for r in range(d2.shape[0]):
-            idx = np.lexsort((dst_ids, d2[r]))[:k]
-            for c in idx:
-                if dst_ids[c] != src_ids[r]:
-                    rows.append((src_ids[r], dst_ids[c], d2[r, c]))
+        k = min(deg + 1, B.shape[0])  # +1: self may be in the tile
+        # block the query side: an unblocked |A|x|B| int64 distance
+        # matrix is (n/QG)*(n/G)*8 bytes per task — 10 GB at sf10,
+        # the r12 sweep OOM; 512-row blocks cap it at ~100 MB
+        for lo in range(0, A.shape[0], 512):
+            Ab = A[lo : lo + 512]
+            d2 = (
+                (Ab * Ab).sum(axis=1)[:, None]
+                + bn[None, :]
+                - 2 * (Ab @ B.T)
+            )
+            for r in range(d2.shape[0]):
+                row = d2[r]
+                if k < row.shape[0]:
+                    # argpartition prunes, then an exact (d2, dst)
+                    # lexsort over everything <= the k-th value keeps
+                    # boundary ties deterministic
+                    part = np.argpartition(row, k - 1)[:k]
+                    thr = row[part].max()
+                    sel = np.nonzero(row <= thr)[0]
+                else:
+                    sel = np.arange(row.shape[0])
+                order = sel[np.lexsort((dst_ids[sel], row[sel]))][:k]
+                sid = src_ids[lo + r]
+                for c in order:
+                    if dst_ids[c] != sid:
+                        rows.append((sid, dst_ids[c], row[c]))
         return pd.DataFrame(rows, columns=["src", "dst", "d2"]).astype(
             "int64"
         )
