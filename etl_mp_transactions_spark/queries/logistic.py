@@ -30,9 +30,16 @@ Exactness: with p a table literal, EVERY per-row contribution is
 pure BIGINT arithmetic — g = n·(y·1e9 − p_nano), h = n·⌊(p_nano·
 (1e9−p_nano)+5e8)/1e9⌋ — so the sums are order-free exact integers
 and the whole 3-step trajectory is deterministic and
-oracle-checkable. The Newton solve per step stays the shared-text
-2x2 Cramer float (IEEE +,-,*,/ are correctly rounded and therefore
-portable, unlike libm transcendentals) rounded once back to nano.
+oracle-checkable. The Newton solve per step is INTEGER-EXACT too
+(VERDICT r12 task #2 — the last float removed from the trajectory):
+the 2x2 Cramer update Δ = round(1e9·num/den) with num = g0·h11 −
+g1·h01 (resp. g1·h00 − g0·h01) and den = h00·h11 − h01² is computed
+as exact base-1000 long division over 128-bit integers (DuckDB
+HUGEINT, Spark DECIMAL(38,0), python int), round-half-away-from-
+zero on the exact rational: |num| ≤ ~1e34 and every chunk operand
+stays < 1e38, so all three engines produce the identical BIGINT by
+construction — no IEEE representation, no round() boundary, nothing
+environment-dependent anywhere in the trajectory.
 
 Scale: rows are pre-grouped by (x, y) — the feature is an integer
 band / bit-length with a bounded (≤ ~64-value) domain, so training
@@ -121,14 +128,100 @@ _ROWS_G_CTE = (
 )
 
 
+def _cramer_stages(div: str, huge: str) -> list[list[str]]:
+    """The INTEGER-EXACT Cramer update Δb = round_half_away(1e9·num/
+    den) as a chain of select-expression stages over a frame holding
+    (pb0, pb1, g0, g1, h00, h01, h11) — shared text between the
+    DuckDB oracle (div='//', huge='HUGEINT') and the Spark plan
+    (div='div', huge='DECIMAL(38,0)'); the python twin is
+    ``cramer_update_py``. Base-1000 long division keeps every
+    operand < 1e38 (|num| ≤ ~1e34, chunks multiply by 1000 only),
+    and all division operands are NON-NEGATIVE (|num| via abs, den >
+    0 by positive-definiteness of the Hessian), so DuckDB's
+    truncating ``//`` and Spark's truncating ``div`` both equal
+    floor division — the three engines agree integer for integer."""
+
+    def _h(e: str) -> str:
+        return f"CAST({e} AS {huge})"
+
+    return [
+        # num0/num1/den: 128-bit exact cross products of the BIGINT sums
+        [
+            f"{_h('g0')} * h11 - {_h('g1')} * h01 AS num0",
+            f"{_h('g1')} * h00 - {_h('g0')} * h01 AS num1",
+            f"{_h('h00')} * h11 - {_h('h01')} * h01 AS den",
+        ],
+        # digit 1 of base-1000 long division of |num|·1e9 by den
+        [
+            "CASE WHEN num0 < 0 THEN -1 ELSE 1 END AS sg0",
+            "CASE WHEN num1 < 0 THEN -1 ELSE 1 END AS sg1",
+            f"(abs(num0) * 1000) {div} den AS qa1",
+            f"(abs(num1) * 1000) {div} den AS qb1",
+        ],
+        [
+            "abs(num0) * 1000 - qa1 * den AS ma1",
+            "abs(num1) * 1000 - qb1 * den AS mb1",
+        ],
+        # digit 2
+        [
+            f"(ma1 * 1000) {div} den AS qa2",
+            f"(mb1 * 1000) {div} den AS qb2",
+        ],
+        [
+            "ma1 * 1000 - qa2 * den AS ma2",
+            "mb1 * 1000 - qb2 * den AS mb2",
+        ],
+        # digit 3
+        [
+            f"(ma2 * 1000) {div} den AS qa3",
+            f"(mb2 * 1000) {div} den AS qb3",
+        ],
+        # recompose + round-half-away on the exact remainder
+        [
+            "CAST(pb0 + sg0 * (qa1 * 1000000 + qa2 * 1000 + qa3"
+            " + CASE WHEN 2 * (ma2 * 1000 - qa3 * den) >= den"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS b0",
+            "CAST(pb1 + sg1 * (qb1 * 1000000 + qb2 * 1000 + qb3"
+            " + CASE WHEN 2 * (mb2 * 1000 - qb3 * den) >= den"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS b1",
+            "g0",
+            "g1",
+            "h00",
+            "h01",
+            "h11",
+        ],
+    ]
+
+
+def cramer_update_py(num: int, den: int) -> int:
+    """Python twin of the shared long-division chain: integer-exact
+    round-half-away-from-zero of 1e9·num/den (den > 0)."""
+    q, r = divmod(abs(num) * 10**9, den)
+    if 2 * r >= den:
+        q += 1
+    return -q if num < 0 else q
+
+
 def _newton_sql(prev: str, idx: int) -> str:
-    """One Newton step as two CTEs reading params from ``prev``:
+    """One Newton step as a CTE chain reading params from ``prev``:
     pure-BIGINT contribution sums over the grouped rows (joined to
-    the sig grid on quantized z), then the shared-text Cramer
-    solve."""
+    the sig grid on quantized z), then the shared-text INTEGER-EXACT
+    Cramer solve (``_cramer_stages`` — zero floats anywhere)."""
     zd = _zd_sql(f"{prev}.b0", f"{prev}.b1", x="g.x")
     h = _h_sql()
-    return f"""
+    stages = _cramer_stages("//", "HUGEINT")
+    # stage 0 runs alongside the prev-param/sum merge (explicit s./pp.
+    # prefixes: prev carries g0..h11 too, so bare names are ambiguous)
+    st0 = ", ".join(
+        e.replace("g0", "s.g0")
+        .replace("g1", "s.g1")
+        .replace("h00", "s.h00")
+        .replace("h01", "s.h01")
+        .replace("h11", "s.h11")
+        for e in stages[0]
+    )
+    ctes = [
+        f"""
     s{idx} AS (
       SELECT sum(g.n * (g.y * {NANO} - sig.pn)) AS g0,
              sum(g.n * (g.y * {NANO} - sig.pn) * g.x) AS g1,
@@ -138,23 +231,24 @@ def _newton_sql(prev: str, idx: int) -> str:
       FROM rows_g g CROSS JOIN {prev}
       JOIN sig ON sig.zd = {zd}
     ),
-    p{idx} AS (
-      SELECT {prev}.b0 + CAST(round(1e9 *
-               ((CAST(s{idx}.g0 AS DOUBLE) * s{idx}.h11
-                 - CAST(s{idx}.g1 AS DOUBLE) * s{idx}.h01)
-                / (CAST(s{idx}.h00 AS DOUBLE) * s{idx}.h11
-                   - CAST(s{idx}.h01 AS DOUBLE) * s{idx}.h01))) AS BIGINT)
-               AS b0,
-             {prev}.b1 + CAST(round(1e9 *
-               ((CAST(s{idx}.g1 AS DOUBLE) * s{idx}.h00
-                 - CAST(s{idx}.g0 AS DOUBLE) * s{idx}.h01)
-                / (CAST(s{idx}.h00 AS DOUBLE) * s{idx}.h11
-                   - CAST(s{idx}.h01 AS DOUBLE) * s{idx}.h01))) AS BIGINT)
-               AS b1,
-             s{idx}.g0 AS g0, s{idx}.g1 AS g1,
-             s{idx}.h00 AS h00, s{idx}.h01 AS h01, s{idx}.h11 AS h11
-      FROM s{idx} CROSS JOIN {prev}
+    d{idx} AS (
+      SELECT pp.b0 AS pb0, pp.b1 AS pb1,
+             s.g0 AS g0, s.g1 AS g1,
+             s.h00 AS h00, s.h01 AS h01, s.h11 AS h11,
+             {st0}
+      FROM s{idx} s CROSS JOIN {prev} pp
     )"""
+    ]
+    src = f"d{idx}"
+    for k, st in enumerate(stages[1:-1], start=1):
+        ctes.append(
+            f"e{idx}_{k} AS (SELECT *, {', '.join(st)} FROM {src})"
+        )
+        src = f"e{idx}_{k}"
+    ctes.append(
+        f"p{idx} AS (SELECT {', '.join(stages[-1])} FROM {src})"
+    )
+    return ",".join(ctes)
 
 
 def _train_cte_chain() -> list[str]:
@@ -237,33 +331,13 @@ def newton_train(spark, rows, n_steps: int = N_STEPS):
             F.expr(f"sum(n * {h} * x)").alias("h01"),
             F.expr(f"sum(n * {h} * x * x)").alias("h11"),
         )
-        step = (
-            sums.crossJoin(F.broadcast(params))
-            .select(
-                (
-                    F.col("b0")
-                    + F.expr(
-                        "CAST(round(1e9 *"
-                        " ((CAST(g0 AS DOUBLE) * h11"
-                        "   - CAST(g1 AS DOUBLE) * h01)"
-                        "  / (CAST(h00 AS DOUBLE) * h11"
-                        "     - CAST(h01 AS DOUBLE) * h01))) AS BIGINT)"
-                    )
-                ).alias("b0"),
-                (
-                    F.col("b1")
-                    + F.expr(
-                        "CAST(round(1e9 *"
-                        " ((CAST(g1 AS DOUBLE) * h00"
-                        "   - CAST(g0 AS DOUBLE) * h01)"
-                        "  / (CAST(h00 AS DOUBLE) * h11"
-                        "     - CAST(h01 AS DOUBLE) * h01))) AS BIGINT)"
-                    )
-                ).alias("b1"),
-                "g0", "g1", "h00", "h01", "h11",
-            )
-            .localCheckpoint(eager=True)
+        stages = _cramer_stages("div", "DECIMAL(38,0)")
+        cur = sums.crossJoin(F.broadcast(params)).selectExpr(
+            "b0 AS pb0", "b1 AS pb1", "g0", "g1", "h00", "h01", "h11"
         )
+        for st in stages[:-1]:
+            cur = cur.selectExpr("*", *st)
+        step = cur.selectExpr(*stages[-1]).localCheckpoint(eager=True)
         params = step.select("b0", "b1")
         last = step
     return params, last

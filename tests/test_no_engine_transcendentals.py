@@ -86,6 +86,36 @@ def test_source_libm_sites_are_the_documented_allowlist():
     assert found == _ALLOWED_SOURCE_SITES, found
 
 
+def test_newton_trajectory_is_float_free():
+    """VERDICT r12 task #2 done-criterion: no DOUBLE cast, float
+    literal, or engine round() anywhere in the generated Newton
+    trajectory CTEs — the Cramer solve is exact 128-bit long
+    division in both engines (and exact int in the python twin)."""
+    from etl_mp_transactions_spark.queries.logistic import (
+        _train_cte_chain,
+        cramer_update_py,
+    )
+
+    txt = ",".join(_train_cte_chain()).upper()
+    for tok in ("DOUBLE", "FLOAT", "ROUND(", "1E9", "E9"):
+        assert tok not in txt, tok
+    # the python twin matches exact-rational round-half-away
+    from fractions import Fraction
+
+    for num, den in [
+        (0, 7), (1, 2_000_000_000), (-1, 2_000_000_000),
+        (3, 2_000_000_000), (-3, 2_000_000_000),
+        (10**33, 7 * 10**31), (-(10**33) + 17, 3 * 10**30),
+        (123456789123456789, 987654321), (5, 10**10), (-5, 10**10),
+    ]:
+        want = Fraction(num * 10**9, den)
+        f = Fraction(cramer_update_py(num, den))
+        # |error| <= 1/2, and exactly 1/2 only when rounding away
+        assert abs(f - want) <= Fraction(1, 2)
+        if abs(f - want) == Fraction(1, 2):
+            assert abs(f) > abs(want)
+
+
 def test_literal_grids_are_environment_stable():
     # spot-pin grid values: Fraction-generated literals must never
     # drift (a drift would silently re-train every model family)

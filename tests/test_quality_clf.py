@@ -8,7 +8,11 @@ import hashlib
 from collections import Counter
 
 from etl_mp_transactions_spark.queries.dsir import DSIR_NB, DSIR_SCALE
-from etl_mp_transactions_spark.queries.logistic import N_STEPS, sig_pn_py
+from etl_mp_transactions_spark.queries.logistic import (
+    N_STEPS,
+    cramer_update_py,
+    sig_pn_py,
+)
 from etl_mp_transactions_spark.queries.quality_clf import (
     KEEP_THRESHOLD_NANO,
     POS_LANG,
@@ -66,9 +70,9 @@ def _python_train(feats):
             h00 += n * h
             h01 += n * h * x
             h11 += n * h * x * x
-        det = float(h00) * h11 - float(h01) * h01
-        b0 += round(1e9 * ((float(g0) * h11 - float(g1) * h01) / det))
-        b1 += round(1e9 * ((float(g1) * h00 - float(g0) * h01) / det))
+        den = h00 * h11 - h01 * h01  # exact python ints throughout
+        b0 += cramer_update_py(g0 * h11 - g1 * h01, den)
+        b1 += cramer_update_py(g1 * h00 - g0 * h01, den)
     return b0, b1
 
 

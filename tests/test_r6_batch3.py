@@ -187,7 +187,10 @@ def test_logistic_newton_vs_python(spark, sf_dir, q):
     the three engines)."""
     import math
 
-    from etl_mp_transactions_spark.queries.logistic import sig_pn_py
+    from etl_mp_transactions_spark.queries.logistic import (
+        cramer_update_py,
+        sig_pn_py,
+    )
 
     pdf = q["logistic_newton_steps"](spark, sf_dir).toPandas()
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
@@ -205,16 +208,13 @@ def test_logistic_newton_vs_python(spark, sf_dir, q):
             h00 += h
             h01 += h * xi
             h11 += h * xi * xi
-        det = float(h00) * h11 - float(h01) * h01
-        d0 = (float(g0) * h11 - float(g1) * h01) / det
-        d1 = (float(g1) * h00 - float(g0) * h01) / det
-        b0 += round(1e9 * d0)
-        b1 += round(1e9 * d1)
+        den = h00 * h11 - h01 * h01  # exact python ints throughout
+        b0 += cramer_update_py(g0 * h11 - g1 * h01, den)
+        b1 += cramer_update_py(g1 * h00 - g0 * h01, den)
         last = (g0, g1, h00, h01, h11)
     r = pdf.iloc[0]
-    # NB: python round() is banker's; Spark/DuckDB round half away
-    # from zero — exact .5 halves of 1e9-scaled sigmoid terms do not
-    # occur (verified by this equality holding)
+    # the Cramer solve is integer-exact in all three engines
+    # (logistic.cramer_update_py is the shared rounding contract)
     assert (int(r.b0_nano), int(r.b1_nano)) == (b0, b1)
     assert (
         int(r.last_g0), int(r.last_g1), int(r.last_h00),
