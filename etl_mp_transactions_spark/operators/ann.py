@@ -150,18 +150,35 @@ def cosine_topk(
     )
 
 
+# loud ceiling for the driver-side corpus materialization below:
+# 2M rows × 64-dim float64 ≈ 1 GB — comfortably inside this box,
+# far below where toPandas() would OOM silently at a 100× corpus
+BCAST_MAX_ROWS = 2_000_000
+
+
 def cosine_topk_bcast(
     embeddings: DataFrame, k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
     """Exact top-k, small-corpus fast path: corpus broadcast once,
     queries stream through ``mapInPandas`` with one BLAS matmul per
     Arrow batch. Shuffle-free but capped at driver/executor memory —
-    valid while ids+vectors fit (64-dim × ~100M rows ≈ 50 GB); past
-    that use ``cosine_topk`` (tiled) or ``ivf_topk``."""
+    LOUDLY (VERDICT r12 task #8): the corpus materialization below
+    is driver-sized, so a corpus over ``BCAST_MAX_ROWS`` raises with
+    the scale path named instead of OOMing the driver. Past the cap
+    use ``cosine_topk`` (tiled exact) or the IVF/IVF-PQ family."""
     import numpy as np
     import pandas as pd
 
     spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n > BCAST_MAX_ROWS:
+        raise ValueError(
+            f"cosine_topk_bcast: corpus has {n} rows >"
+            f" BCAST_MAX_ROWS={BCAST_MAX_ROWS} — this exact-GT"
+            " baseline materializes the corpus on the driver; use"
+            " cosine_topk (tiled exact) or operators/ivfpq"
+            " (IVF/IVF-PQ) as the scale path"
+        )
     corpus = embeddings.select(id_col, "embedding").toPandas()
     ids = corpus[id_col].to_numpy(dtype="int64")
     M = _stack(corpus["embedding"])

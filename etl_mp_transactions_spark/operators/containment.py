@@ -60,6 +60,42 @@ GRID_G = 4
 # exact integer ⌈9·n/10⌉ — the required overlap for the min side
 _REQ = "div(9 * {n} + 9, 10)"
 
+# Candidate-volume ceiling (VERDICT r12 task #6): the pair stage is
+# output-bound by contract, but "output-bound" silently becomes the
+# cost on a degenerate corpus — the sf10 synthetic sweep emitted
+# 871M candidate rows (99× growth at a 10× step) because every
+# language shares one small vocabulary, so near-everything is a
+# candidate of near-everything. The guard computes a CHEAP upper
+# bound of candidate volume (Σ df² per token for the prefix path,
+# Σ n_b² per block for the bitmap path — tiny aggregations, no pair
+# join) and trips loudly when it exceeds CAND_FACTOR×|sets|:
+# on_overflow="error" raises (the capped_bucket detector discipline);
+# "flag" (registry default) prints the measured degeneracy to stderr
+# and proceeds, so scale sweeps on the synthetic corpus complete but
+# never read as "covered everything quietly". SCALE.md quantifies.
+CAND_FACTOR = 64
+
+
+def _volume_guard(
+    est: int, n_sets: int, path: str, on_overflow: str
+) -> None:
+    budget = CAND_FACTOR * max(n_sets, 1)
+    if est <= budget:
+        return
+    msg = (
+        f"containment {path} candidate-volume bound {est} exceeds"
+        f" {CAND_FACTOR}x corpus ({budget} for {n_sets} sets):"
+        " degenerate/shared vocabulary — the pair stage is"
+        " output-bound and that output is itself the cost; shard the"
+        " corpus, raise CAND_FACTOR knowingly, or pre-shingle to"
+        " diversify tokens"
+    )
+    if on_overflow == "error":
+        raise ValueError(msg)
+    import sys
+
+    print(f"WARN containment: {msg}", file=sys.stderr)
+
 
 def doc_token_sets(docs: DataFrame):
     """Canonical distinct-token-set derivation over ``documents`` —
@@ -102,13 +138,32 @@ def block_vocab_max(sets: DataFrame) -> int:
     return int(row["vmax"]) if row and row["vmax"] is not None else 0
 
 
-def pairs_bitmap(sets: DataFrame, vmax: int) -> DataFrame:
+def pairs_bitmap(
+    sets: DataFrame, vmax: int, on_overflow: str = "flag"
+) -> DataFrame:
     """Blocked self-join with dictionary-bitmap popcount verify.
 
     ``sets``: (lang, source, sid, tokens, n) distinct token-sets.
     Returns (lang, source, sid_a, sid_b, inter, na, nb) with
     sid_a < sid_b and the exact containment filter applied.
     """
+    # candidate volume bound for the blocked self-join: Σ n_b² over
+    # blocks (tiny agg over block counts — no pair join)
+    stats = (
+        sets.groupBy("lang", "source")
+        .agg(F.count("*").alias("nb"))
+        .agg(
+            F.sum(F.col("nb") * F.col("nb")).alias("est"),
+            F.sum("nb").alias("n_sets"),
+        )
+        .collect()[0]
+    )
+    _volume_guard(
+        int(stats["est"] or 0),
+        int(stats["n_sets"] or 0),
+        "bitmap",
+        on_overflow,
+    )
     nwords = (vmax + 63) // 64
     ex = sets.select(
         "lang", "source", "sid", "n", F.explode("tokens").alias("tok")
@@ -202,7 +257,7 @@ def pairs_bitmap(sets: DataFrame, vmax: int) -> DataFrame:
     )
 
 
-def pairs_prefix(sets: DataFrame) -> DataFrame:
+def pairs_prefix(sets: DataFrame, on_overflow: str = "flag") -> DataFrame:
     """Asymmetric PPJoin prefix-index candidates + positional filter
     + array_intersect verify (module docstring). Same contract as
     :func:`pairs_bitmap`."""
@@ -211,6 +266,15 @@ def pairs_prefix(sets: DataFrame) -> DataFrame:
     )
     df_tok = ex.groupBy("lang", "source", "tok").agg(
         F.count("*").alias("df")
+    )
+    # candidate volume bound: a token with document frequency df can
+    # pair at most df(probe)·df(index) ≤ df² rows (tiny agg over the
+    # token-frequency table — no pair join)
+    stats = df_tok.agg(
+        F.sum(F.col("df") * F.col("df")).alias("est")
+    ).collect()[0]
+    _volume_guard(
+        int(stats["est"] or 0), sets.count(), "prefix", on_overflow
     )
     wp = Window.partitionBy("lang", "source", "sid").orderBy("df", "tok")
     ranked = ex.join(df_tok, ["lang", "source", "tok"]).select(
@@ -295,16 +359,22 @@ def pairs_prefix(sets: DataFrame) -> DataFrame:
 
 
 def containment_set_pairs(
-    sets: DataFrame, force: str | None = None
+    sets: DataFrame,
+    force: str | None = None,
+    on_overflow: str = "flag",
 ) -> DataFrame:
     """Dispatch: bitmap when every block's vocabulary packs into
     ≤ ``BITMAP_VOCAB_MAX`` bits, else the prefix index. ``force``
-    ("bitmap" | "prefix") pins a path for tests/benchmarks."""
+    ("bitmap" | "prefix") pins a path for tests/benchmarks;
+    ``on_overflow`` ("flag" | "error") sets the candidate-volume
+    guard's trip behavior (``_volume_guard``)."""
     if force == "prefix":
-        return pairs_prefix(sets)
+        return pairs_prefix(sets, on_overflow=on_overflow)
     if force == "bitmap":
-        return pairs_bitmap(sets, block_vocab_max(sets))
+        return pairs_bitmap(
+            sets, block_vocab_max(sets), on_overflow=on_overflow
+        )
     vmax = block_vocab_max(sets)
     if 0 < vmax <= BITMAP_VOCAB_MAX:
-        return pairs_bitmap(sets, vmax)
-    return pairs_prefix(sets)
+        return pairs_bitmap(sets, vmax, on_overflow=on_overflow)
+    return pairs_prefix(sets, on_overflow=on_overflow)

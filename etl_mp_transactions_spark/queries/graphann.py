@@ -26,12 +26,18 @@ numpy Gram per cell — |a−b|² = |a|² + |b|² − 2ab with every product
 ≤ 64·1.44e12 ≈ 9.2e13, exact in int64 — so graph edges match the
 DuckDB n² QUALIFY oracle bit for bit.
 
-Scale shape (100 TB): the O(n²) exact kNN build is the honest
-baseline and is evenly distributed (tile pairs, no CartesianProduct,
-O(n·G) replication); a production build would seed edges from the
-IVF-bucketed candidates (ann_ivf) — same downstream walk. The graph
-(n·8 rows) is the persisted index artifact, localCheckpoint-ed here
-(the bounded-materialization class: it IS the index); each hop is a
+Scale shape (100 TB): TWO builds. The exact O(n²) build
+(``graph_ann_greedy_search``/``graph_ann_search_verdict``) is the
+small-SF ground truth — evenly distributed (tile pairs, no
+CartesianProduct) but quadratic, kept for verification. The SCALE
+PATH is the IVF-seeded build (``graph_ann_ivf_build``/
+``graph_ann_ivf_verdict``/``graph_ann_incremental_insert``, VERDICT
+r12 tasks #3/#4): candidate edges only within nprobe=2 probed coarse
+lists sized for ~256-member occupancy (KC = max(8, ⌈n/256⌉)), so
+edge work is ~n·nprobe·256 — linear in n — with per-query edge
+recall against the exact top-8 carried in-result. The graph (n·8
+rows) is the persisted index artifact, localCheckpoint-ed here (the
+bounded-materialization class: it IS the index); each hop is a
 broadcast of the ≤|Q|-row frontier joined into the graph — per-hop
 work O(|Q|·degree), independent of n, the defining property of graph
 ANN serving."""
@@ -59,9 +65,80 @@ _L2 = (
 )
 
 
-def _graph_ctes() -> str:
+# IVF-seeded build parameters (VERDICT r12 task #3): coarse lists
+# sized for ~bounded bucket occupancy so candidate-edge work is
+# ~linear in n (nprobe·bucket per node), not n².
+_GANN_TAG = ":gann-coarse-1"
+_GANN_BUCKET = 256  # target coarse-list occupancy
+_GANN_KC_MIN = 8
+_GANN_NPROBE = 2  # probed lists per node (boundary recall)
+
+
+def _ivf_knn_ctes(base_pred: str = "TRUE") -> str:
+    """DuckDB twin of the IVF-seeded kNN-graph build, as CTE text
+    (expects ``qv`` defined): md5-rank coarse seeds over the
+    ``base_pred`` slice (KC = max(8, ⌈n/256⌉), data-derived in SQL so
+    both engines agree at every SF), every node assigned to its
+    nprobe nearest lists (exact integer d2, c-asc tiebreak),
+    candidate edges = probed-list cohabitants by primary assignment,
+    exact top-{_DEG} per node. Defines ``knn(src, dst, d2, rnk)``."""
+    d2vc = _L2.format(a="v.qv", b="cb.ccqv")
+    d2ab = _L2.format(a="a.qv", b="b.qv")
+    rn_seed = (
+        f"row_number() OVER (ORDER BY md5(vec_id::VARCHAR ||"
+        f" '{_GANN_TAG}'), vec_id)"
+    )
+    return f"""qb AS (SELECT * FROM qv WHERE {base_pred}),
+    cb AS (
+      SELECT {rn_seed} - 1 AS c, qv AS ccqv
+      FROM qb
+      QUALIFY {rn_seed} <= (
+        SELECT greatest({_GANN_KC_MIN},
+                        (count(*) + {_GANN_BUCKET - 1}) // {_GANN_BUCKET})
+        FROM qb)
+    ),
+    asg AS (
+      SELECT vec_id, c, pr FROM (
+        SELECT v.vec_id, cb.c,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2vc}, cb.c) AS pr
+        FROM qv v CROSS JOIN cb
+      ) WHERE pr <= {_GANN_NPROBE}
+    ),
+    mem AS (SELECT vec_id, c FROM asg WHERE pr = 1),
+    gcand AS (
+      SELECT p.vec_id AS src, m.vec_id AS dst
+      FROM asg p JOIN mem m ON m.c = p.c AND m.vec_id <> p.vec_id
+    ),
+    knn AS (
+      SELECT src, dst, d2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY d2, dst) AS rnk
+      FROM (
+        SELECT g.src, g.dst, {d2ab} AS d2
+        FROM gcand g
+        JOIN qv a ON a.vec_id = g.src
+        JOIN qv b ON b.vec_id = g.dst
+      )
+      QUALIFY rnk <= {_DEG}
+    )"""
+
+
+def _graph_ctes(knn_ctes: str | None = None) -> str:
+    """Walk CTEs over a kNN graph: ``knn_ctes`` supplies the CTE text
+    defining ``knn(src, dst, …)`` (default: the exact n² build — the
+    small-SF ground truth; the IVF-seeded build is the scale path)."""
     d2_ab = _L2.format(a="a.qv", b="b.qv")
     d2_node = _L2.format(a="v.qv", b="qs.qqv")
+    if knn_ctes is None:
+        knn_ctes = f"""knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {d2_ab}, b.vec_id) AS rnk
+        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= {_DEG}
+    )"""
     hops = []
     for t in range(1, _HOPS + 1):
         hops.append(f""",
@@ -92,14 +169,7 @@ def _graph_ctes() -> str:
     qs AS (
       SELECT vec_id AS query_id, qv AS qqv FROM qv WHERE vec_id < {_NQ}
     ),
-    knn AS (
-      SELECT src, dst FROM (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {d2_ab}, b.vec_id) AS rnk
-        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
-      ) WHERE rnk <= {_DEG}
-    ),
+    {knn_ctes},
     entry AS (
       SELECT qs.query_id, min(v.vec_id) AS node
       FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
@@ -178,32 +248,14 @@ def l2_knn_graph(
     )
 
 
-def l2_knn_topk(
-    queries_emb: DataFrame,
-    corpus_emb: DataFrame,
-    deg: int = _DEG,
-    n_tiles: int = 8,
-    n_chunks: int = 4,
-) -> DataFrame:
-    """(src, dst, d2): exact top-``deg`` corpus neighbors per query
-    vector (self excluded) — the generalized tiled build; queries and
-    corpus may be different frames (the incremental-insert shapes)."""
+def _knn_cell_kernel(deg: int):
+    """Per-cell exact top-``deg`` kernel shared by the tiled exact
+    build and the IVF-bucketed build: left frame (vec_id, qv, …),
+    right frame (nid, nqv, …) → (src, dst, d2) rows, self excluded,
+    (d2, dst) tiebreak, int64-exact distances, query side blocked at
+    512 rows to bound the per-task distance matrix."""
     import numpy as np
     import pandas as pd
-
-    q = _quantized(corpus_emb)
-    qq = _quantized(queries_emb)
-    corpus = q.select(
-        F.col("vec_id").alias("nid"),
-        F.col("qv").alias("nqv"),
-        F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int").alias("ct"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("qt"),
-    )
-    queries = qq.select(
-        "*",
-        F.pmod(F.col("vec_id"), F.lit(n_chunks)).cast("int").alias("qt"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("ct"),
-    )
 
     def local_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left) or not len(right):
@@ -218,10 +270,7 @@ def l2_knn_topk(
         dst_ids = right["nid"].to_numpy()
         bn = (B * B).sum(axis=1)
         rows = []
-        k = min(deg + 1, B.shape[0])  # +1: self may be in the tile
-        # block the query side: an unblocked |A|x|B| int64 distance
-        # matrix is (n/QG)*(n/G)*8 bytes per task — 10 GB at sf10,
-        # the r12 sweep OOM; 512-row blocks cap it at ~100 MB
+        k = min(deg + 1, B.shape[0])  # +1: self may be in the cell
         for lo in range(0, A.shape[0], 512):
             Ab = A[lo : lo + 512]
             d2 = (
@@ -249,10 +298,39 @@ def l2_knn_topk(
             "int64"
         )
 
+    return local_knn
+
+
+def l2_knn_topk(
+    queries_emb: DataFrame,
+    corpus_emb: DataFrame,
+    deg: int = _DEG,
+    n_tiles: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """(src, dst, d2): exact top-``deg`` corpus neighbors per query
+    vector (self excluded) — the generalized tiled build; queries and
+    corpus may be different frames (the incremental-insert shapes)."""
+    q = _quantized(corpus_emb)
+    qq = _quantized(queries_emb)
+    corpus = q.select(
+        F.col("vec_id").alias("nid"),
+        F.col("qv").alias("nqv"),
+        F.pmod(F.col("vec_id"), F.lit(n_tiles)).cast("int").alias("ct"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("qt"),
+    )
+    queries = qq.select(
+        "*",
+        F.pmod(F.col("vec_id"), F.lit(n_chunks)).cast("int").alias("qt"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("ct"),
+    )
+
     cand = (
         queries.groupBy("qt", "ct")
         .cogroup(corpus.groupBy("qt", "ct"))
-        .applyInPandas(local_knn, "src long, dst long, d2 long")
+        .applyInPandas(
+            _knn_cell_kernel(deg), "src long, dst long, d2 long"
+        )
     )
     w = Window.partitionBy("src").orderBy("d2", "dst")
     return (
@@ -269,14 +347,18 @@ def _d2_expr() -> F.Column:
     )
 
 
-def _trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trajectory(
+    spark: SparkSession, sf_dir: str, knn: DataFrame | None = None
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _quantized(emb)
     qs = q.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
     # the graph IS the index artifact — one bounded materialization
-    knn = l2_knn_graph(emb).localCheckpoint()
+    if knn is None:
+        knn = l2_knn_graph(emb)
+    knn = knn.select("src", "dst").localCheckpoint()
     entry = (
         q.crossJoin(F.broadcast(qs.select("query_id")))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -342,6 +424,13 @@ def graph_ann_search_verdict(spark, sf_dir):
     the honest measure of plain-kNN-graph greedy search (no HNSW
     hierarchy)."""
     traj = _trajectory(spark, sf_dir).localCheckpoint()
+    return _verdict_frame(spark, sf_dir, traj)
+
+
+def _verdict_frame(spark, sf_dir, traj) -> DataFrame:
+    """(query_id, final_node, final_d2, exact_nn, exact_d2,
+    found_exact, converged_hop) from a finished walk trajectory —
+    shared by the exact-build and IVF-build verdict queries."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _quantized(emb)
     qs = q.filter(F.col("vec_id") < _NQ).select(
@@ -387,22 +476,229 @@ def graph_ann_search_verdict(spark, sf_dir):
     )
 
 
-_INCR_SQL = materialize_ctes(
-    f"""WITH qv AS (
+# ------------------------------------------------- IVF-seeded build
+# (VERDICT r12 tasks #3/#4 — the scale-safe plan the module docstring
+# promised): seed candidate edges from IVF coarse lists instead of
+# all pairs. Coarse seeds are md5-rank picks (the operators/ivfpq.py
+# coarse_books shape) but with KC = max(8, ceil(n/256)) so list
+# occupancy stays ~bounded as n grows; every node probes its
+# nprobe=2 nearest lists and considers only their members (by
+# primary assignment) as edge candidates → candidate work ≈
+# n·nprobe·256, LINEAR in n (vs the exact build's n²). Assignment
+# is one vectorized n×KC scan (n·KC/…= n²/256 long-term; a
+# production deployment replaces it with a tree/HNSW over the
+# centroids — documented in SCALE.md). Edge quality is measured, not
+# assumed: graph_ann_ivf_verdict carries per-query edge recall
+# against the exact top-8 (bounded: exact GT computed for the |Q|=8
+# query nodes only, O(|Q|·n)).
+
+
+def gann_books(emb: DataFrame):
+    """KC×DIM int64 coarse-centroid matrix: md5-rank seed pick over
+    the quantized corpus, KC = max(8, ceil(n/256)) (parameter-bounded
+    collect — the books ARE the index's coarse quantizer; row order
+    c = 0..KC−1 matches the oracle's row_number() − 1)."""
+    import numpy as np
+
+    q = _quantized(emb)
+    n = q.count()
+    kc = max(_GANN_KC_MIN, (n + _GANN_BUCKET - 1) // _GANN_BUCKET)
+    rows = (
+        q.select(
+            "vec_id",
+            "qv",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(_GANN_TAG))
+            ).alias("sk"),
+        )
+        .orderBy("sk", "vec_id")
+        .limit(kc)
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
+    return np.array([list(r["qv"]) for r in rows], dtype=np.int64)
+
+
+def _probes_df(emb: DataFrame, books, nprobe: int) -> DataFrame:
+    """(vec_id, c, qv): each vector's ``nprobe`` nearest coarse lists
+    — ONE vectorized mapInPandas pass (numpy n_batch×KC exact int64
+    distances, stable argsort ⇒ c-asc tiebreak, matching the oracle's
+    (cd2, c) ordering); no shuffle, no row explosion."""
+    import numpy as np
+    import pandas as pd
+
+    B = books
+    bn = (B * B).sum(axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            D = (V * V).sum(axis=1)[:, None] + bn[None, :] - 2 * (V @ B.T)
+            idx = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(idx.shape[1])].copy()
+            out["c"] = idx.reshape(-1).astype("int32")
+            yield out[["vec_id", "c", "qv"]]
+
+    return _quantized(emb).mapInPandas(
+        fn, "vec_id long, c int, qv array<bigint>"
+    )
+
+
+def ivf_knn_topk(
+    queries_emb: DataFrame,
+    corpus_emb: DataFrame,
+    books,
+    deg: int = _DEG,
+    nprobe: int = _GANN_NPROBE,
+) -> DataFrame:
+    """(src, dst, d2): per query node, exact top-``deg`` among the
+    corpus members (by primary assignment) of its ``nprobe`` probed
+    coarse lists — the IVF-seeded candidate generation. One shuffle
+    of n·(nprobe+1) rows by list id; per-list exact numpy kernel
+    (the shared ``_knn_cell_kernel``); per-node global top-deg over
+    ≤ nprobe·deg survivors. A (src, dst) pair cannot repeat: dst has
+    exactly one primary list."""
+    qf = _probes_df(queries_emb, books, nprobe)
+    mf = _probes_df(corpus_emb, books, 1).select(
+        F.col("vec_id").alias("nid"), "c", F.col("qv").alias("nqv")
+    )
+    cand = (
+        qf.groupBy("c")
+        .cogroup(mf.groupBy("c"))
+        .applyInPandas(_knn_cell_kernel(deg), "src long, dst long, d2 long")
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= deg)
+        .select("src", "dst", "d2")
+    )
+
+
+_QV_CTE = """qv AS (
       SELECT vec_id,
              list_transform(embedding,
                             x -> CAST(round(x * 1e6) AS BIGINT)) AS qv
       FROM embeddings
-    ),
-    knn AS (
-      SELECT src, dst, rnk FROM (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-               row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {_L2.format(a="a.qv", b="b.qv")},
-                                           b.vec_id) AS rnk
-        FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
-      ) WHERE rnk <= {_DEG}
+    )"""
+
+_IVF_BUILD_SQL = materialize_ctes(
+    f"""WITH {_QV_CTE},
+    {_ivf_knn_ctes()}
+    SELECT src, dst, d2, CAST(rnk AS BIGINT) AS rnk FROM knn"""
+)
+
+
+@query("graph_ann_ivf_build", _IVF_BUILD_SQL)
+def graph_ann_ivf_build(spark, sf_dir):
+    """The IVF-seeded kNN-graph build (section comment): every edge
+    exact within the probed-list candidate set, candidate work
+    ~linear in n. This is the graph the at-scale walk serves from;
+    the exact n² build stays as small-SF ground truth
+    (graph_ann_greedy_search) and as the verdict's per-query recall
+    reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = gann_books(emb)
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (
+        ivf_knn_topk(emb, emb, books)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("src", "dst", "d2", "rnk")
     )
+
+
+_IVF_VERDICT_SQL = materialize_ctes(
+    f"""WITH {_graph_ctes(_ivf_knn_ctes())},
+    exactnn AS (
+      SELECT query_id, node AS exact_nn, d2 AS exact_d2 FROM (
+        SELECT qs.query_id, v.vec_id AS node,
+               {_L2.format(a="v.qv", b="qs.qqv")} AS d2,
+               row_number() OVER (PARTITION BY qs.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           v.vec_id) AS rn
+        FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
+      ) WHERE rn = 1
+    ),
+    exact8 AS (
+      SELECT query_id, node FROM (
+        SELECT qs.query_id, v.vec_id AS node,
+               row_number() OVER (PARTITION BY qs.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           v.vec_id) AS rn
+        FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
+      ) WHERE rn <= {_DEG}
+    ),
+    recall AS (
+      SELECT e.query_id, CAST(count(k.dst) AS BIGINT) AS edge_recall8
+      FROM exact8 e
+      LEFT JOIN knn k ON k.src = e.query_id AND k.dst = e.node
+      GROUP BY 1
+    ),
+    fin AS (
+      SELECT query_id, node AS final_node, d2 AS final_d2
+      FROM hop{_HOPS}
+    ),
+    conv AS (
+      SELECT t.query_id, CAST(min(t.hop) AS BIGINT) AS converged_hop
+      FROM trajectory t JOIN fin f ON f.query_id = t.query_id
+                                  AND t.d2 = f.final_d2
+      GROUP BY 1
+    )
+    SELECT f.query_id, f.final_node, f.final_d2,
+           e.exact_nn, e.exact_d2,
+           f.final_d2 = e.exact_d2 AS found_exact,
+           c.converged_hop, r.edge_recall8
+    FROM fin f
+    JOIN exactnn e ON e.query_id = f.query_id
+    JOIN conv c ON c.query_id = f.query_id
+    JOIN recall r ON r.query_id = f.query_id"""
+)
+
+
+@query("graph_ann_ivf_verdict", _IVF_VERDICT_SQL)
+def graph_ann_ivf_verdict(spark, sf_dir):
+    """Honest quality report of the IVF-seeded graph, in the
+    graph_ann_search_verdict shape plus per-query EDGE RECALL: the
+    same greedy walk over the IVF-built graph, final node vs the
+    true NN (exact corpus argmin — bounded, |Q|=8 queries only), and
+    edge_recall8 = |ivf edges of the query node ∩ its exact top-8|
+    (the ivfpq_recall_at5 discipline applied to graph edges). The
+    walk is the existing O(|Q|·degree·hops) serving path; only the
+    build changed — ~linear candidate work instead of n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = gann_books(emb)
+    knn = ivf_knn_topk(emb, emb, books).localCheckpoint()
+    traj = _trajectory(spark, sf_dir, knn=knn).localCheckpoint()
+    verdict = _verdict_frame(spark, sf_dir, traj)
+    exact8 = l2_knn_topk(emb.filter(F.col("vec_id") < _NQ), emb).select(
+        F.col("src").alias("query_id"), F.col("dst").alias("node")
+    )
+    # only the |Q| query nodes' edges matter for recall — filter
+    # BEFORE broadcast (≤ |Q|·deg rows, never the whole graph)
+    hits = knn.filter(F.col("src") < _NQ).select(
+        F.col("src").alias("query_id"),
+        F.col("dst").alias("node"),
+        F.lit(1).alias("hit"),
+    )
+    recall = (
+        exact8.join(F.broadcast(hits), ["query_id", "node"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("edge_recall8")
+        )
+    )
+    return verdict.join(recall, "query_id")
+
+
+_BASE_PRED = "vec_id % 10 <> 7"
+
+_INCR_SQL = materialize_ctes(
+    f"""WITH {_QV_CTE},
+    {_ivf_knn_ctes(base_pred=_BASE_PRED)}
     SELECT src, dst, CAST(rnk AS BIGINT) AS rnk FROM knn"""
 )
 
@@ -410,32 +706,33 @@ _INCR_SQL = materialize_ctes(
 @query("graph_ann_incremental_insert", _INCR_SQL)
 def graph_ann_incremental_insert(spark, sf_dir):
     """Graph-index maintenance — incremental INSERT pinned as
-    insert == rebuild (the FAISS ``add`` semantics for a kNN graph,
-    the graph-family sibling of ivfpq_upsert_serve): ~10% of vectors
-    (vec_id % 10 == 7) arrive AFTER the base graph is built. The
-    arriving nodes compute their top-8 against the full set, and each
-    base node's edge list is re-ranked over (its old 8 edges ∪ its
-    top-8 among the arrivals) — an EXACT identity, since dropping no
-    nodes means the new global top-8 is contained in that union. The
-    result must equal the full rebuild bit for bit (the oracle is the
-    rebuild). Per-insert work here is exact (base × arriving tiled
-    cogroup); a production insert generates base-side candidates by
-    graph search instead — the identity and the merge are the same."""
+    insert == frozen-books rebuild (the FAISS ``add`` semantics; the
+    graph-family sibling of ivfpq_upsert_serve), REWORKED in r13 to
+    the IVF-seeded build (VERDICT r12 task #4 — the previous exact
+    version was arrivals × full corpus, measured 34× at a 10× step):
+    ~10% of vectors (vec_id % 10 == 7) arrive AFTER the base graph
+    is built; the coarse books are FROZEN from the base corpus (a
+    production index does not re-pick centroids on insert). Arriving
+    nodes probe their nprobe lists and edge against the members;
+    each base node re-ranks over (its old edges ∪ the arrivals in
+    its probed lists) — an EXACT identity with frozen books, since
+    the rebuild's candidate set for any node is exactly the union.
+    The oracle IS the frozen-books rebuild; work is ~linear in
+    n + arrivals."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 10 != 7)
-    arriving = emb.filter(F.col("vec_id") % 10 == 7)
+    base = emb.filter(F.expr(_BASE_PRED))
+    arriving = emb.filter(~F.expr(_BASE_PRED))
+    books = gann_books(base)
     w = Window.partitionBy("src").orderBy("d2", "dst")
-    base_graph = l2_knn_topk(base, base)
-    base_cand = l2_knn_topk(base, arriving)
+    base_graph = ivf_knn_topk(base, base, books)
+    base_cand = ivf_knn_topk(base, arriving, books)
     upd = (
         base_graph.unionByName(base_cand)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _DEG)
     )
-    arr_edges = (
-        l2_knn_topk(arriving, emb)
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _DEG)
+    arr_edges = ivf_knn_topk(arriving, emb, books).withColumn(
+        "rnk", F.row_number().over(w).cast("long")
     )
     return upd.select("src", "dst", "rnk").unionByName(
         arr_edges.select("src", "dst", "rnk")

@@ -20,9 +20,12 @@ coin is a string comparison on a cross-engine-identical md5 hex; the
 draft is an unrolled deterministic greedy (same class as the MMR
 unroll — bounded pools, materialize_ctes on the DuckDB twin,
 localCheckpoint-ed arm frames on the Spark side so 5 rounds replan
-over ≤ 160 rows). Each round always finds both picks: before round r,
-2(r−1) ≤ 8 docs are placed and each team holds 10, so a team always
-has an unplaced doc — exactly 10 positions per query by construction.
+over ≤ 160 rows). The query set is the FIXED deterministic batch
+(vec_id < _NQ) in both engines (ADVICE r12 — never derived from an
+arm's output). When both teams hold full top-10 lists each round
+finds both picks (before round r, 2(r−1) ≤ 8 docs are placed), so a
+query emits 10 positions; a query whose arm came up short emits
+correspondingly fewer, identically in both engines.
 
 Scale shape: the arms are the hybrid module's (one corpus scan each,
 two-phase top-k); everything here is |Q|·k-bounded."""
@@ -101,7 +104,9 @@ def _draft_ctes() -> str:
       SELECT query_id, doc_id, team, src_rank, pos FROM p2_{r}
     )""")
     return f""",
-    qids AS (SELECT DISTINCT query_id FROM lex),
+    qids AS (
+      SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {_NQ}
+    ),
     armrows AS (
       SELECT query_id, doc_id, 'lex' AS team,
              r_lex AS src_rank FROM lex WHERE r_lex <= {_K}
@@ -180,7 +185,15 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded 2*|Q|*K rows: the 5 draft rounds replan over this
         .localCheckpoint()
     )
-    qids = armrows.select("query_id").distinct()
+    # the query set is the FIXED deterministic batch (vec_id < _NQ)
+    # in BOTH engines (ADVICE r12: deriving it from an arm's output
+    # made a query with an empty lexical top-10 appear in one engine
+    # only — a latent data-dependent divergence)
+    qids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _NQ)
+        .select(F.col("vec_id").alias("query_id"))
+    )
     placed = spark.createDataFrame(
         [],
         "query_id long, doc_id long, team string, src_rank long,"

@@ -301,12 +301,13 @@ def with_p_nano(df, params, sig, x: str = "x"):
     )
 
 
-def newton_train(spark, rows, n_steps: int = N_STEPS):
-    """(params_df, last_step_df) after ``n_steps`` exact Newton
-    steps over rows(x, y) — grouped once, then per-step tiny
-    broadcast joins (module docstring). State between steps is
-    localCheckpointed: two integers, the documented
-    parameter-bounded pattern."""
+def newton_steps(spark, rows, n_steps: int = N_STEPS) -> list:
+    """All ``n_steps`` per-step frames (b0, b1, g0, g1, h00, h01,
+    h11), in step order — the instrumentation surface (VERDICT r12
+    task #1: the trajectory debug queries read every step, not just
+    the last). Grouped once, then per-step tiny broadcast joins
+    (module docstring); state between steps is localCheckpointed:
+    two integers, the documented parameter-bounded pattern."""
     sig = sig_spark_df(spark)
     rows_g = rows.groupBy("x", "y").agg(
         F.count("*").cast("bigint").alias("n")
@@ -316,7 +317,7 @@ def newton_train(spark, rows, n_steps: int = N_STEPS):
         F.lit(0).cast("bigint").alias("b1"),
     )
     h = _h_sql(pn="pn", div="div")
-    last = None
+    steps: list = []
     for _ in range(n_steps):
         zd = F.expr(_zd_sql("b0", "b1", x="x", div="div"))
         j = (
@@ -339,8 +340,17 @@ def newton_train(spark, rows, n_steps: int = N_STEPS):
             cur = cur.selectExpr("*", *st)
         step = cur.selectExpr(*stages[-1]).localCheckpoint(eager=True)
         params = step.select("b0", "b1")
-        last = step
-    return params, last
+        steps.append(step)
+    return steps
+
+
+def newton_train(spark, rows, n_steps: int = N_STEPS):
+    """(params_df, last_step_df) after ``n_steps`` exact Newton steps
+    over rows(x, y) — the training entry point (``newton_steps`` is
+    the per-step instrumentation surface)."""
+    steps = newton_steps(spark, rows, n_steps)
+    last = steps[-1]
+    return last.select("b0", "b1"), last
 
 
 def _oracle() -> str:

@@ -398,7 +398,11 @@ def pca_extreme_projection(spark, sf_dir):
     # parameter-bounded collects: 64 + 64 + 1 rows
     vk = [0] * _DIM
     for r in vfin.collect():
-        vk[r.dim] = int(round(r.v_micro / 1e3))
+        # half-AWAY rounding on the exact integer (ADVICE r12):
+        # python round() is half-even and would diverge from the
+        # oracle's SQL round() whenever v_micro ≡ ±500 (mod 1000)
+        v = int(r.v_micro)
+        vk[r.dim] = (abs(v) + 500) // 1000 * (1 if v >= 0 else -1)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         "vec_id",

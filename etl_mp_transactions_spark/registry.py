@@ -117,6 +117,40 @@ _SPOTLIGHT[_SPOTLIGHT.index("r6_stream_tumbling")] = (
     "graph_ann_greedy_search"
 )
 
+# r13 swaps (VERDICT r12 tasks #1/#7): (a) the two poscontrol
+# instrumentation probes pin next to the red cell so the driver's
+# next artifact localizes the diverging stage itself; (b) the r12
+# maintenance families get driver attestation (delete/upsert serving,
+# video scene cuts, MMR diversification); (c) the quadratic exact
+# graph build's spotlight slot moves to the IVF-seeded build verdict
+# (task #3 — the scale-safe plan). Displaced (all driver-green for
+# 2+ rounds, every family still represented in the window):
+# text_lang_id (text_quality stays), sequence_packing,
+# dsir_importance_select, label_propagation_communities
+# (graph_ann_* stay), kmeans_train_trajectory (ivfpq_train_gain
+# stays), ivfpq_index_roundtrip (5 ivfpq entries stay).
+_SPOTLIGHT[_SPOTLIGHT.index("text_lang_id")] = (
+    "quality_classifier_poscontrol_docx"
+)
+_SPOTLIGHT[_SPOTLIGHT.index("sequence_packing")] = (
+    "quality_classifier_poscontrol_trajectory"
+)
+_SPOTLIGHT[_SPOTLIGHT.index("dsir_importance_select")] = (
+    "ivfpq_delete_serve"
+)
+_SPOTLIGHT[_SPOTLIGHT.index("label_propagation_communities")] = (
+    "ivfpq_upsert_serve"
+)
+_SPOTLIGHT[_SPOTLIGHT.index("kmeans_train_trajectory")] = (
+    "video_scene_cuts"
+)
+_SPOTLIGHT[_SPOTLIGHT.index("ivfpq_index_roundtrip")] = (
+    "hybrid_mmr_rerank"
+)
+_SPOTLIGHT[_SPOTLIGHT.index("graph_ann_greedy_search")] = (
+    "graph_ann_ivf_verdict"
+)
+
 
 # Rotation slots (ADVICE r10): the tail of the 50-entry driver window
 # is NOT hand-curated — it is a deterministic per-round draw from the
@@ -124,7 +158,7 @@ _SPOTLIGHT[_SPOTLIGHT.index("r6_stream_tumbling")] = (
 # periodically get driver coverage instead of being permanently
 # invisible to the driver gate. Bump the salt each round to rotate.
 _ROTATION_SLOTS = 4
-_ROTATION_SALT = "r12"
+_ROTATION_SALT = "r13"
 
 
 def _spotlight_first(d: dict) -> dict:

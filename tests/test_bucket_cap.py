@@ -48,3 +48,75 @@ def test_overflow_drops_in_drop_mode(spark):
 def test_unknown_mode_rejected(spark):
     with pytest.raises(ValueError, match="on_overflow"):
         capped_bucket(_buckets(spark), "band_key", "sk", 4, "warn")
+
+
+# --- candidate-volume guards (VERDICT r12 tasks #6/#8) -------------
+
+
+def _degenerate_sets(spark, n_sets):
+    # every set shares the same 3-token vocabulary: the worst case
+    # the sf10 sweep measured (871M candidates) in miniature
+    rows = [
+        ("en", "web", i, ["aa", "bb", "cc"], 3) for i in range(n_sets)
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, source string, sid long,"
+        " tokens array<string>, n long"
+    )
+
+
+def test_containment_prefix_guard_trips_on_degenerate_corpus(spark):
+    from etl_mp_transactions_spark.operators.containment import (
+        pairs_prefix,
+    )
+
+    sets = _degenerate_sets(spark, 40)  # est = 3*40^2 = 4800 > 64*40
+    with pytest.raises(ValueError, match="candidate-volume bound"):
+        pairs_prefix(sets, on_overflow="error")
+
+
+def test_containment_bitmap_guard_trips_on_degenerate_corpus(spark):
+    from etl_mp_transactions_spark.operators.containment import (
+        pairs_bitmap,
+    )
+
+    sets = _degenerate_sets(spark, 100)  # est = 100^2 > 64*100
+    with pytest.raises(ValueError, match="candidate-volume bound"):
+        pairs_bitmap(sets, 3, on_overflow="error")
+
+
+def test_containment_guard_flags_but_completes_by_default(spark, capfd):
+    from etl_mp_transactions_spark.operators.containment import (
+        containment_set_pairs,
+    )
+
+    sets = _degenerate_sets(spark, 40)
+    out = containment_set_pairs(sets, force="prefix")  # flag mode
+    assert out.count() > 0  # identical-token sets all pass containment
+    assert "candidate-volume bound" in capfd.readouterr().err
+
+
+def test_containment_guard_quiet_under_budget(spark, capfd):
+    from etl_mp_transactions_spark.operators.containment import (
+        pairs_prefix,
+    )
+
+    rows = [("en", "web", i, [f"t{i}a", f"t{i}b"], 2) for i in range(20)]
+    sets = spark.createDataFrame(
+        rows, "lang string, source string, sid long,"
+        " tokens array<string>, n long"
+    )
+    pairs_prefix(sets, on_overflow="error").count()  # no trip
+    assert "candidate-volume" not in capfd.readouterr().err
+
+
+def test_bcast_baseline_ceiling_raises_loudly(spark, monkeypatch):
+    from etl_mp_transactions_spark.operators import ann
+
+    emb = spark.range(20).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 4), j -> cast(j AS double)) AS embedding",
+    )
+    monkeypatch.setattr(ann, "BCAST_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="BCAST_MAX_ROWS"):
+        ann.cosine_topk_bcast(emb, k=2)

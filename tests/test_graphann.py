@@ -96,20 +96,24 @@ def test_greedy_python_replay(spark, sf_dir):
 
 
 def test_incremental_insert_equals_rebuild(spark, sf_dir):
-    """insert == rebuild: the incrementally maintained graph must
-    equal l2_knn_topk over the full corpus exactly."""
+    """insert == frozen-books rebuild (the r13 IVF-seeded identity):
+    the incrementally maintained graph must equal the IVF-seeded
+    build over the full corpus with coarse books frozen from the
+    base slice, exactly."""
     from etl_mp_transactions_spark.queries.graphann import (
+        gann_books,
         graph_ann_incremental_insert,
-        l2_knn_topk,
+        ivf_knn_topk,
     )
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = gann_books(emb.filter(F.col("vec_id") % 10 != 7))
     w = Window.partitionBy("src").orderBy("d2", "dst")
     rebuilt = {
         (r.src, r.dst, r.rnk)
-        for r in l2_knn_topk(emb, emb)
+        for r in ivf_knn_topk(emb, emb, books)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .collect()
     }
@@ -118,3 +122,62 @@ def test_incremental_insert_equals_rebuild(spark, sf_dir):
         for r in graph_ann_incremental_insert(spark, sf_dir).collect()
     }
     assert incr == rebuilt and len(incr) > 0
+
+
+def test_ivf_build_python_replay_and_verdict_bounds(spark, sf_dir):
+    """IVF-seeded build (r13): a full python replay of the
+    books→probe→candidate→top-8 chain must match Spark's edge set
+    exactly, and the verdict's recall/hop fields must be bounded."""
+    import hashlib
+
+    from etl_mp_transactions_spark.queries.graphann import (
+        _GANN_BUCKET,
+        _GANN_KC_MIN,
+        _GANN_NPROBE,
+        _GANN_TAG,
+        gann_books,
+        graph_ann_ivf_verdict,
+        ivf_knn_topk,
+    )
+
+    ids, q = _quant(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    kc = max(_GANN_KC_MIN, (n + _GANN_BUCKET - 1) // _GANN_BUCKET)
+    seeds = sorted(
+        (hashlib.md5(f"{int(v)}{_GANN_TAG}".encode()).hexdigest(), int(v))
+        for v in ids
+    )[:kc]
+    B = np.stack([q[pos[v]] for _, v in seeds])
+
+    def probes(v, k):
+        d = ((B - q[pos[v]]) ** 2).sum(axis=1)
+        return list(np.argsort(d, kind="stable")[:k])
+
+    prim = {int(v): probes(int(v), 1)[0] for v in ids}
+    members = defaultdict(list)
+    for v, c in prim.items():
+        members[c].append(v)
+    want = defaultdict(set)
+    for v in (int(x) for x in ids):
+        cand = [
+            u
+            for c in probes(v, _GANN_NPROBE)
+            for u in members[c]
+            if u != v
+        ]
+        best = sorted(cand, key=lambda u: (_d2(q, pos[v], pos[u]), u))
+        want[v] = set(best[: _DEG])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = gann_books(emb)
+    got = defaultdict(set)
+    for r in ivf_knn_topk(emb, emb, books).collect():
+        got[r.src].add(r.dst)
+    assert dict(got) == {k: v for k, v in want.items() if v}
+    rows = graph_ann_ivf_verdict(spark, sf_dir).collect()
+    assert len(rows) == _NQ
+    for r in rows:
+        assert 0 <= r.edge_recall8 <= _DEG
+        assert 0 <= r.converged_hop <= _HOPS
+        assert r.final_d2 >= r.exact_d2
+        assert r.found_exact == (r.final_d2 == r.exact_d2)

@@ -5,6 +5,16 @@ and a full Python greedy replay of the MMR selection."""
 
 from collections import defaultdict
 
+import math
+
+
+def _rha(x):
+    # SQL round() semantics — half AWAY from zero (python round() is
+    # half-even: latently flaky on tie-producing data; ADVICE r12,
+    # same helper contract as tests/test_pca.py's _round_half_away)
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.queries.hybrid import (
@@ -47,7 +57,7 @@ def test_rrf_fusion_arithmetic(spark, sf_dir):
         for rank in (r.r_lex, r.r_sem):
             assert 0 <= rank <= _K_ARM
             if rank:
-                expect += round(1e9 / (_RRF_K + rank))
+                expect += _rha(1e9 / (_RRF_K + rank))
         assert r.rrf_nano == expect
         assert r.r_lex > 0 or r.r_sem > 0
         by_q[r.query_id].append(r)
@@ -77,7 +87,7 @@ def test_mmr_python_greedy_replay(spark, sf_dir):
         for r in hybrid_rrf_fusion(spark, sf_dir).collect()
     }
     emb = {
-        r.vec_id: [round(x * 1e6) for x in r.embedding]
+        r.vec_id: [_rha(x * 1e6) for x in r.embedding]
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", "embedding")
         .collect()
@@ -88,7 +98,7 @@ def test_mmr_python_greedy_replay(spark, sf_dir):
             pool[q][d] = rrf
     for q in pool:
         m = max(pool[q].values())
-        pool[q] = {d: round(1e9 * (v / m)) for d, v in pool[q].items()}
+        pool[q] = {d: _rha(1e9 * (v / m)) for d, v in pool[q].items()}
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(emb[a], emb[b]))
@@ -104,7 +114,7 @@ def test_mmr_python_greedy_replay(spark, sf_dir):
             return (
                 1_000_000_000
                 if md == 0
-                else round(1e9 * ((md - d2(a, b)) / md))
+                else _rha(1e9 * ((md - d2(a, b)) / md))
             )
 
         first = max(docs, key=lambda d: (cands[d], -d))
@@ -183,7 +193,7 @@ def test_mrr_consistent_with_lists(spark, sf_dir):
             rank = getattr(r, rank_attr)
             if rank <= _K_FUSED and labels.get(r.doc_id) == qlab:
                 best[r.query_id] = min(best.get(r.query_id, 99), rank)
-        return {q: round(1e9 / rk) for q, rk in best.items()}
+        return {q: _rha(1e9 / rk) for q, rk in best.items()}
 
     el = first_rel(_lex_arm(spark, sf_dir).collect(), "r_lex")
     es = first_rel(_sem_arm(spark, sf_dir).collect(), "r_sem")

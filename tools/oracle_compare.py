@@ -94,10 +94,23 @@ def main() -> int:
 
     # cap DuckDB: its default memory_limit is 80% of RAM, which on top
     # of the Spark driver heap OOM-killed the sf1 gate (r12) — spill
-    # to disk instead. Override with SPARK_GRAFT_DUCK_MEM.
-    duck_mem = _os.environ.get("SPARK_GRAFT_DUCK_MEM", "24GB")
+    # to disk instead. Default = min(24GB, half of detected RAM), so
+    # the cap never RAISES DuckDB's share on a small box (ADVICE r12).
+    # Override with SPARK_GRAFT_DUCK_MEM.
+    try:
+        ram_gb = (
+            _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+        ) // (1 << 30)
+    except (ValueError, OSError):
+        ram_gb = 48
+    duck_mem = _os.environ.get(
+        "SPARK_GRAFT_DUCK_MEM", f"{max(1, min(24, ram_gb // 2))}GB"
+    )
     con.sql(f"SET memory_limit = '{duck_mem}'")
-    con.sql("SET temp_directory = '.tmp'")
+    # anchor spill to the repo root, not whatever cwd we were run from
+    tmp = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".tmp")
+    con.sql(f"SET temp_directory = '{tmp}'")
 
     for t in [
         "region", "nation", "customer", "supplier", "part",
