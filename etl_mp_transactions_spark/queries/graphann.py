@@ -264,8 +264,13 @@ def _knn_cell_kernel(deg: int):
                  "dst": pd.Series(dtype="int64"),
                  "d2": pd.Series(dtype="int64")}
             )
-        A = np.stack(left["qv"].to_numpy()).astype(np.int64)
-        B = np.stack(right["nqv"].to_numpy()).astype(np.int64)
+        # float64 matmul is EXACT here and hits BLAS (numpy int64
+        # matmul is scalar loops, ~20× slower): every product ≤
+        # (2.4e6)² ≈ 5.8e12 and every 64-term sum ≤ 64·that ≈
+        # 3.7e14 < 2^53, so each d2 is an exactly-representable
+        # integer; the int64 cast below is lossless.
+        A = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        B = np.stack(right["nqv"].to_numpy()).astype(np.float64)
         src_ids = left["vec_id"].to_numpy()
         dst_ids = right["nid"].to_numpy()
         bn = (B * B).sum(axis=1)
@@ -277,7 +282,7 @@ def _knn_cell_kernel(deg: int):
                 (Ab * Ab).sum(axis=1)[:, None]
                 + bn[None, :]
                 - 2 * (Ab @ B.T)
-            )
+            ).astype(np.int64)
             for r in range(d2.shape[0]):
                 row = d2[r]
                 if k < row.shape[0]:
@@ -527,23 +532,33 @@ def _probes_df(emb: DataFrame, books, nprobe: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    B = books
+    # exact-in-float64 BLAS distances (see _knn_cell_kernel: every
+    # term < 2^53, so D holds exact integers)
+    B = books.astype(np.float64)
     bn = (B * B).sum(axis=1)
 
     def fn(it):
         for pdf in it:
             if not len(pdf):
                 continue
-            V = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            V = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
             D = (V * V).sum(axis=1)[:, None] + bn[None, :] - 2 * (V @ B.T)
             idx = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
             out = pdf.loc[pdf.index.repeat(idx.shape[1])].copy()
             out["c"] = idx.reshape(-1).astype("int32")
-            yield out[["vec_id", "c", "qv"]]
+            out["pr"] = np.tile(
+                np.arange(1, idx.shape[1] + 1), len(pdf)
+            ).astype("int32")
+            yield out[["vec_id", "c", "pr", "qv"]]
 
-    return _quantized(emb).mapInPandas(
-        fn, "vec_id long, c int, qv array<bigint>"
+    # micro-quantized components fit int32 (|qv| ≤ 2.4e6 < 2^31):
+    # halving the Arrow payload halves the dominant build cost (the
+    # probes frame's ser/de + checkpoint), and at 100 TB halves the
+    # shuffled index-build bytes; the kernels stack to float64 anyway
+    q32 = _quantized(emb).select(
+        "vec_id", F.col("qv").cast("array<int>").alias("qv")
     )
+    return q32.mapInPandas(fn, "vec_id long, c int, pr int, qv array<int>")
 
 
 def ivf_knn_topk(
@@ -560,10 +575,22 @@ def ivf_knn_topk(
     (the shared ``_knn_cell_kernel``); per-node global top-deg over
     ≤ nprobe·deg survivors. A (src, dst) pair cannot repeat: dst has
     exactly one primary list."""
-    qf = _probes_df(queries_emb, books, nprobe)
-    mf = _probes_df(corpus_emb, books, 1).select(
-        F.col("vec_id").alias("nid"), "c", F.col("qv").alias("nqv")
-    )
+    if queries_emb is corpus_emb:
+        # self-build: ONE assignment pass serves both sides (probe
+        # rank 1 IS the primary assignment) — the n-row probes frame
+        # is cut so the cogroup's two inputs don't recompute it
+        p = _probes_df(queries_emb, books, nprobe).localCheckpoint()
+        qf = p.select("vec_id", "c", "qv")
+        mf = p.filter(F.col("pr") == 1).select(
+            F.col("vec_id").alias("nid"), "c", F.col("qv").alias("nqv")
+        )
+    else:
+        qf = _probes_df(queries_emb, books, nprobe).select(
+            "vec_id", "c", "qv"
+        )
+        mf = _probes_df(corpus_emb, books, 1).select(
+            F.col("vec_id").alias("nid"), "c", F.col("qv").alias("nqv")
+        )
     cand = (
         qf.groupBy("c")
         .cogroup(mf.groupBy("c"))
