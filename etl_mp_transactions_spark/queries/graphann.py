@@ -955,3 +955,57 @@ def graph_ann_hier_assign_audit(spark, sf_dir):
         .cast("long")
         .alias("evals_hier"),
     )
+
+
+@query("r25_stream_graph_insert", _INCR_SQL)
+def r25_stream_graph_insert(spark, sf_dir):
+    """Streaming IVF-graph maintenance (20th stream==batch pin;
+    streaming/filesource.stream_graph_insert_run): coarse books are
+    FROZEN from the base slice ({_BASE_PRED}); the arriving slice
+    streams in as four mtime-ordered files — one micro-batch each —
+    plus a replay of the first file that must contribute zero (the
+    already-a-member anti-join + per-batch partition overwrite, the
+    r17/r19 no-ledger construction). The graph state is per-batch
+    IMMUTABLE top-8 edge fragments; the final per-src re-rank over
+    all fragments must equal the batch frozen-books rebuild bit for
+    bit — the SAME oracle as graph_ann_incremental_insert."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.streaming import filesource
+    from etl_mp_transactions_spark.workdirs import run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_dir("r25_graph")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    arriving = emb.filter(~F.expr(_BASE_PRED)).withColumn(
+        "g", F.expr("(vec_id div 10) % 4")
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        arriving.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    base = emb.filter(F.expr(_BASE_PRED))
+    books = gann_books(base)
+    return filesource.stream_graph_insert_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+        base,
+        books,
+    )

@@ -1134,3 +1134,106 @@ def stream_scene_cuts_run(
     return spark.read.schema(out_schema).parquet(
         os.path.join(out_dir, "batch=*")
     )
+
+
+def stream_graph_insert_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    base_emb: DataFrame,
+    books,
+) -> DataFrame:
+    """Streaming IVF-graph maintenance (R25): arriving embedding
+    batches maintain the IVF-seeded kNN graph against FROZEN coarse
+    books (queries/graphann.py) — the online twin of the batch
+    ``graph_ann_incremental_insert`` identity, and the maintenance
+    loop a deployed graph index actually runs.
+
+    State layout makes the stream==batch identity EXACT and the
+    replay story ledger-free: the graph is stored as per-batch
+    IMMUTABLE top-8 edge FRAGMENTS, never mutated in place —
+    batch b writes (a) the new nodes' top-8 over everything seen so
+    far including the batch itself, and (b) every existing node's
+    top-8 AMONG THIS BATCH's members of its probed lists (≤ deg rows
+    per node per batch, bucket-bounded work). Since the global top-8
+    of a union equals the top-8 of the per-part top-8s, the final
+    per-src re-rank over base fragment ∪ all batch fragments is
+    EXACTLY the frozen-books rebuild over the full corpus — the same
+    DuckDB oracle as the batch query. Replay safety: per-batch
+    partition overwrite for both members and edges, and an
+    at-least-once re-delivered file contributes zero via the
+    already-a-member anti-join (the r17/r19 no-ledger construction).
+    """
+    from pyspark.sql import Window
+
+    from etl_mp_transactions_spark.queries.graphann import (
+        _DEG,
+        ivf_knn_topk,
+    )
+
+    edges_dir = os.path.join(state_dir, "edges")
+    members_dir = os.path.join(state_dir, "members")
+    os.makedirs(edges_dir, exist_ok=True)
+    os.makedirs(members_dir, exist_ok=True)
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    edge_schema = "src long, dst long, d2 long"
+    # base fragment: the frozen-books self-build over the base slice
+    ivf_knn_topk(base_emb, base_emb, books).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(edges_dir, "batch=base"))
+
+    def _members_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(members_dir, d)
+            for d in sorted(os.listdir(members_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        if not dirs:
+            return spark.createDataFrame([], emb_schema)
+        return spark.read.schema(emb_schema).parquet(*dirs)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        prior = _members_except(batch_id)
+        fresh = batch_df.select(
+            "vec_id", "embedding", "label"
+        ).join(prior.select("vec_id"), "vec_id", "left_anti")
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
+        )
+        fresh = spark.read.schema(emb_schema).parquet(
+            os.path.join(members_dir, f"batch={batch_id}")
+        )
+        existing = base_emb.select(
+            "vec_id", "embedding", "label"
+        ).unionByName(prior)
+        corpus_now = existing.unionByName(fresh)
+        frag = ivf_knn_topk(fresh, corpus_now, books).unionByName(
+            ivf_knn_topk(existing, fresh, books)
+        )
+        frag.write.mode("overwrite").parquet(
+            os.path.join(edges_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(SCHEMAS["embeddings"])
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    frags = spark.read.schema(edge_schema).parquet(
+        os.path.join(edges_dir, "batch=*")
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return (
+        frags.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _DEG)
+        .select("src", "dst", "rnk")
+    )
