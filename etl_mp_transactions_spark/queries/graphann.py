@@ -697,6 +697,13 @@ def graph_ann_ivf_verdict(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = gann_books(emb)
     knn = ivf_knn_topk(emb, emb, books).localCheckpoint()
+    return _ivf_verdict_from(spark, sf_dir, knn)
+
+
+def _ivf_verdict_from(spark, sf_dir, knn) -> DataFrame:
+    """Walk + verdict + edge recall over a supplied IVF graph frame —
+    shared by the direct and the persist/reload round-trip paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
     traj = _trajectory(spark, sf_dir, knn=knn).localCheckpoint()
     verdict = _verdict_frame(spark, sf_dir, traj)
     exact8 = l2_knn_topk(emb.filter(F.col("vec_id") < _NQ), emb).select(
@@ -1008,4 +1015,176 @@ def r25_stream_graph_insert(spark, sf_dir):
         os.path.join(work, "state"),
         base,
         books,
+    )
+
+
+@query("graph_ann_index_roundtrip", _IVF_VERDICT_SQL)
+def graph_ann_index_roundtrip(spark, sf_dir):
+    """Graph-index artifact round trip (the ivfpq_index_roundtrip
+    discipline applied to the graph family): build the IVF-seeded
+    graph, PERSIST it as the parquet index artifact, reload it cold,
+    and serve the full walk + verdict + edge-recall path from the
+    reloaded frame. The oracle is the direct path's — byte-identical
+    serving from a reloaded artifact is the pinned property (a
+    deployed graph index is always served from storage, never from
+    the builder's memory)."""
+    import os
+
+    from etl_mp_transactions_spark.workdirs import run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = gann_books(emb)
+    art = os.path.join(run_dir("gann_idx"), "graph")
+    ivf_knn_topk(emb, emb, books).write.mode("overwrite").parquet(art)
+    reloaded = spark.read.schema("src long, dst long, d2 long").parquet(
+        art
+    )
+    return _ivf_verdict_from(spark, sf_dir, reloaded)
+
+
+# ------------------------------------------------- filtered walk
+# Metadata-filtered graph search, post-filter flavor: walk the
+# UNFILTERED graph (the serving path already pinned above), then
+# answer the filtered query from the walk's VISITED SET — the
+# candidates the walk actually scored. The honest question this
+# answers (the ivfpq_filtered_* sibling): how often does the
+# unfiltered walk's neighborhood contain the true label-matching
+# nearest neighbor? Production systems that need guarantees expand
+# neighbor lists under the filter (ACORN); this measures whether
+# that machinery is even needed at a given selectivity.
+
+_FILT_WALK_SQL = materialize_ctes(
+    f"""WITH {_graph_ctes(_ivf_knn_ctes())},
+    visited AS (
+      SELECT DISTINCT query_id, node FROM (
+        SELECT query_id, node FROM trajectory
+        UNION ALL
+        SELECT t.query_id, k.dst AS node
+        FROM trajectory t JOIN knn k ON k.src = t.node
+      )
+    ),
+    qlab AS (
+      SELECT vec_id AS query_id, label AS ql FROM embeddings
+      WHERE vec_id < {_NQ}
+    ),
+    filt AS (
+      SELECT query_id, node, d2 FROM (
+        SELECT w.query_id, w.node,
+               {_L2.format(a="v.qv", b="qs.qqv")} AS d2,
+               row_number() OVER (PARTITION BY w.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           w.node) AS rn
+        FROM visited w
+        JOIN embeddings e ON e.vec_id = w.node
+        JOIN qlab q ON q.query_id = w.query_id AND e.label = q.ql
+        JOIN qv v ON v.vec_id = w.node
+        JOIN qs ON qs.query_id = w.query_id
+        WHERE w.node <> w.query_id
+      ) WHERE rn = 1
+    ),
+    exactf AS (
+      SELECT query_id, node, d2 FROM (
+        SELECT qs.query_id, v.vec_id AS node,
+               {_L2.format(a="v.qv", b="qs.qqv")} AS d2,
+               row_number() OVER (PARTITION BY qs.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           v.vec_id) AS rn
+        FROM qs
+        JOIN qlab q ON q.query_id = qs.query_id
+        JOIN embeddings e ON e.label = q.ql
+        JOIN qv v ON v.vec_id = e.vec_id
+        WHERE v.vec_id <> qs.query_id
+      ) WHERE rn = 1
+    )
+    SELECT q.query_id, CAST(q.ql AS BIGINT) AS qlabel,
+           f.node AS filt_node, f.d2 AS filt_d2,
+           e.node AS exact_filt_nn, e.d2 AS exact_filt_d2,
+           f.d2 = e.d2 AS found_exact
+    FROM qlab q
+    LEFT JOIN filt f USING (query_id)
+    LEFT JOIN exactf e USING (query_id)"""
+)
+
+
+@query("graph_ann_filtered_walk", _FILT_WALK_SQL)
+def graph_ann_filtered_walk(spark, sf_dir):
+    """Label-filtered search over the IVF graph (section comment):
+    the unfiltered greedy walk's visited set (hop nodes ∪ their
+    neighbor lists — everything the walk scored), post-filtered to
+    the query's label, argmin — reported against the exact filtered
+    NN (bounded GT: |Q|·n label-matching argmin). found_exact
+    measures per query whether post-filtering the walk suffices at
+    this selectivity or ACORN-style filtered expansion is needed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = gann_books(emb)
+    knn = ivf_knn_topk(emb, emb, books).select("src", "dst").localCheckpoint()
+    traj = _trajectory(spark, sf_dir, knn=knn).localCheckpoint()
+    q = _quantized(emb)
+    qs = q.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    qlab = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    visited = (
+        traj.select("query_id", "node")
+        .unionByName(
+            F.broadcast(traj.select("query_id", "node"))
+            .join(knn, traj["node"] == knn["src"])
+            .select("query_id", F.col("dst").alias("node"))
+        )
+        .distinct()
+    )
+    lab = emb.select(F.col("vec_id").alias("node"), "label")
+    w = Window.partitionBy("query_id").orderBy("d2", "node")
+    filt = (
+        visited.join(lab, "node")
+        .join(F.broadcast(qlab), "query_id")
+        .filter(
+            (F.col("label") == F.col("ql"))
+            & (F.col("node") != F.col("query_id"))
+        )
+        .join(q.select(F.col("vec_id").alias("node"), "qv"), "node")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "node", _d2_expr().alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("node").alias("filt_node"),
+            F.col("d2").alias("filt_d2"),
+        )
+    )
+    exactf = (
+        q.select(F.col("vec_id").alias("node"), "qv")
+        .join(lab, "node")
+        .crossJoin(F.broadcast(qs.join(qlab, "query_id")))
+        .filter(
+            (F.col("label") == F.col("ql"))
+            & (F.col("node") != F.col("query_id"))
+        )
+        .select("query_id", "node", _d2_expr().alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("node").alias("exact_filt_nn"),
+            F.col("d2").alias("exact_filt_d2"),
+        )
+    )
+    return (
+        qlab.select("query_id", F.col("ql").cast("long").alias("qlabel"))
+        .join(filt, "query_id", "left")
+        .join(exactf, "query_id", "left")
+        .select(
+            "query_id",
+            "qlabel",
+            "filt_node",
+            "filt_d2",
+            "exact_filt_nn",
+            "exact_filt_d2",
+            (F.col("filt_d2") == F.col("exact_filt_d2")).alias(
+                "found_exact"
+            ),
+        )
     )
