@@ -17,6 +17,16 @@ reference counterpart, north-star additions.
   search on a plain kNN graph is NOT guaranteed to find the true NN
   (that is the point of HNSW's hierarchy); the verdict measures how
   often it does on this corpus, per query, exactly.
+- r13 completes the family's production lifecycle on the IVF-seeded
+  build below: ``graph_ann_ivf_build`` / ``graph_ann_ivf_verdict``
+  (~linear build + edge-recall audit), ``graph_ann_incremental_insert``
+  (frozen-books insert == rebuild) with its streaming twin
+  ``r25_stream_graph_insert`` (20th stream==batch pin),
+  ``graph_ann_index_roundtrip`` (persist/reload serving),
+  ``graph_ann_filtered_walk`` (label-filtered search from the walk's
+  visited set, vs the exact filtered NN), and
+  ``graph_ann_hier_assign_audit`` (two-level coarse-assignment
+  go/no-go with exact agreement + work counters).
 
 Exactness: vectors quantized to micro ints (the pq.py contract), all
 distances exact BIGINT (d2 ≤ 64·(2.4e6)² ≈ 3.7e14), ties broken by

@@ -80,7 +80,7 @@ def _tokens_expr():
       FROM tf GROUP BY term
     ),
     scored AS (
-      SELECT tf.doc_id,
+      SELECT tf.doc_id, tf.term,
              (({ln_nano_sql("2 * c.n_docs + 2", "duck")}
                - {ln_nano_sql("2 * df.df + 1", "duck")}) / 1e9)
                * (tf.tf * ({BM25_K1} + 1.0))
@@ -92,10 +92,20 @@ def _tokens_expr():
       JOIN df ON tf.term = df.term
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN corpus c
+    ),
+    folded AS (
+      -- ORDER-FREE float sum (r13): fold the <=4 term scores in
+      -- term-asc order in BOTH engines — a plain sum() adds in
+      -- physical row order, which differs between engines/plans in
+      -- the last ulp and flips round(.,12) at unlucky values (the
+      -- r13 sf0.1 gate caught exactly one such doc)
+      SELECT doc_id,
+             list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS raw
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id, round(sum(s), 12) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY sum(s) DESC, doc_id LIMIT 20
+    SELECT doc_id, round(raw, 12) AS bm25
+    FROM folded
+    ORDER BY raw DESC, doc_id LIMIT 20
     """,
 )
 def bm25_scoring(spark, sf_dir):
@@ -140,11 +150,19 @@ def bm25_scoring(spark, sf_dir):
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("doc_id", s.alias("s"))
+        .select("doc_id", "term", s.alias("s"))
     )
+    # ORDER-FREE float sum (r13, twin of the oracle's list_reduce):
+    # fold the <=4 term scores in term-asc order — sum() adds in
+    # physical row order, engine/plan-dependent in the last ulp
     return (
         scored.groupBy("doc_id")
-        .agg(F.sum("s").alias("raw"))
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, s))),"
+                " cast(0.0 as double), (acc, x) -> acc + x.s)"
+            ).alias("raw")
+        )
         .orderBy(F.desc("raw"), "doc_id")
         .limit(20)
         .select("doc_id", F.round("raw", 12).alias("bm25"))
