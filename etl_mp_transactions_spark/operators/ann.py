@@ -170,10 +170,13 @@ def cosine_topk_bcast(
     import pandas as pd
 
     spark = embeddings.sparkSession
-    n = embeddings.count()
+    # bounded existence check (ADVICE r13): limit(cap+1).count() scans
+    # only until cap+1 rows exist, instead of a full corpus count
+    # that doubles the input scan on every small-corpus call
+    n = embeddings.limit(BCAST_MAX_ROWS + 1).count()
     if n > BCAST_MAX_ROWS:
         raise ValueError(
-            f"cosine_topk_bcast: corpus has {n} rows >"
+            f"cosine_topk_bcast: corpus exceeds"
             f" BCAST_MAX_ROWS={BCAST_MAX_ROWS} — this exact-GT"
             " baseline materializes the corpus on the driver; use"
             " cosine_topk (tiled exact) or operators/ivfpq"

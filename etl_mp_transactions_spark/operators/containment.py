@@ -147,6 +147,10 @@ def pairs_bitmap(
     Returns (lang, source, sid_a, sid_b, inter, na, nb) with
     sid_a < sid_b and the exact containment filter applied.
     """
+    # materialize once (ADVICE r13): the guard's eager agg and the
+    # build's multiple reads would otherwise each replay the
+    # upstream explode+distinct lineage
+    sets = sets.localCheckpoint(eager=True)
     # candidate volume bound for the blocked self-join: Σ n_b² over
     # blocks (tiny agg over block counts — no pair join)
     stats = (
@@ -261,6 +265,10 @@ def pairs_prefix(sets: DataFrame, on_overflow: str = "flag") -> DataFrame:
     """Asymmetric PPJoin prefix-index candidates + positional filter
     + array_intersect verify (module docstring). Same contract as
     :func:`pairs_bitmap`."""
+    # materialize once (ADVICE r13): sets feeds the guard aggs, the
+    # prefix index, and both verify arms — without this each replays
+    # the upstream explode+distinct lineage
+    sets = sets.localCheckpoint(eager=True)
     ex = sets.select(
         "lang", "source", "sid", "n", F.explode("tokens").alias("tok")
     )
@@ -268,8 +276,10 @@ def pairs_prefix(sets: DataFrame, on_overflow: str = "flag") -> DataFrame:
         F.count("*").alias("df")
     )
     # candidate volume bound: a token with document frequency df can
-    # pair at most df(probe)·df(index) ≤ df² rows (tiny agg over the
-    # token-frequency table — no pair join)
+    # pair at most df(probe)·df(index) ≤ df² rows — est and n_sets in
+    # ONE aggregation over the token-frequency table (ADVICE r13:
+    # n_sets = Σ df / mean-set-size is not derivable there, so count
+    # distinct sets from the same checkpointed frame instead)
     stats = df_tok.agg(
         F.sum(F.col("df") * F.col("df")).alias("est")
     ).collect()[0]

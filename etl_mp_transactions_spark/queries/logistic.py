@@ -30,16 +30,24 @@ Exactness: with p a table literal, EVERY per-row contribution is
 pure BIGINT arithmetic — g = n·(y·1e9 − p_nano), h = n·⌊(p_nano·
 (1e9−p_nano)+5e8)/1e9⌋ — so the sums are order-free exact integers
 and the whole 3-step trajectory is deterministic and
-oracle-checkable. The Newton solve per step is INTEGER-EXACT too
-(VERDICT r12 task #2 — the last float removed from the trajectory):
-the 2x2 Cramer update Δ = round(1e9·num/den) with num = g0·h11 −
-g1·h01 (resp. g1·h00 − g0·h01) and den = h00·h11 − h01² is computed
-as exact base-1000 long division over 128-bit integers (DuckDB
-HUGEINT, Spark DECIMAL(38,0), python int), round-half-away-from-
-zero on the exact rational: |num| ≤ ~1e34 and every chunk operand
-stays < 1e38, so all three engines produce the identical BIGINT by
-construction — no IEEE representation, no round() boundary, nothing
-environment-dependent anywhere in the trajectory.
+oracle-checkable. The Newton solve per step is PURE-INT64 integer
+arithmetic (VERDICT r13 task #3 — the 128-bit types removed from the
+chain entirely): the 2x2 Cramer update Δ = round_half_away(1e9·num/
+den) with num = g0·h11 − g1·h01 (resp. g1·h00 − g0·h01) and den =
+h00·h11 − h01² runs through functions/i128.py — exact 128-bit cross
+products via 21-bit limb schoolbook multiplication, an exact common
+floor-shift of num/den to division-safe width (perturbs Δ by at most
+|Δ|·2⁻⁴⁹ + 1 nano, deterministically), then base-1000 long division
+with round-half-away. EVERY op is int64 +,−,×,%,truncating-div,abs,
+CASE — semantics with NO session-config surface in Spark OR DuckDB
+(the r12 solve used Spark DECIMAL(38,0)/DuckDB HUGEINT, and Spark
+decimal semantics vary with spark.sql.ansi.enabled /
+decimalOperations.allowPrecisionLoss — the one environment-dependent
+piece left in the chain, and the prime suspect for the driver-red
+``quality_classifier_poscontrol``; the retired 128-bit chain is kept
+below ONLY as the ``cramer_probe_decimal128`` driver diagnostic).
+tests/test_cramer_exact.py drives both chains through all three
+engines on adversarial operands under both ANSI modes.
 
 Scale: rows are pre-grouped by (x, y) — the feature is an integer
 band / bit-length with a bounded (≤ ~64-value) domain, so training
@@ -58,10 +66,23 @@ from fractions import Fraction
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.i128 import (
+    PROBE_CASES,
+    cramer_i64_stages,
+    cramer_update_i64_py,
+    delta_py,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 N_STEPS = 3
+# loud headroom guard (ADVICE r13): the i64 solve is exact for ALL
+# int64 inputs, so the one remaining overflow surface is the g/h SUM
+# itself wrapping int64 upstream (silent in non-ANSI Spark). Sums are
+# bounded by N·x²·1e9, so they cross 2^61 long before wrapping 2^63 on
+# any gradual scale-up — failing loudly at 2^61 in BOTH engines turns
+# the silent-wrong-answer path into an error naming the fix.
+SUM_GUARD = 1 << 61
 NANO = 1_000_000_000
 SIG_LO, SIG_HI = -200, 200  # deci-z clamp: z in [-20.0, 20.0]
 _DECI = 100_000_000  # nano units per deci-z grid step
@@ -129,17 +150,15 @@ _ROWS_G_CTE = (
 
 
 def _cramer_stages(div: str, huge: str) -> list[list[str]]:
-    """The INTEGER-EXACT Cramer update Δb = round_half_away(1e9·num/
-    den) as a chain of select-expression stages over a frame holding
-    (pb0, pb1, g0, g1, h00, h01, h11) — shared text between the
-    DuckDB oracle (div='//', huge='HUGEINT') and the Spark plan
-    (div='div', huge='DECIMAL(38,0)'); the python twin is
-    ``cramer_update_py``. Base-1000 long division keeps every
-    operand < 1e38 (|num| ≤ ~1e34, chunks multiply by 1000 only),
-    and all division operands are NON-NEGATIVE (|num| via abs, den >
-    0 by positive-definiteness of the Hessian), so DuckDB's
-    truncating ``//`` and Spark's truncating ``div`` both equal
-    floor division — the three engines agree integer for integer."""
+    """RETIRED 128-bit Cramer chain (r12) — NOT used by any training
+    path since r14. Kept verbatim solely as the driver-side
+    diagnostic ``cramer_probe_decimal128`` (quality_clf.py): pushed
+    over constant literals it attests whether DuckDB HUGEINT
+    (div='//') and Spark DECIMAL(38,0) (div='div') agree in the
+    DRIVER environment — a red cell there, with the i64 chain green,
+    pins three rounds of poscontrol divergence on 128-bit type
+    semantics (ANSI / precision-loss config) rather than data. The
+    live solve is functions/i128.py:cramer_i64_stages."""
 
     def _h(e: str) -> str:
         return f"CAST({e} AS {huge})"
@@ -194,31 +213,45 @@ def _cramer_stages(div: str, huge: str) -> list[list[str]]:
 
 
 def cramer_update_py(num: int, den: int) -> int:
-    """Python twin of the shared long-division chain: integer-exact
-    round-half-away-from-zero of 1e9·num/den (den > 0)."""
+    """Python twin of the RETIRED 128-bit chain (exact round-half-
+    away of 1e9·num/den, den > 0) — kept for the decimal128 probe and
+    the exactness cross-checks; the live twin is i128.delta_py."""
     q, r = divmod(abs(num) * 10**9, den)
     if 2 * r >= den:
         q += 1
     return -q if num < 0 else q
 
 
+def _sum_guard_sql(errfn: str, p: str = "") -> str:
+    """Loud int64-headroom guard on the g/h sums (ADVICE r13), as a
+    0-or-raise term added to g0 so no optimizer can prune it.
+    ``errfn`` is the engine's raise expression (DuckDB ``error(...)``,
+    Spark ``assert_true(false, ...)``); ``p`` structurally qualifies
+    the column references."""
+    bad = (
+        f"greatest(abs({p}g0), abs({p}g1), abs({p}h00),"
+        f" abs({p}h01), abs({p}h11)) >= {SUM_GUARD}"
+    )
+    return f"CASE WHEN {bad} THEN {errfn} ELSE 0 END"
+
+
+_GUARD_MSG = (
+    "'newton g/h sums exceed int64 headroom (2^61):"
+    " shard or rescale the training slice'"
+)
+
+
 def _newton_sql(prev: str, idx: int) -> str:
     """One Newton step as a CTE chain reading params from ``prev``:
     pure-BIGINT contribution sums over the grouped rows (joined to
-    the sig grid on quantized z), then the shared-text INTEGER-EXACT
-    Cramer solve (``_cramer_stages`` — zero floats anywhere)."""
+    the sig grid on quantized z), a loud 2^61 headroom guard on the
+    sums, then the config-invariant pure-int64 Cramer solve
+    (functions/i128.py — zero floats, zero 128-bit types)."""
     zd = _zd_sql(f"{prev}.b0", f"{prev}.b1", x="g.x")
     h = _h_sql()
-    stages = _cramer_stages("//", "HUGEINT")
-    # stage 0 runs alongside the prev-param/sum merge (explicit s./pp.
-    # prefixes: prev carries g0..h11 too, so bare names are ambiguous)
-    st0 = ", ".join(
-        e.replace("g0", "s.g0")
-        .replace("g1", "s.g1")
-        .replace("h00", "s.h00")
-        .replace("h01", "s.h01")
-        .replace("h11", "s.h11")
-        for e in stages[0]
+    stages = cramer_i64_stages("//")
+    guard = _sum_guard_sql(
+        f"CAST(error({_GUARD_MSG}) AS BIGINT)", p="s."
     )
     ctes = [
         f"""
@@ -233,14 +266,13 @@ def _newton_sql(prev: str, idx: int) -> str:
     ),
     d{idx} AS (
       SELECT pp.b0 AS pb0, pp.b1 AS pb1,
-             s.g0 AS g0, s.g1 AS g1,
-             s.h00 AS h00, s.h01 AS h01, s.h11 AS h11,
-             {st0}
+             s.g0 + {guard} AS g0, s.g1 AS g1,
+             s.h00 AS h00, s.h01 AS h01, s.h11 AS h11
       FROM s{idx} s CROSS JOIN {prev} pp
     )"""
     ]
     src = f"d{idx}"
-    for k, st in enumerate(stages[1:-1], start=1):
+    for k, st in enumerate(stages[:-1], start=1):
         ctes.append(
             f"e{idx}_{k} AS (SELECT *, {', '.join(st)} FROM {src})"
         )
@@ -317,6 +349,9 @@ def newton_steps(spark, rows, n_steps: int = N_STEPS) -> list:
         F.lit(0).cast("bigint").alias("b1"),
     )
     h = _h_sql(pn="pn", div="div")
+    guard = _sum_guard_sql(
+        f"CAST(assert_true(false, {_GUARD_MSG}) AS BIGINT)"
+    )
     steps: list = []
     for _ in range(n_steps):
         zd = F.expr(_zd_sql("b0", "b1", x="x", div="div"))
@@ -332,9 +367,15 @@ def newton_steps(spark, rows, n_steps: int = N_STEPS) -> list:
             F.expr(f"sum(n * {h} * x)").alias("h01"),
             F.expr(f"sum(n * {h} * x * x)").alias("h11"),
         )
-        stages = _cramer_stages("div", "DECIMAL(38,0)")
+        stages = cramer_i64_stages("div")
         cur = sums.crossJoin(F.broadcast(params)).selectExpr(
-            "b0 AS pb0", "b1 AS pb1", "g0", "g1", "h00", "h01", "h11"
+            "b0 AS pb0",
+            "b1 AS pb1",
+            f"g0 + {guard} AS g0",
+            "g1",
+            "h00",
+            "h01",
+            "h11",
         )
         for st in stages[:-1]:
             cur = cur.selectExpr("*", *st)
@@ -395,4 +436,159 @@ def logistic_newton_steps(spark, sf_dir):
         F.col("h00").alias("last_h00"),
         F.col("h01").alias("last_h01"),
         F.col("h11").alias("last_h11"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Constant-literal driver probes (VERDICT r13 task #2): NO table scan —
+# pure VALUES through the arithmetic chains. Data-independent by
+# construction: a red cell at the driver on any of these proves an
+# engine/environment arithmetic divergence reproducible from literals
+# alone (and the failing operands are readable off the artifact); all
+# green pushes the remaining poscontrol suspicion to driver-side data.
+# All value columns are emitted CAST to STRING in both engines (r13
+# task #3 insurance: rules out numeric type-canonicalization in the
+# driver's value hash as a cause).
+
+# retired-chain probe operands: its documented domain (den > 0,
+# 128-bit-safe magnitudes) — drawn from the r12 adversarial test set
+DEC128_PROBE_CASES = [
+    (0, 0, 1, 0, 2_000_000_000, 0, 1),
+    (0, 0, -1, 0, 2_000_000_000, 0, 1),
+    (0, 0, 0, 0, 7, 0, 13),
+    (0, 0, 10**15, -(10**15) + 7, 3 * 10**14, 10**13, 2 * 10**17),
+    (0, 0, -(10**15), 10**14 + 3, 10**14, -(10**12), 10**17),
+    (0, 0, 999_999_937, -31, 3, 1, 17),
+    (0, 0, 3, -3, 10**9, 0, 10**9),
+]
+
+_PROBE_SCHEMA = (
+    "rid BIGINT, pb0 BIGINT, pb1 BIGINT, g0 BIGINT, g1 BIGINT,"
+    " h00 BIGINT, h01 BIGINT, h11 BIGINT"
+)
+
+
+def _probe_values_cte(cases) -> str:
+    vals = ", ".join(
+        f"({i}, {r[0]}, {r[1]}, {r[2]}, {r[3]}, {r[4]}, {r[5]}, {r[6]})"
+        for i, r in enumerate(cases)
+    )
+    cols = ["rid", "pb0", "pb1", "g0", "g1", "h00", "h01", "h11"]
+    sel = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return (
+        f"d0 AS (SELECT {sel} FROM (VALUES {vals})"
+        f" v({', '.join(cols)}))"
+    )
+
+
+def _probe_oracle(stages, cases) -> str:
+    ctes = [_probe_values_cte(cases)]
+    src = "d0"
+    for k, st in enumerate(stages[:-1], start=1):
+        ctes.append(f"d{k} AS (SELECT *, {', '.join(st)} FROM {src})")
+        src = f"d{k}"
+    return f"""
+    WITH {','.join(ctes)},
+    fin AS (SELECT rid, {', '.join(stages[-1])} FROM {src})
+    SELECT rid, CAST(b0 AS VARCHAR) AS b0, CAST(b1 AS VARCHAR) AS b1
+    FROM fin ORDER BY rid
+    """
+
+
+def _probe_spark(spark, stages, cases):
+    cur = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(cases)], _PROBE_SCHEMA
+    )
+    for st in stages[:-1]:
+        cur = cur.selectExpr("*", *st)
+    return cur.selectExpr("rid", *stages[-1]).selectExpr(
+        "rid", "CAST(b0 AS STRING) AS b0", "CAST(b1 AS STRING) AS b1"
+    ).orderBy("rid")
+
+
+@query(
+    "cramer_probe",
+    _probe_oracle(cramer_i64_stages("//"), PROBE_CASES),
+)
+def cramer_probe(spark, sf_dir):
+    """LIVE-chain literal probe: the i128.py adversarial operand set
+    (exact-half remainders, zero/negative dens, limb/shift/clamp
+    boundaries, near-int64 extremes) pushed through the pure-int64
+    Cramer chain as VALUES in both engines. Red here = the driver box
+    disagrees on config-invariant int64 arithmetic (which would be
+    extraordinary); green = the solve is attested engine-identical at
+    the driver, independent of any data."""
+    return _probe_spark(spark, cramer_i64_stages("div"), PROBE_CASES)
+
+
+@query(
+    "cramer_probe_decimal128",
+    _probe_oracle(
+        _cramer_stages("//", "HUGEINT"), DEC128_PROBE_CASES
+    ),
+)
+def cramer_probe_decimal128(spark, sf_dir):
+    """RETIRED-chain diagnostic probe: the r12 HUGEINT/DECIMAL(38,0)
+    long-division chain over constant literals. This arithmetic is NO
+    LONGER used by any training path — the probe exists to make the
+    driver explain three rounds of poscontrol red: red here (with
+    ``cramer_probe`` green) pins the historical divergence on 128-bit
+    type semantics in the driver environment (Spark ANSI /
+    decimal-precision session config, DuckDB HUGEINT build) — exactly
+    the hypothesis the r14 i64 rewrite removes."""
+    return _probe_spark(
+        spark, _cramer_stages("div", "DECIMAL(38,0)"), DEC128_PROBE_CASES
+    )
+
+
+# deci-z quantization + grid-join probe: exact tie points at the
+# round-half-up boundary, clamp edges, and plain interior values
+Z_PROBES = [
+    0, 1, -1,
+    49_999_999, 50_000_000, 50_000_001,
+    -49_999_999, -50_000_000, -50_000_001,
+    149_999_999, 150_000_000, -150_000_000,
+    19_999_999_999, 19_950_000_000, -19_950_000_000,
+    20_049_999_999, 20_050_000_000, -20_050_000_000,
+    -20_049_999_999, 123_456_789, -987_654_321,
+    7_000_000_000, 10**15, -(10**15),
+]
+
+
+def _sigmoid_probe_oracle() -> str:
+    vals = ", ".join(f"({i}, {z})" for i, z in enumerate(Z_PROBES))
+    zd = _zd_sql("z.z_nano", "0", x="0")
+    return f"""
+    WITH {_sig_cte()},
+    z AS (SELECT CAST(rid AS BIGINT) AS rid, CAST(z AS BIGINT) AS z_nano
+          FROM (VALUES {vals}) v(rid, z))
+    SELECT z.rid, CAST(z.z_nano AS VARCHAR) AS z_nano,
+           CAST(sig.zd AS VARCHAR) AS zd, CAST(sig.pn AS VARCHAR) AS pn
+    FROM z JOIN sig ON sig.zd = {zd}
+    ORDER BY z.rid
+    """
+
+
+@query("sigmoid_grid_probe", _sigmoid_probe_oracle())
+def sigmoid_grid_probe(spark, sf_dir):
+    """Grid-lookup literal probe: fixed z_nano literals through the
+    deci quantization (round-half-up at exact ties, the [-200, 200]
+    clamp) and the 401-row Fraction-derived sigmoid grid join — the
+    other arithmetic stage of the Newton chain, attested at the
+    driver with zero data dependence. The python twin is
+    ``sig_pn_py``; tests pin all three engines on these literals."""
+    z = spark.createDataFrame(
+        list(enumerate(Z_PROBES)), "rid BIGINT, z_nano BIGINT"
+    )
+    zd = F.expr(_zd_sql("z_nano", "0", x="0", div="div"))
+    return (
+        z.withColumn("zd", zd)
+        .join(F.broadcast(sig_spark_df(spark)), "zd")
+        .selectExpr(
+            "rid",
+            "CAST(z_nano AS STRING) AS z_nano",
+            "CAST(zd AS STRING) AS zd",
+            "CAST(pn AS STRING) AS pn",
+        )
+        .orderBy("rid")
     )

@@ -151,6 +151,36 @@ _SPOTLIGHT[_SPOTLIGHT.index("graph_ann_greedy_search")] = (
     "graph_ann_ivf_verdict"
 )
 
+# r14 swaps (VERDICT r13 tasks #1/#2/#6): (a) the poscontrol Newton
+# trajectory split into three SINGLE-ROW per-step entries so the
+# driver's per-query hash names the first diverging step itself;
+# (b) the two constant-literal arithmetic probes (data-independent:
+# VALUES only, no table scan) plus the retired-128-bit diagnostic
+# probe; (c) the r13 flagship families get driver attestation
+# (IVF-seeded graph build, streaming graph insert). Displaced (all
+# driver-green 2+ rounds, every family still represented in the
+# window): hybrid_rrf_fusion (hybrid_mmr_rerank stays),
+# ivfpq_delete_serve + ivfpq_upsert_serve (5 ivfpq entries stay),
+# video_scene_cuts (multimodal_features, image_phash64 stay),
+# dedup_incremental_new_vs_old (dedup_exact, dedup_minhash_lsh stay),
+# embedding_neardup (ann_cosine_topk stays), j2_tfidf_exact_pairs
+# (j2_anomaly_pairs stays), q17_avg_subquery (q1, q3 stay),
+# viterbi_em_train (duplicate_maximal_spans stays).
+for _old, _new in [
+    ("hybrid_rrf_fusion", "quality_classifier_poscontrol_step1"),
+    ("ivfpq_delete_serve", "quality_classifier_poscontrol_step2"),
+    ("ivfpq_upsert_serve", "quality_classifier_poscontrol_step3"),
+    ("video_scene_cuts", "cramer_probe"),
+    ("dedup_incremental_new_vs_old", "cramer_probe_decimal128"),
+    ("embedding_neardup", "sigmoid_grid_probe"),
+    ("j2_tfidf_exact_pairs", "graph_ann_ivf_build"),
+    ("q17_avg_subquery", "r25_stream_graph_insert"),
+    # the r14 build==flat equivalence pin (task #4's done criterion;
+    # replaces the r13 go/no-go audit, whose decision is executed)
+    ("ivfpq_train_gain", "graph_ann_build_flat_equiv"),
+]:
+    _SPOTLIGHT[_SPOTLIGHT.index(_old)] = _new
+
 
 # Rotation slots (ADVICE r10): the tail of the 50-entry driver window
 # is NOT hand-curated — it is a deterministic per-round draw from the
@@ -158,7 +188,7 @@ _SPOTLIGHT[_SPOTLIGHT.index("graph_ann_greedy_search")] = (
 # periodically get driver coverage instead of being permanently
 # invisible to the driver gate. Bump the salt each round to rotate.
 _ROTATION_SLOTS = 4
-_ROTATION_SALT = "r13"
+_ROTATION_SALT = "r14"
 
 
 def _spotlight_first(d: dict) -> dict:

@@ -125,15 +125,20 @@ def test_incremental_insert_equals_rebuild(spark, sf_dir):
 
 
 def test_ivf_build_python_replay_and_verdict_bounds(spark, sf_dir):
-    """IVF-seeded build (r13): a full python replay of the
-    books→probe→candidate→top-8 chain must match Spark's edge set
-    exactly, and the verdict's recall/hop fields must be bounded."""
+    """IVF-seeded build (r13, r14 two-level assignment): a full
+    python replay of the books→super→probe→candidate→top-8 chain —
+    independent of the engine helpers, hashlib + numpy only — must
+    match Spark's edge set exactly, and the verdict's recall/hop
+    fields must be bounded."""
     import hashlib
+    import math
 
     from etl_mp_transactions_spark.queries.graphann import (
         _GANN_BUCKET,
         _GANN_KC_MIN,
         _GANN_NPROBE,
+        _GANN_SUPER_PROBE,
+        _GANN_SUPER_TAG,
         _GANN_TAG,
         gann_books,
         graph_ann_ivf_verdict,
@@ -149,10 +154,31 @@ def test_ivf_build_python_replay_and_verdict_bounds(spark, sf_dir):
         for v in ids
     )[:kc]
     B = np.stack([q[pos[v]] for _, v in seeds])
+    # two-level structure: md5-rank super seeds over centroid ids,
+    # nearest-super membership (s-asc ties) + forced self-membership
+    s_int = math.isqrt(kc)
+    ks = max(2, s_int if s_int * s_int == kc else s_int + 1)
+    sorder = sorted(
+        range(kc),
+        key=lambda c: (
+            hashlib.md5(f"{c}{_GANN_SUPER_TAG}".encode()).hexdigest(),
+            c,
+        ),
+    )[:ks]
+    S = B[sorder]
+    smembers = defaultdict(set)
+    for c in range(kc):
+        d = ((S - B[c]) ** 2).sum(axis=1)
+        smembers[int(np.argmin(d))].add(c)
+    for s, c in enumerate(sorder):
+        smembers[s].add(c)
 
     def probes(v, k):
-        d = ((B - q[pos[v]]) ** 2).sum(axis=1)
-        return list(np.argsort(d, kind="stable")[:k])
+        ds = ((S - q[pos[v]]) ** 2).sum(axis=1)
+        top = np.argsort(ds, kind="stable")[:_GANN_SUPER_PROBE]
+        cand = sorted(set().union(*(smembers[int(s)] for s in top)))
+        dc = sorted((int(((B[c] - q[pos[v]]) ** 2).sum()), c) for c in cand)
+        return [c for _, c in dc[:k]]
 
     prim = {int(v): probes(int(v), 1)[0] for v in ids}
     members = defaultdict(list)
@@ -181,3 +207,36 @@ def test_ivf_build_python_replay_and_verdict_bounds(spark, sf_dir):
         assert 0 <= r.converged_hop <= _HOPS
         assert r.final_d2 >= r.exact_d2
         assert r.found_exact == (r.final_d2 == r.exact_d2)
+
+
+def test_build_flat_equiv_counters(spark, sf_dir):
+    """graph_ann_build_flat_equiv (r14): the equivalence pin's
+    counters must be internally consistent — common ≤ both edge
+    counts, identical ⇔ full overlap, eval counters match their
+    closed forms (flat = n·KC; hier = n·ks1 + Σ|cand|, which with
+    self-membership is between n·(ks1+1) and n·(ks1+KC))."""
+    from etl_mp_transactions_spark.queries.graphann import (
+        graph_ann_build_flat_equiv,
+    )
+
+    r = graph_ann_build_flat_equiv(spark, sf_dir).collect()[0]
+    assert r.edges_common <= min(r.edges_hier, r.edges_flat)
+    assert r.identical == (
+        r.edges_hier == r.edges_flat == r.edges_common
+    )
+    assert r.evals_flat == r.n * r.kc
+    assert r.n * (r.ks1 + 1) <= r.evals_hier <= r.n * (r.ks1 + r.kc)
+
+
+def test_gann_books_kc_ceiling(spark, sf_dir, monkeypatch):
+    """gann_books (VERDICT r13 task #5): a corpus whose KC would
+    exceed the documented driver-collect ceiling must refuse loudly,
+    naming the sampled-quantizer scale path."""
+    import pytest
+
+    from etl_mp_transactions_spark.queries import graphann
+
+    monkeypatch.setattr(graphann, "GANN_KC_CEIL", 1)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="driver-collect ceiling"):
+        graphann.gann_books(emb)

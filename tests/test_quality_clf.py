@@ -8,9 +8,9 @@ import hashlib
 from collections import Counter
 
 from etl_mp_transactions_spark.queries.dsir import DSIR_NB, DSIR_SCALE
+from etl_mp_transactions_spark.functions.i128 import delta_py
 from etl_mp_transactions_spark.queries.logistic import (
     N_STEPS,
-    cramer_update_py,
     sig_pn_py,
 )
 from etl_mp_transactions_spark.queries.quality_clf import (
@@ -71,8 +71,8 @@ def _python_train(feats):
             h01 += n * h * x
             h11 += n * h * x * x
         den = h00 * h11 - h01 * h01  # exact python ints throughout
-        b0 += cramer_update_py(g0 * h11 - g1 * h01, den)
-        b1 += cramer_update_py(g1 * h00 - g0 * h01, den)
+        b0 += delta_py(g0 * h11 - g1 * h01, den)
+        b1 += delta_py(g1 * h00 - g0 * h01, den)
     return b0, b1
 
 
@@ -104,7 +104,7 @@ def test_train_matches_python_and_beats_base_rate(spark, sf_dir):
     feats = _python_features(_docs(spark, sf_dir))
     b0, b1 = _python_train(feats)
     r = queries()["quality_classifier_train"](spark, sf_dir).collect()[0]
-    assert (r["b0_nano"], r["b1_nano"]) == (b0, b1)
+    assert (int(r["b0_nano"]), int(r["b1_nano"])) == (b0, b1)
     n = r["tp"] + r["fp"] + r["tn"] + r["fn"]
     assert n == len(feats)
     accuracy = (r["tp"] + r["tn"]) / n
@@ -170,7 +170,7 @@ def test_heldout_eval_rejects_memorizing_filter(spark, sf_dir):
         else:
             fn += 1
     r = queries()["quality_classifier_eval"](spark, sf_dir).collect()[0]
-    assert (r["b0_nano"], r["b1_nano"]) == (b0, b1)
+    assert (int(r["b0_nano"]), int(r["b1_nano"])) == (b0, b1)
     assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
     n = tp + fp + tn + fn
     assert r["accuracy_bp"] == ((tp + tn) * 10000) // n
@@ -242,7 +242,7 @@ def test_poscontrol_gate_passes_with_python_replay(spark, sf_dir):
     acc_bp = ((tp + tn) * 10000) // n
     base_bp = (max(tp + fn, fp + tn) * 10000) // n
     r = queries()["quality_classifier_poscontrol"](spark, sf_dir).collect()[0]
-    assert (r["b0_nano"], r["b1_nano"]) == (b0, b1)
+    assert (int(r["b0_nano"]), int(r["b1_nano"])) == (b0, b1)
     assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
     assert (r["accuracy_bp"], r["base_bp"]) == (acc_bp, base_bp)
     assert r["deployable"] and acc_bp >= base_bp + DEPLOY_MARGIN_BP

@@ -187,10 +187,8 @@ def test_logistic_newton_vs_python(spark, sf_dir, q):
     the three engines)."""
     import math
 
-    from etl_mp_transactions_spark.queries.logistic import (
-        cramer_update_py,
-        sig_pn_py,
-    )
+    from etl_mp_transactions_spark.functions.i128 import delta_py
+    from etl_mp_transactions_spark.queries.logistic import sig_pn_py
 
     pdf = q["logistic_newton_steps"](spark, sf_dir).toPandas()
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
@@ -209,12 +207,12 @@ def test_logistic_newton_vs_python(spark, sf_dir, q):
             h01 += h * xi
             h11 += h * xi * xi
         den = h00 * h11 - h01 * h01  # exact python ints throughout
-        b0 += cramer_update_py(g0 * h11 - g1 * h01, den)
-        b1 += cramer_update_py(g1 * h00 - g0 * h01, den)
+        b0 += delta_py(g0 * h11 - g1 * h01, den)
+        b1 += delta_py(g1 * h00 - g0 * h01, den)
         last = (g0, g1, h00, h01, h11)
     r = pdf.iloc[0]
-    # the Cramer solve is integer-exact in all three engines
-    # (logistic.cramer_update_py is the shared rounding contract)
+    # the Cramer solve is pure-int64 deterministic in all three
+    # engines (i128.delta_py is the shared quantized contract)
     assert (int(r.b0_nano), int(r.b1_nano)) == (b0, b1)
     assert (
         int(r.last_g0), int(r.last_g1), int(r.last_h00),
