@@ -107,7 +107,9 @@ _GANN_SUPER_PROBE = 2
 GANN_KC_CEIL = 1 << 16
 
 
-def _ivf_knn_ctes(base_pred: str = "TRUE") -> str:
+def _ivf_knn_ctes(
+    base_pred: str = "TRUE", node_pred: str = "TRUE"
+) -> str:
     """DuckDB twin of the IVF-seeded kNN-graph build, as CTE text
     (expects ``qv`` defined): md5-rank coarse seeds over the
     ``base_pred`` slice (KC = max(8, ⌈n/256⌉), data-derived in SQL so
@@ -117,7 +119,11 @@ def _ivf_knn_ctes(base_pred: str = "TRUE") -> str:
     then argmin over their member centroids with c-asc ties —
     centroid membership = nearest super plus forced self-membership),
     candidate edges = probed-list cohabitants by primary assignment,
-    exact top-{_DEG} per node. Defines ``knn(src, dst, d2, rnk)``."""
+    exact top-{_DEG} per node. ``base_pred`` restricts the slice the
+    COARSE SEEDS are picked from (frozen-books maintenance);
+    ``node_pred`` restricts which nodes participate in the graph at
+    all (delete maintenance: survivors only, books untouched).
+    Defines ``knn(src, dst, d2, rnk)``."""
     d2vc = _L2.format(a="v.qv", b="cb.ccqv")
     d2ab = _L2.format(a="a.qv", b="b.qv")
     d2cs = _L2.format(a="cb.ccqv", b="sb.scqv")
@@ -163,7 +169,7 @@ def _ivf_knn_ctes(base_pred: str = "TRUE") -> str:
         SELECT v.vec_id, sb.s,
                row_number() OVER (PARTITION BY v.vec_id
                                   ORDER BY {d2vs}, sb.s) AS spr
-        FROM qv v CROSS JOIN sb
+        FROM qv v CROSS JOIN sb WHERE {node_pred}
       ) WHERE spr <= {_GANN_SUPER_PROBE}
     ),
     vcand AS (
@@ -976,6 +982,70 @@ def graph_ann_incremental_insert(spark, sf_dir):
     )
 
 
+# graph-index DELETE maintenance (r14 — completes the family's
+# lifecycle next to insert/roundtrip/upsert-by-rebuild): ~10% of
+# vectors are tombstoned; coarse books stay FROZEN (a delete never
+# re-picks centroids) and ONLY the nodes that actually lost an edge
+# re-scan their probed lists — every other surviving node keeps its
+# edges verbatim, which IS the rebuild's answer for it: its candidate
+# set only shrank and its full top-{_DEG} survived, so nothing can
+# displace them. The oracle is the frozen-books rebuild over the
+# survivors — delete == rebuild, the FAISS remove_ids identity, with
+# repair work proportional to |affected| not n.
+_DEL_PRED = "vec_id % 10 <> 3"  # survivors; vec_id % 10 = 3 deleted
+
+_DELETE_SQL = materialize_ctes(
+    f"""WITH {_QV_CTE},
+    {_ivf_knn_ctes(node_pred=_DEL_PRED)}
+    SELECT src, dst, d2, CAST(rnk AS BIGINT) AS rnk FROM knn"""
+)
+
+
+@query("graph_ann_delete_repair", _DELETE_SQL)
+def graph_ann_delete_repair(spark, sf_dir):
+    """Tombstone-delete repair of the IVF-seeded graph (section
+    comment): pre-delete index + tombstone set → pass through every
+    surviving node whose edges all survive, re-rank ONLY the affected
+    nodes against the surviving members of their probed lists (books
+    frozen). Output = the full post-delete graph; the oracle rebuilds
+    from survivors, pinning repair == rebuild exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    survivors = emb.filter(F.expr(_DEL_PRED))
+    books = gann_books(emb)  # frozen from the PRE-delete corpus
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    base_graph = (
+        ivf_knn_topk(emb, emb, books)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .localCheckpoint()
+    )
+    deleted = emb.filter(~F.expr(_DEL_PRED)).select(
+        F.col("vec_id").alias("dst")
+    )
+    affected = (
+        base_graph.join(F.broadcast(deleted), "dst")
+        .select("src")
+        .distinct()
+    )
+    # survivors that lost no edge: their rebuild top-8 is their old
+    # top-8 (candidates only shrank, all 8 survived) — pass through,
+    # old rnk still correct (the surviving edge order is unchanged)
+    surviving_srcs = survivors.select(F.col("vec_id").alias("src"))
+    keep = (
+        base_graph.join(surviving_srcs, "src", "semi")
+        .join(affected, "src", "left_anti")
+        .select("src", "dst", "d2", "rnk")
+    )
+    aff_emb = survivors.join(
+        affected.withColumnRenamed("src", "vec_id"), "vec_id", "semi"
+    )
+    repaired = ivf_knn_topk(aff_emb, survivors, books).withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
+    return keep.unionByName(
+        repaired.select("src", "dst", "d2", "rnk")
+    )
+
+
 # ------------------------------- build==flat equivalence pin (r14)
 # The r13 audit measured the two-level assignment (9.3x fewer evals;
 # the flat arm 18.5x wall at a 10x step) and r14 switched the BUILD to
@@ -1364,4 +1434,58 @@ def graph_ann_filtered_walk(spark, sf_dir):
                 "found_exact"
             ),
         )
+    )
+
+
+@query("r26_stream_graph_delete", _DELETE_SQL)
+def r26_stream_graph_delete(spark, sf_dir):
+    """Streaming graph-index DELETE maintenance (21st stream==batch
+    pin; streaming/filesource.stream_graph_delete_run): coarse books
+    FROZEN from the pre-delete corpus; the tombstone set (vec_id %
+    10 = 3) streams in as four mtime-ordered id files — one
+    micro-batch each — plus a replay of the first file that must
+    contribute zero (already-tombstoned anti-join + per-batch
+    partition overwrite, the r22 no-ledger construction). Each batch
+    repairs ONLY the nodes whose current edges hit the batch's new
+    tombstones; the final latest-fragment view must equal the batch
+    ``graph_ann_delete_repair`` — the SAME oracle (frozen-books
+    rebuild over survivors)."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_mp_transactions_spark.streaming import filesource
+    from etl_mp_transactions_spark.workdirs import run_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = run_dir("r26_graph_del")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    tombs = emb.filter(~F.expr(_DEL_PRED)).select("vec_id").withColumn(
+        "g", F.expr("(vec_id div 10) % 4")
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        tombs.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
+    shutil.copy(os.path.join(stage, "f0.parquet"), rp)
+    os.utime(rp, (t0 + 40, t0 + 40))
+    books = gann_books(emb)
+    return filesource.stream_graph_delete_run(
+        spark,
+        stage,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+        emb,
+        books,
     )

@@ -178,6 +178,11 @@ for _old, _new in [
     # the r14 build==flat equivalence pin (task #4's done criterion;
     # replaces the r13 go/no-go audit, whose decision is executed)
     ("ivfpq_train_gain", "graph_ann_build_flat_equiv"),
+    # r14 in-round: graph-index DELETE repair + its streaming twin
+    # (complete the graph lifecycle; the displaced entries' families
+    # keep 3 ivfpq pins / the multimodal_features pin respectively)
+    ("ivfpq_recall_at5", "graph_ann_delete_repair"),
+    ("image_phash64_neardup", "r26_stream_graph_delete"),
 ]:
     _SPOTLIGHT[_SPOTLIGHT.index(_old)] = _new
 

@@ -1237,3 +1237,166 @@ def stream_graph_insert_run(
         .filter(F.col("rnk") <= _DEG)
         .select("src", "dst", "rnk")
     )
+
+
+def stream_graph_delete_run(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    emb: DataFrame,
+    books,
+) -> DataFrame:
+    """Streaming graph-index DELETE maintenance (R26, 21st
+    stream==batch pin): tombstone batches repair the IVF-seeded kNN
+    graph against FROZEN coarse books — the online twin of the batch
+    ``graph_ann_delete_repair`` identity (queries/graphann.py).
+
+    State = two per-batch partition-overwritten stores, no ledger:
+    (a) tombstones (set union — idempotent by nature, the r22
+    construction: a replayed file's ids anti-join to nothing), and
+    (b) repair FRAGMENTS: batch b writes the full post-repair top-8
+    rows for exactly the nodes whose CURRENT edges hit this batch's
+    NEW tombstones, computed against the survivors-so-far. The
+    current view is latest-fragment-per-src over base ∪ fragments
+    minus tombstoned srcs; by the batch query's pass-through argument
+    (an unaffected node's candidates only shrank and its whole top-8
+    survived), the view after every batch equals the frozen-books
+    rebuild over the survivors — inductively, so the FINAL view
+    equals batch ``graph_ann_delete_repair`` bit for bit: the same
+    DuckDB oracle. Replay safety falls out: a re-delivered file's
+    tombstones are already recorded, so its new-tombstone set is
+    empty, no node is affected, and its fragment is empty."""
+    from pyspark.sql import Window
+
+    from etl_mp_transactions_spark.queries.graphann import (
+        _DEG,
+        ivf_knn_topk,
+    )
+
+    tombs_dir = os.path.join(state_dir, "tombs")
+    frags_dir = os.path.join(state_dir, "frags")
+    os.makedirs(tombs_dir, exist_ok=True)
+    os.makedirs(frags_dir, exist_ok=True)
+    id_schema = "vec_id long"
+    frag_schema = "src long, dst long, d2 long, bid long"
+    emb = emb.localCheckpoint(eager=True)
+    base = ivf_knn_topk(emb, emb, books).select(
+        "src", "dst", "d2", F.lit(-1).cast("long").alias("bid")
+    )
+    base.write.mode("overwrite").parquet(
+        os.path.join(frags_dir, "batch=base")
+    )
+
+    def _read_all(root: str, schema: str) -> DataFrame:
+        dirs = [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch=")
+        ]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs)
+
+    def _tombs_except(batch_id: int) -> DataFrame:
+        dirs = [
+            os.path.join(tombs_dir, d)
+            for d in sorted(os.listdir(tombs_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        if not dirs:
+            return spark.createDataFrame([], id_schema)
+        return spark.read.schema(id_schema).parquet(*dirs)
+
+    def _view(frags: DataFrame, tombs: DataFrame) -> DataFrame:
+        # latest fragment per src, minus tombstoned srcs AND dsts.
+        # The dst filter matters for the empty-repair edge case: an
+        # affected node with NO surviving candidates writes an empty
+        # fragment, so latest-per-src falls back to its older rows —
+        # but all of those are tombstoned dsts (a surviving old edge
+        # is always still a candidate), so the dst anti-join removes
+        # exactly them and the view stays == rebuild.
+        wl = Window.partitionBy("src").orderBy(F.col("bid").desc())
+        return (
+            frags.withColumn("mb", F.max("bid").over(wl))
+            .filter(F.col("bid") == F.col("mb"))
+            .join(
+                tombs.withColumnRenamed("vec_id", "src"),
+                "src",
+                "left_anti",
+            )
+            .join(
+                tombs.withColumnRenamed("vec_id", "dst"),
+                "dst",
+                "left_anti",
+            )
+            .select("src", "dst", "d2")
+        )
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        prior_tombs = _tombs_except(batch_id)
+        fresh = batch_df.select("vec_id").join(
+            prior_tombs, "vec_id", "left_anti"
+        )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(tombs_dir, f"batch={batch_id}")
+        )
+        fresh = spark.read.schema(id_schema).parquet(
+            os.path.join(tombs_dir, f"batch={batch_id}")
+        )
+        all_tombs = prior_tombs.unionByName(fresh)
+        # affected detection reads the view BEFORE this batch's
+        # tombstones take effect — the all-tombs view would have
+        # already dst-filtered away exactly the edges that prove a
+        # node needs repair. Srcs tombstoned in this batch are
+        # excluded (they leave the graph, no repair).
+        view = _view(_read_all(frags_dir, frag_schema), prior_tombs)
+        affected = (
+            view.join(
+                fresh.withColumnRenamed("vec_id", "dst"), "dst"
+            )
+            .select("src")
+            .distinct()
+            .join(
+                fresh.withColumnRenamed("vec_id", "src"),
+                "src",
+                "left_anti",
+            )
+        )
+        survivors = emb.join(all_tombs, "vec_id", "left_anti")
+        aff_emb = survivors.join(
+            affected.withColumnRenamed("src", "vec_id"),
+            "vec_id",
+            "semi",
+        )
+        frag = ivf_knn_topk(aff_emb, survivors, books).select(
+            "src",
+            "dst",
+            "d2",
+            F.lit(batch_id).cast("long").alias("bid"),
+        )
+        frag.write.mode("overwrite").parquet(
+            os.path.join(frags_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(id_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = _view(
+        _read_all(frags_dir, frag_schema),
+        _read_all(tombs_dir, id_schema),
+    )
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    return final.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("src", "dst", "d2", "rnk")

@@ -240,3 +240,63 @@ def test_gann_books_kc_ceiling(spark, sf_dir, monkeypatch):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="driver-collect ceiling"):
         graphann.gann_books(emb)
+
+
+def test_delete_repair_equals_rebuild(spark, sf_dir):
+    """graph_ann_delete_repair (r14): the pass-through + affected-only
+    re-scan must equal the frozen-books rebuild over survivors
+    exactly (src/dst/d2/rnk), and the repair must actually save work
+    (some surviving nodes pass through untouched)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_mp_transactions_spark.queries.graphann import (
+        _DEL_PRED,
+        gann_books,
+        graph_ann_delete_repair,
+        ivf_knn_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    survivors = emb.filter(F.expr(_DEL_PRED))
+    books = gann_books(emb)
+    w = Window.partitionBy("src").orderBy("d2", "dst")
+    rebuilt = {
+        (r.src, r.dst, r.d2, r.rnk)
+        for r in ivf_knn_topk(survivors, survivors, books)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .collect()
+    }
+    got = {
+        (r.src, r.dst, r.d2, r.rnk)
+        for r in graph_ann_delete_repair(spark, sf_dir).collect()
+    }
+    assert got == rebuilt and len(got) > 0
+    # repair locality: not every survivor lost an edge
+    deleted = {
+        r.vec_id for r in emb.filter(~F.expr(_DEL_PRED)).collect()
+    }
+    base = ivf_knn_topk(emb, emb, books).collect()
+    affected = {r.src for r in base if r.dst in deleted}
+    n_surv = survivors.count()
+    assert len(affected) < n_surv
+
+
+def test_stream_graph_delete_equals_batch(spark, sf_dir):
+    """r26 (21st stream==batch pin): the streamed tombstone repair's
+    final view must equal the batch graph_ann_delete_repair bit for
+    bit — including the replay file contributing zero."""
+    from etl_mp_transactions_spark.queries.graphann import (
+        graph_ann_delete_repair,
+        r26_stream_graph_delete,
+    )
+
+    batch = {
+        (r.src, r.dst, r.d2, r.rnk)
+        for r in graph_ann_delete_repair(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.src, r.dst, r.d2, r.rnk)
+        for r in r26_stream_graph_delete(spark, sf_dir).collect()
+    }
+    assert stream == batch and len(stream) > 0
