@@ -248,3 +248,38 @@ def test_i64_spark_chain_matches_python_twin_both_ansi(spark, ansi):
         spark.conf.set("spark.sql.ansi.enabled", old)
     for row, r in zip(rows, out):
         assert (r["b0"], r["b1"]) == cramer_update_i64_py(*row), row
+
+
+# hypothesis property sweep: ANY int64 operands — the twin must match
+# DuckDB's chain integer-for-integer, and (when unclamped, den > 0)
+# sit within the documented bound of the exact rational.
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _I64 = st.integers(min_value=-(2**62), max_value=2**62)
+
+    @given(_I64, _I64, _I64, _I64, _I64, _I64, _I64)
+    @settings(max_examples=120, deadline=None)
+    def test_i64_chain_property_duckdb_vs_twin(
+        pb0, pb1, g0, g1, h00, h01, h11
+    ):
+        row = (pb0, pb1, g0, g1, h00, h01, h11)
+        assert _duck_i64_batch([row])[0] == cramer_update_i64_py(*row)
+
+    @given(_I64, _I64, _I64, _I64, _I64)
+    @settings(max_examples=300, deadline=None)
+    def test_i64_twin_property_rational_bound(g0, g1, h00, h01, h11):
+        den = h00 * h11 - h01 * h01
+        num = g0 * h11 - g1 * h01
+        d = delta_py(num, den)
+        if den <= 0:
+            assert d == 0
+            return
+        if abs(d) >= CLAMP:
+            assert abs(Fraction(num * 10**9, den)) >= CLAMP - 1
+            return
+        exact = Fraction(num * 10**9, den)
+        assert abs(Fraction(d) - exact) <= Fraction(abs(d), 2**49) + 1
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
