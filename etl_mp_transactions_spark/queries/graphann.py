@@ -205,10 +205,15 @@ def _ivf_knn_ctes(
     )"""
 
 
-def _graph_ctes(knn_ctes: str | None = None) -> str:
+def _graph_ctes(
+    knn_ctes: str | None = None, entry_cte: str | None = None
+) -> str:
     """Walk CTEs over a kNN graph: ``knn_ctes`` supplies the CTE text
     defining ``knn(src, dst, …)`` (default: the exact n² build — the
-    small-SF ground truth; the IVF-seeded build is the scale path)."""
+    small-SF ground truth; the IVF-seeded build is the scale path);
+    ``entry_cte`` overrides the walk's entry CTE (default: the
+    deterministic global-min-id entry; the routed walk seeds from the
+    query's primary coarse list instead)."""
     d2_ab = _L2.format(a="a.qv", b="b.qv")
     d2_node = _L2.format(a="v.qv", b="qs.qqv")
     if knn_ctes is None:
@@ -251,11 +256,11 @@ def _graph_ctes(knn_ctes: str | None = None) -> str:
       SELECT vec_id AS query_id, qv AS qqv FROM qv WHERE vec_id < {_NQ}
     ),
     {knn_ctes},
-    entry AS (
+    {entry_cte or '''entry AS (
       SELECT qs.query_id, min(v.vec_id) AS node
       FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
       GROUP BY 1
-    ),
+    )'''},
     hop0 AS (
       SELECT e.query_id, CAST(0 AS BIGINT) AS hop, e.node,
              {d2_node} AS d2
@@ -434,7 +439,10 @@ def _d2_expr() -> F.Column:
 
 
 def _trajectory(
-    spark: SparkSession, sf_dir: str, knn: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    knn: DataFrame | None = None,
+    entry: DataFrame | None = None,
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _quantized(emb)
@@ -445,12 +453,13 @@ def _trajectory(
     if knn is None:
         knn = l2_knn_graph(emb)
     knn = knn.select("src", "dst").localCheckpoint()
-    entry = (
-        q.crossJoin(F.broadcast(qs.select("query_id")))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id")
-        .agg(F.min("vec_id").alias("node"))
-    )
+    if entry is None:
+        entry = (
+            q.crossJoin(F.broadcast(qs.select("query_id")))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id")
+            .agg(F.min("vec_id").alias("node"))
+        )
 
     def scored(cands: DataFrame) -> DataFrame:
         # cands: (query_id, node); pick per-query argmin d2 to query
@@ -1488,4 +1497,139 @@ def r26_stream_graph_delete(spark, sf_dir):
         os.path.join(work, "state"),
         emb,
         books,
+    )
+
+
+# ---------------------------------------------- coarse-routed walk
+# The r14 two-level quantizer also upgrades SERVING: instead of the
+# deterministic-but-arbitrary global-min-id entry, route each query
+# to its primary coarse list and enter the walk at the nearest
+# cohabitant — the HNSW upper-layer idea expressed with the machinery
+# the build already has (the list is the query's ~256-member
+# neighborhood, so the walk starts near the answer instead of
+# crossing the corpus). Entry candidates = primary-list cohabitants
+# at priority 0 with the global-min-id node as a priority-1 fallback
+# (a singleton list can never strand a query); pick = (priority, d2,
+# node) argmin — deterministic, bounded by the bucket size.
+
+_ROUTED_ENTRY = f"""entry AS (
+      SELECT query_id, node FROM (
+        SELECT c.query_id, c.node, c.prio,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY c.prio,
+                                           {_L2.format(a="v.qv", b="qs2.qqv")},
+                                           c.node) AS rn
+        FROM (
+          SELECT qs.query_id, m.vec_id AS node, 0 AS prio
+          FROM qs
+          JOIN asg qa ON qa.vec_id = qs.query_id AND qa.pr = 1
+          JOIN mem m ON m.c = qa.c AND m.vec_id <> qs.query_id
+          UNION ALL
+          SELECT qs.query_id, min(v.vec_id) AS node, 1 AS prio
+          FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
+          GROUP BY qs.query_id
+        ) c
+        JOIN qv v ON v.vec_id = c.node
+        JOIN qs qs2 ON qs2.query_id = c.query_id
+      ) WHERE rn = 1
+    )"""
+
+_ROUTED_SQL = materialize_ctes(
+    f"""WITH {_graph_ctes(_ivf_knn_ctes(), entry_cte=_ROUTED_ENTRY)},
+    exactnn AS (
+      SELECT query_id, node AS exact_nn, d2 AS exact_d2 FROM (
+        SELECT qs.query_id, v.vec_id AS node,
+               {_L2.format(a="v.qv", b="qs.qqv")} AS d2,
+               row_number() OVER (PARTITION BY qs.query_id
+                                  ORDER BY {_L2.format(a="v.qv", b="qs.qqv")},
+                                           v.vec_id) AS rn
+        FROM qs CROSS JOIN qv v WHERE v.vec_id <> qs.query_id
+      ) WHERE rn = 1
+    ),
+    fin AS (
+      SELECT query_id, node AS final_node, d2 AS final_d2
+      FROM hop{_HOPS}
+    ),
+    conv AS (
+      SELECT t.query_id, CAST(min(t.hop) AS BIGINT) AS converged_hop
+      FROM trajectory t JOIN fin f ON f.query_id = t.query_id
+                                  AND t.d2 = f.final_d2
+      GROUP BY 1
+    )
+    SELECT f.query_id, en.node AS entry_node, f.final_node, f.final_d2,
+           e.exact_nn, e.exact_d2,
+           f.final_d2 = e.exact_d2 AS found_exact,
+           c.converged_hop
+    FROM fin f
+    JOIN entry en ON en.query_id = f.query_id
+    JOIN exactnn e ON e.query_id = f.query_id
+    JOIN conv c ON c.query_id = f.query_id"""
+)
+
+
+@query("graph_ann_routed_walk", _ROUTED_SQL)
+def graph_ann_routed_walk(spark, sf_dir):
+    """Coarse-routed greedy walk over the IVF-seeded graph (section
+    comment): per query, entry = nearest primary-list cohabitant
+    (global-min-id fallback at lower priority), then the standard
+    T={_HOPS} greedy walk; verdict columns as graph_ann_ivf_verdict
+    plus the chosen entry node. The routing pass is one bounded
+    bucket scan per query — O(|Q|·bucket) — and the walk serves from
+    the same persisted graph; tests pin routed convergence ≤ flat
+    convergence hop-for-hop on this corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = gann_books(emb)
+    knn = ivf_knn_topk(emb, emb, books).localCheckpoint()
+    q = _quantized(emb)
+    qs = q.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+    )
+    p_all = _probes_df(emb, books, 1).select("vec_id", "c")
+    qp = p_all.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "c"
+    )
+    cohab = (
+        qp.join(
+            p_all.select(F.col("vec_id").alias("node"), "c"), "c"
+        )
+        .filter(F.col("node") != F.col("query_id"))
+        .select("query_id", "node", F.lit(0).alias("prio"))
+    )
+    fallback = (
+        q.select("vec_id")
+        .crossJoin(F.broadcast(qs.select("query_id")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("vec_id").alias("node"))
+        .select("query_id", "node", F.lit(1).alias("prio"))
+    )
+    scored = (
+        cohab.unionByName(fallback)
+        .join(q.select(F.col("vec_id").alias("node"), "qv"), "node")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "node", "prio", _d2_expr().alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("prio", "d2", "node")
+    entry = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "node")
+        .localCheckpoint()
+    )
+    traj = _trajectory(spark, sf_dir, knn=knn, entry=entry)
+    verdict = _verdict_frame(spark, sf_dir, traj.localCheckpoint())
+    return verdict.join(
+        F.broadcast(
+            entry.select("query_id", F.col("node").alias("entry_node"))
+        ),
+        "query_id",
+    ).select(
+        "query_id",
+        "entry_node",
+        "final_node",
+        "final_d2",
+        "exact_nn",
+        "exact_d2",
+        "found_exact",
+        "converged_hop",
     )

@@ -300,3 +300,29 @@ def test_stream_graph_delete_equals_batch(spark, sf_dir):
         for r in r26_stream_graph_delete(spark, sf_dir).collect()
     }
     assert stream == batch and len(stream) > 0
+
+
+def test_routed_walk_enters_near_and_converges_no_later(spark, sf_dir):
+    """graph_ann_routed_walk (r14): the coarse-routed entry starts
+    the walk inside the query's primary-list neighborhood, so on this
+    corpus every query converges NO LATER than the flat min-id-entry
+    walk (most at hop 0-1 vs 1-4), and the verdict invariants hold."""
+    from etl_mp_transactions_spark.queries.graphann import (
+        graph_ann_ivf_verdict,
+        graph_ann_routed_walk,
+    )
+
+    routed = {
+        r.query_id: r
+        for r in graph_ann_routed_walk(spark, sf_dir).collect()
+    }
+    flat = {
+        r.query_id: r
+        for r in graph_ann_ivf_verdict(spark, sf_dir).collect()
+    }
+    assert set(routed) == set(flat) == set(range(_NQ))
+    for qid, r in routed.items():
+        assert r.converged_hop <= flat[qid].converged_hop, qid
+        assert r.final_d2 >= r.exact_d2
+        assert r.found_exact == (r.final_d2 == r.exact_d2)
+        assert r.entry_node != qid

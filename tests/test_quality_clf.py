@@ -272,3 +272,40 @@ def test_calibration_bins_monotone_and_bounded(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_eval = docs.filter("doc_id % 2 = 1").count()
     assert sum(r["n"] for r in rows) == n_eval
+
+
+def test_psi_drift_python_replay_and_no_drift(spark, sf_dir):
+    """quality_psi_drift (r14): exact-integer replay of every PSI
+    term from the emitted counts (micro shares, ln_nano log-ratio,
+    abs*abs floor-div) plus the negative-control verdict — the two
+    slices are exchangeable halves, so drifted must be False."""
+    from etl_mp_transactions_spark.functions.exactmath import ln_nano_py
+    from etl_mp_transactions_spark.queries.quality_clf import (
+        CAL_BINS,
+        PSI_DRIFT_NANO,
+        PSI_MICRO,
+    )
+    from etl_mp_transactions_spark.registry import queries
+
+    rows = queries()["quality_psi_drift"](spark, sf_dir).collect()
+    assert len(rows) == CAL_BINS
+    ta = sum(r.train_n for r in rows) + CAL_BINS
+    ea = sum(r.eval_n for r in rows) + CAL_BINS
+    total = 0
+    for r in rows:
+        p = ((r.train_n + 1) * PSI_MICRO) // ta
+        q = ((r.eval_n + 1) * PSI_MICRO) // ea
+        assert (r.p_micro, r.q_micro) == (p, q)
+        term = (
+            abs(p - q)
+            * abs(
+                ln_nano_py((r.train_n + 1) * ea)
+                - ln_nano_py((r.eval_n + 1) * ta)
+            )
+        ) // PSI_MICRO
+        assert r.psi_term_nano == term, r.bin
+        total += term
+    for r in rows:
+        assert r.psi_total_nano == total
+        assert r.drifted == (total > PSI_DRIFT_NANO)
+    assert rows[0].drifted is False  # exchangeable halves: no drift
