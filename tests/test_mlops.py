@@ -124,7 +124,14 @@ def test_conformal_interval_guarantee_shape(spark, sf_dir, q):
     assert len(pdf) > 0
     assert (pdf["q_cents"] >= 0).all()
     assert (pdf["n_covered"] <= pdf["n_test"]).all()
-    assert ((pdf["coverage"] >= 0) & (pdf["coverage"] <= 1)).all()
+    assert (
+        (pdf["coverage_ppm"] >= 0) & (pdf["coverage_ppm"] <= 1_000_000)
+    ).all()
+    # exact integer ppm of the in-result counts (no float on the path)
+    assert (
+        pdf["coverage_ppm"]
+        == (pdf["n_covered"] * 1_000_000) // pdf["n_test"]
+    ).all()
     # rank formula: qhat index = min(m, ceil(0.9*(m+1))) is within range
     import math
 
