@@ -46,8 +46,8 @@ from etl_mp_transactions_spark.sources.tables import load_table
       GROUP BY prev_type, event_type
     )
     SELECT prev_type, next_type, n,
-           round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 12)
-             AS p_next
+           (n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+             AS p_next_ppm
     FROM trans
     """,
 )
@@ -55,7 +55,8 @@ def markov_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event
     sequences (ordered by ts with event_id tiebreak — deterministic
     under equal timestamps). Output: one row per (prev, next) event
-    type with count and conditional probability.
+    type with count and exact integer-ppm conditional probability
+    (floor-div over non-negative counts — engine-portable).
 
     The sequence window shuffles once on user_id; the transition
     matrix is |event_type|² rows, so the normalizing window is
@@ -75,9 +76,11 @@ def markov_transitions(spark, sf_dir):
         "prev_type",
         "next_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(w_prev), 12
-        ).alias("p_next"),
+        # exact integer ppm (floor-div over non-negative counts) —
+        # never a rounded double on the result path (r15 float purge)
+        F.expr("div(n * 1000000, sum(n) OVER (PARTITION BY prev_type))")
+        .cast("bigint")
+        .alias("p_next_ppm"),
     )
 
 

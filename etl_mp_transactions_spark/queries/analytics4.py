@@ -325,12 +325,12 @@ def pvm_decomposition(spark, sf_dir):
     SELECT event_type,
            CAST(count(prev1) AS BIGINT) AS n_naive,
            CAST(sum(abs(cents - prev1)) AS BIGINT) AS abs_err_naive,
-           round(sum(abs(cents - prev1)) / (1.0 * count(prev1)), 9)
-             AS mae_naive,
+           (sum(abs(cents - prev1)) * 1000) // count(prev1)
+             AS mae_naive_millicents,
            CAST(count(prev7) AS BIGINT) AS n_snaive,
            CAST(sum(abs(cents - prev7)) AS BIGINT) AS abs_err_snaive,
-           round(sum(abs(cents - prev7)) / (1.0 * count(prev7)), 9)
-             AS mae_snaive
+           (sum(abs(cents - prev7)) * 1000) // count(prev7)
+             AS mae_snaive_millicents
     FROM lagged
     GROUP BY event_type
     ORDER BY event_type
@@ -343,7 +343,8 @@ def backtest_naive_mae(spark, sf_dir):
     integer cent sums over lag windows (one shuffle, calendar-indexed
     days are lag positions since daily rollup is gap-free per type at
     the tested SFs — the lag is by ROW, the documented backtest
-    contract); MAE is one final float per type. The model-evaluation
+    contract); MAE ships as exact integer milli-cents (floor-div over
+    non-negative sums — engine-portable). The model-evaluation
     counterpart of holt_linear_forecast/ewma_smoothing."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -363,14 +364,16 @@ def backtest_naive_mae(spark, sf_dir):
         .agg(
             F.count("prev1").cast("bigint").alias("n_naive"),
             F.sum(e1).cast("bigint").alias("abs_err_naive"),
-            F.round(F.sum(e1) / (F.lit(1.0) * F.count("prev1")), 9).alias(
-                "mae_naive"
-            ),
+            # exact integer milli-cents, never a rounded double on
+            # the result path (r15 float purge)
+            F.expr(
+                "div(sum(abs(cents - prev1)) * 1000, count(prev1))"
+            ).alias("mae_naive_millicents"),
             F.count("prev7").cast("bigint").alias("n_snaive"),
             F.sum(e7).cast("bigint").alias("abs_err_snaive"),
-            F.round(F.sum(e7) / (F.lit(1.0) * F.count("prev7")), 9).alias(
-                "mae_snaive"
-            ),
+            F.expr(
+                "div(sum(abs(cents - prev7)) * 1000, count(prev7))"
+            ).alias("mae_snaive_millicents"),
         )
         .orderBy("event_type")
     )

@@ -99,8 +99,9 @@ def time_decay_scores(spark, sf_dir):
       FROM base GROUP BY cat
     )
     SELECT cat, n, y_sum,
-           round((y_sum + {SMOOTH_M} * (t.y_all::DOUBLE / t.n_all))
-                 / (n + {SMOOTH_M}), 12) AS encoded
+           (y_sum * 1000000
+            + {SMOOTH_M} * ((t.y_all * 1000000) // t.n_all))
+             // (n + {SMOOTH_M}) AS encoded_ppm
     FROM per_cat CROSS JOIN tot t
     """,
 )
@@ -108,8 +109,10 @@ def target_encoding(spark, sf_dir):
     """Smoothed target (mean) encoding of the customer market segment
     against order outcome: enc = (Σy + m·ȳ_global)/(n + m), m=50 —
     the leakage-robust categorical encoder every tabular training
-    pipeline ships. Exact counts; one final float formula per
-    category; single-row global-stats broadcast (documented class)."""
+    pipeline ships. Exact counts; the encoding is an exact integer
+    ppm with the global prior itself quantized to ppm (documented,
+    deterministic in both engines — r15 float purge); single-row
+    global-stats broadcast (documented class)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.col("o_orderstatus") == "F").cast("long").alias("y"),
@@ -125,15 +128,18 @@ def target_encoding(spark, sf_dir):
     per_cat = base.groupBy("cat").agg(
         F.count("*").alias("n"), F.sum("y").alias("y_sum")
     )
-    gmean = F.col("y_all").cast("double") / F.col("n_all")
+    # all-integer ppm with the global prior quantized to ppm first
+    # (r15 float purge; deterministic in both engines). Ceiling:
+    # y_sum·1e6 < 2^63 ⇒ ≤ 9.2e12 rows (PORTABILITY.md).
     return per_cat.crossJoin(F.broadcast(tot)).select(
         "cat",
         "n",
         "y_sum",
-        F.round(
-            (F.col("y_sum") + SMOOTH_M * gmean) / (F.col("n") + SMOOTH_M),
-            12,
-        ).alias("encoded"),
+        F.expr(
+            f"div(y_sum * 1000000"
+            f" + {SMOOTH_M} * div(y_all * 1000000, n_all),"
+            f" n + {SMOOTH_M})"
+        ).alias("encoded_ppm"),
     )
 
 
@@ -156,8 +162,8 @@ def target_encoding(spark, sf_dir):
     SELECT max(k) AS n_keys,
            max(total) AS n_rows,
            max(n) AS max_key_rows,
-           round(max(n)::DOUBLE * max(k) / max(total), 12)
-             AS max_over_mean,
+           (max(n) * max(k) * 1000000) // max(total)
+             AS max_over_mean_ppm,
            SUM(nano_h)::BIGINT AS entropy_nanonats
     FROM terms
     """,
@@ -194,8 +200,12 @@ def key_skew_report(spark, sf_dir):
         F.max("k").alias("n_keys"),
         F.max("total").alias("n_rows"),
         F.max("n").alias("max_key_rows"),
-        F.round(
-            F.max("n").cast("double") * F.max("k") / F.max("total"), 12
-        ).alias("max_over_mean"),
+        # exact integer ppm (r15 float purge). Ceiling:
+        # max(n)·k·1e6 < 2^63 ⇒ hottest-key-count × n_keys ≤ 9.2e12
+        # (PORTABILITY.md — holds at TPC-H 100 TB: ~1e9 keys × ~600
+        # rows/key).
+        F.expr("div(max(n) * max(k) * 1000000, max(total))").alias(
+            "max_over_mean_ppm"
+        ),
         F.sum("nano_h").alias("entropy_nanonats"),
     )

@@ -98,9 +98,9 @@ SETSIM_THETA = 0.8
            i AS inter,
            CASE WHEN da < db THEN na ELSE nb END AS n1,
            CASE WHEN da < db THEN nb ELSE na END AS n2,
-           round(i::DOUBLE / (na + nb - i), 12) AS jaccard
+           (i * 1000000) // (na + nb - i) AS jaccard_ppm
     FROM verified
-    WHERE i::DOUBLE / (na + nb - i) >= {SETSIM_THETA}
+    WHERE i * 1000000 >= {int(SETSIM_THETA * 1000000)} * (na + nb - i)
     """,
 )
 def setsim_prefix_join(spark, sf_dir):
@@ -203,17 +203,23 @@ def setsim_prefix_join(spark, sf_dir):
             .alias("inter"),
         )
     )
-    jacc = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
+    # exact integer θ-gate and ppm result — no float division on the
+    # predicate or result path (r15 float purge); θ·1e6 is exact for
+    # the 0.8 constant
+    union_sz = F.col("na") + F.col("nb") - F.col("inter")
+    theta_ppm = int(SETSIM_THETA * 1000000)
     lt = F.col("da") < F.col("db")
-    return verified.filter(jacc >= SETSIM_THETA).select(
+    return verified.filter(
+        F.col("inter") * 1000000 >= F.lit(theta_ppm) * union_sz
+    ).select(
         F.least("da", "db").alias("d1"),
         F.greatest("da", "db").alias("d2"),
         "inter",
         F.when(lt, F.col("na")).otherwise(F.col("nb")).alias("n1"),
         F.when(lt, F.col("nb")).otherwise(F.col("na")).alias("n2"),
-        F.round(jacc, 12).alias("jaccard"),
+        F.expr("div(inter * 1000000, na + nb - inter)").alias(
+            "jaccard_ppm"
+        ),
     )
 
 
@@ -390,9 +396,9 @@ def cdc_merge_apply(spark, sf_dir):
       FROM per_band CROSS JOIN tot t
     )
     SELECT band, goods, bads,
-           round(woe_nano / 1e9, 12) AS woe,
-           round((goods::DOUBLE / g - bads::DOUBLE / b)
-                 * woe_nano / 1e9, 12) AS iv_contrib
+           woe_nano,
+           (goods * woe_nano) // g - (bads * woe_nano) // b
+             AS iv_contrib_nano
     FROM lw
     """,
 )
@@ -401,8 +407,9 @@ def woe_information_value(spark, sf_dir):
     market segment against order outcome (status 'F' = bad) — the
     classic feature-screening statistic for a quality/risk classifier
     feature. One fact-side join + one tiny agg; per-band WOE and IV
-    contribution derive from exact counts with two ln ops on identical
-    operands (single-row totals broadcast — documented class)."""
+    contribution are ALL-integer (nano units) from exact counts
+    through the exactmath ln_nano kernel — zero float on the result
+    path (single-row totals broadcast — documented class)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", (F.col("o_orderstatus") == "F").cast("long").alias("bad")
     )
@@ -421,11 +428,12 @@ def woe_information_value(spark, sf_dir):
     tot = per_band.agg(
         F.sum("goods").alias("g"), F.sum("bads").alias("b")
     )
-    gr = F.col("goods").cast("double") / F.col("g")
-    br = F.col("bads").cast("double") / F.col("b")
     # woe = ln((goods·b)/(bads·g)) as an exactmath nano integer —
-    # no engine ln(); downstream floats are IEEE-exact on identical
-    # operands, hence portable
+    # no engine ln(); iv contribution stays ALL-integer (r15 float
+    # purge): iv_nano = goods·woe/g − bads·woe/b with trunc-div
+    # (portable: both engines truncate toward zero). Ceiling:
+    # goods·|woe_nano| < 2^63 ⇒ ≤ ~3.7e8 rows per band at |woe| ≤ 25
+    # (PORTABILITY.md).
     woe_nano = F.expr(
         f"({ln_nano_sql('greatest(goods, 1)', 'spark')}"
         f" + {ln_nano_sql('b', 'spark')}"
@@ -439,9 +447,9 @@ def woe_information_value(spark, sf_dir):
             "band",
             "goods",
             "bads",
-            F.round(F.col("woe_nano") / 1e9, 12).alias("woe"),
-            F.round((gr - br) * F.col("woe_nano") / 1e9, 12).alias(
-                "iv_contrib"
-            ),
+            "woe_nano",
+            F.expr(
+                "(goods * woe_nano) div g - (bads * woe_nano) div b"
+            ).alias("iv_contrib_nano"),
         )
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.bigratio import scaled_div_sql
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -112,13 +113,14 @@ def skyline_frontier(spark, sf_dir):
       HAVING count(*) >= {MIN_SUPPORT}
     )
     SELECT x, y, n_xy, ix.n AS n_x, iy.n AS n_y,
-           round(n_xy::DOUBLE / ix.n, 12) AS confidence,
-           round(n_xy::DOUBLE * nb.b / (ix.n * iy.n), 12) AS lift
+           (n_xy * 1000000) // ix.n AS confidence_ppm,
+           {scaled_div_sql("(n_xy * nb.b)", "(ix.n * iy.n)", 10**6, "duck")}
+             AS lift_ppm
     FROM pair
     JOIN item ix ON pair.x = ix.l_partkey
     JOIN item iy ON pair.y = iy.l_partkey
     CROSS JOIN nb
-    ORDER BY n_xy::DOUBLE * nb.b / (ix.n * iy.n) DESC, x, y
+    ORDER BY lift_ppm DESC, x, y
     LIMIT {TOP_RULES}
     """,
 )
@@ -152,10 +154,11 @@ def association_rules(spark, sf_dir):
     )
     ix = item.select(F.col("l_partkey").alias("x"), F.col("n").alias("n_x"))
     iy = item.select(F.col("l_partkey").alias("y"), F.col("n").alias("n_y"))
-    lift = (
-        F.col("n_xy").cast("double")
-        * F.col("b")
-        / (F.col("n_x") * F.col("n_y"))
+    # exact integer ppm for confidence AND the lift ranking key (r15
+    # float purge): lift·1e6 through the limb-exact scaled_div kernel
+    # (num = n_xy·b, den = n_x·n_y < 10^14 — PORTABILITY.md ceiling)
+    lift_ppm = F.expr(
+        scaled_div_sql("(n_xy * b)", "(n_x * n_y)", 10**6, "spark")
     )
     return (
         pair.join(ix, "x")
@@ -167,13 +170,9 @@ def association_rules(spark, sf_dir):
             "n_xy",
             "n_x",
             "n_y",
-            F.round(
-                F.col("n_xy").cast("double") / F.col("n_x"), 12
-            ).alias("confidence"),
-            F.round(lift, 12).alias("lift"),
-            lift.alias("_lift_raw"),
+            F.expr("div(n_xy * 1000000, n_x)").alias("confidence_ppm"),
+            lift_ppm.alias("lift_ppm"),
         )
-        .orderBy(F.desc("_lift_raw"), "x", "y")
+        .orderBy(F.desc("lift_ppm"), "x", "y")
         .limit(TOP_RULES)
-        .drop("_lift_raw")
     )

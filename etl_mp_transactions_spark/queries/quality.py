@@ -34,6 +34,17 @@ _LN10 = ln_frac(Fraction(10))
 BENFORD_EXPECTED = [
     float(ln_frac(Fraction(d + 1, d)) / _LN10) for d in range(1, 10)
 ]
+# exact-rational → nearest-ppm INTEGER literals (r15 float purge: no
+# double literal ever meets engine arithmetic on the result path)
+def _ppm(f: Fraction) -> int:
+    return (f.numerator * 2_000_000 + f.denominator) // (
+        2 * f.denominator
+    )
+
+
+BENFORD_EXPECTED_PPM = [
+    _ppm(ln_frac(Fraction(d + 1, d)) / _LN10) for d in range(1, 10)
+]
 
 
 @query(
@@ -62,10 +73,8 @@ BENFORD_EXPECTED = [
       FROM per CROSS JOIN tot t
     )
     SELECT band, n_base, n_cur,
-           round((n_cur::DOUBLE / nc - n_base::DOUBLE / nb)
-                 * lnr_nano / 1e9, 12) AS psi_contrib,
-           CAST(round((n_cur::DOUBLE / nc - n_base::DOUBLE / nb)
-                 * lnr_nano) AS BIGINT) AS psi_nano
+           (n_cur * lnr_nano) // nc - (n_base * lnr_nano) // nb
+             AS psi_nano
     FROM lnr
     """,
 )
@@ -73,10 +82,10 @@ def population_stability_index(spark, sf_dir):
     """PSI drift of the order-value distribution between the pre- and
     post-{PSI_SPLIT} periods, over $25k value bands (capped at 10):
     psi_i = (q_i − p_i)·ln(q_i/p_i), the standard model-monitoring
-    drift statistic. Per-band contributions ship both as rounded
-    doubles and nano-unit BIGINTs (sum the latter for the exact
-    headline PSI — order-independent). One scan, one tiny agg,
-    single-row totals broadcast."""
+    drift statistic. Per-band contributions are exact nano-unit
+    BIGINTs (sum them for the exact headline PSI —
+    order-independent; zero float on the result path). One scan, one
+    tiny agg, single-row totals broadcast."""
     o = load_table(spark, sf_dir, "orders").select(
         F.least(
             F.floor(
@@ -101,11 +110,12 @@ def population_stability_index(spark, sf_dir):
     tot = per.agg(
         F.sum("n_base").alias("nb"), F.sum("n_cur").alias("nc")
     )
-    q = F.col("n_cur").cast("double") / F.col("nc")
-    p = F.col("n_base").cast("double") / F.col("nb")
     # ln(q/p) via the exactmath integer-ln kernel (identical nano
-    # integer in both engines — no libm); the remaining float ops
-    # are IEEE-exact on identical operands, hence portable
+    # integer in both engines — no libm); the contribution is then
+    # ALL-integer (r15 float purge): (q−p)·lnr as the difference of
+    # two trunc-divs — portable (both engines truncate toward zero).
+    # Ceiling: n_cur·|lnr_nano| < 2^63 ⇒ ≤ ~3.7e8 rows per band at
+    # |lnr| ≤ 25 (PORTABILITY.md).
     lnr_nano = F.expr(
         f"({ln_nano_sql('greatest(n_cur, 1)', 'spark')}"
         f" + {ln_nano_sql('nb', 'spark')}"
@@ -119,12 +129,9 @@ def population_stability_index(spark, sf_dir):
             "band",
             "n_base",
             "n_cur",
-            F.round((q - p) * F.col("lnr_nano") / 1e9, 12).alias(
-                "psi_contrib"
-            ),
-            F.round((q - p) * F.col("lnr_nano"), 0)
-            .cast("bigint")
-            .alias("psi_nano"),
+            F.expr(
+                "(n_cur * lnr_nano) div nc - (n_base * lnr_nano) div nb"
+            ).alias("psi_nano"),
         )
     )
 
@@ -141,15 +148,16 @@ def population_stability_index(spark, sf_dir):
     per AS (SELECT d, count(*)::BIGINT AS n FROM digits GROUP BY d),
     tot AS (SELECT SUM(n)::BIGINT AS total FROM per)
     SELECT d, n,
-           round(n::DOUBLE / t.total, 12) AS observed,
-           round({arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")}, 12)
-             AS expected,
-           round((n::DOUBLE / t.total
-                  - {arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")})
-                 * (n::DOUBLE / t.total
-                    - {arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")})
-                 / {arr_lookup_sql(BENFORD_EXPECTED, "d", "duck")}, 12)
-             AS chi2_contrib
+           (n * 1000000) // t.total AS observed_ppm,
+           {arr_lookup_sql(BENFORD_EXPECTED_PPM, "d", "duck")}
+             AS expected_ppm,
+           (((n * 1000000) // t.total
+             - {arr_lookup_sql(BENFORD_EXPECTED_PPM, "d", "duck")})
+            * ((n * 1000000) // t.total
+               - {arr_lookup_sql(BENFORD_EXPECTED_PPM, "d", "duck")})
+            * 1000)
+             // {arr_lookup_sql(BENFORD_EXPECTED_PPM, "d", "duck")}
+             AS chi2_contrib_nano
     FROM per CROSS JOIN tot t
     """,
 )
@@ -173,16 +181,24 @@ def benford_audit(spark, sf_dir):
         F.count("*").alias("n")
     )
     tot = per.agg(F.sum("n").alias("total"))
-    obs = F.col("n").cast("double") / F.col("total")
-    # expected = log10(1+1/d) from the BENFORD_EXPECTED literal table
-    # (python-precomputed exact-rational; no engine ln())
-    exp = F.expr(arr_lookup_sql(BENFORD_EXPECTED, "d", "spark"))
+    # expected = log10(1+1/d) from the BENFORD_EXPECTED_PPM INTEGER
+    # literal table (python-precomputed exact-rational; no engine
+    # ln(), no double literal). χ² contribution is all-integer on the
+    # ppm-quantized observed share: ((o−e)²/e)·1e9 = d_ppm²·1000/e_ppm
+    # (r15 float purge). Ceiling: n·1e6 < 2^63 ⇒ ≤ 9.2e12 orders.
+    obs_ppm = F.expr("div(n * 1000000, total)")
+    exp_ppm = F.expr(arr_lookup_sql(BENFORD_EXPECTED_PPM, "d", "spark"))
     return per.crossJoin(F.broadcast(tot)).select(
         "d",
         "n",
-        F.round(obs, 12).alias("observed"),
-        F.round(exp, 12).alias("expected"),
-        F.round((obs - exp) * (obs - exp) / exp, 12).alias(
-            "chi2_contrib"
-        ),
+        obs_ppm.alias("observed_ppm"),
+        exp_ppm.alias("expected_ppm"),
+        F.expr(
+            f"((div(n * 1000000, total)"
+            f"   - {arr_lookup_sql(BENFORD_EXPECTED_PPM, 'd', 'spark')})"
+            f"  * (div(n * 1000000, total)"
+            f"     - {arr_lookup_sql(BENFORD_EXPECTED_PPM, 'd', 'spark')})"
+            f"  * 1000)"
+            f" div {arr_lookup_sql(BENFORD_EXPECTED_PPM, 'd', 'spark')}"
+        ).alias("chi2_contrib_nano"),
     )

@@ -37,6 +37,23 @@ from etl_mp_transactions_spark.sources.tables import load_table
 MIN_COOC = 2
 TOP_K = 3
 
+# cosine = cooc/sqrt(n_item·n_partner) in exact integer ppm (r15
+# float purge): v = n_item·n_partner·1e12 exactly (HUGEINT /
+# DECIMAL(34,0) — counts cast DECIMAL(10,0), ceiling 1e10 baskets per
+# item, loud on overflow), even-shift string reduction, the
+# candidate-corrected integer sqrt, then the limb-exact scaled_div.
+# Method error ≤ ~2e-7 relative (PORTABILITY.md), identical in both
+# engines.
+from etl_mp_transactions_spark.functions.bigratio import (
+    isqrt_sql,
+    pow10_sql,
+    red_cols_even,
+    scaled_div_sql,
+)
+
+_V_RED_DUCK = red_cols_even("v", "v", "duck")
+_V_RED_SPARK = red_cols_even("v", "v", "spark")
+
 
 @query(
     "item_cooccurrence_topk",
@@ -54,19 +71,35 @@ TOP_K = 3
     ),
     scored AS (
       SELECT p.item, p.partner, p.cooc, ia.n AS n_item, ib.n AS n_partner,
-             round(p.cooc / sqrt(CAST(ia.n * ib.n AS DOUBLE)), 9) AS cosine
+             CAST(ia.n AS HUGEINT) * ib.n * 1000000000000 AS v
       FROM pairs p
       JOIN icnt ia ON p.item = ia.item
       JOIN icnt ib ON p.partner = ib.item
       WHERE p.cooc >= {MIN_COOC}
     ),
-    ranked AS (
-      SELECT item, partner, cooc, n_item, n_partner, cosine,
-             row_number() OVER (PARTITION BY item
-                                ORDER BY cosine DESC, partner) AS rk
+    redd AS (
+      SELECT item, partner, cooc, n_item, n_partner,
+             {_V_RED_DUCK[0][1]} AS v_hi, {_V_RED_DUCK[1][1]} AS v_sh
       FROM scored
+    ),
+    rooted AS (
+      SELECT item, partner, cooc, n_item, n_partner,
+             {isqrt_sql("v_hi", "duck")}
+               * {pow10_sql("v_sh // 2", "duck")} AS rt
+      FROM redd
+    ),
+    cos AS (
+      SELECT item, partner, cooc, n_item, n_partner,
+             {scaled_div_sql("cooc", "rt", 10**12, "duck")} AS cosine_ppm
+      FROM rooted
+    ),
+    ranked AS (
+      SELECT item, partner, cooc, n_item, n_partner, cosine_ppm,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY cosine_ppm DESC, partner) AS rk
+      FROM cos
     )
-    SELECT item, partner, cooc, n_item, n_partner, cosine, rk
+    SELECT item, partner, cooc, n_item, n_partner, cosine_ppm, rk
     FROM ranked WHERE rk <= {TOP_K}
     ORDER BY item, rk
     """,
@@ -75,7 +108,9 @@ def item_cooccurrence_topk(spark, sf_dir):
     """Top-{TOP_K} co-purchased partners per part by co-occurrence
     cosine (module docstring). Distinct (order, part) baskets → one
     orderkey self-join (pair fan-out bounded by basket size) → exact
-    integer counts → one rounded float cosine → per-item window."""
+    integer counts → all-integer ppm cosine via the bigratio
+    isqrt/scaled_div kernels (block comment above) → per-item
+    window."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
@@ -101,22 +136,35 @@ def item_cooccurrence_topk(spark, sf_dir):
             "partner",
         )
         .withColumn(
-            "cosine",
-            F.round(
-                F.col("cooc")
-                / F.sqrt((F.col("n_item") * F.col("n_partner")).cast("double")),
-                9,
+            "v",
+            F.expr(
+                "CAST(n_item AS DECIMAL(10,0))"
+                " * CAST(n_partner AS DECIMAL(10,0))"
+                " * CAST(1000000000000 AS DECIMAL(13,0))"
             ),
+        )
+        .withColumn("v_hi", F.expr(_V_RED_SPARK[0][1]))
+        .withColumn("v_sh", F.expr(_V_RED_SPARK[1][1]))
+        .withColumn(
+            "rt",
+            F.expr(
+                f"{isqrt_sql('v_hi', 'spark')}"
+                f" * {pow10_sql('v_sh div 2', 'spark')}"
+            ),
+        )
+        .withColumn(
+            "cosine_ppm",
+            F.expr(scaled_div_sql("cooc", "rt", 10**12, "spark")),
         )
     )
     w = Window.partitionBy("item").orderBy(
-        F.col("cosine").desc(), F.col("partner")
+        F.col("cosine_ppm").desc(), F.col("partner")
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
         .select("item", "partner", "cooc", "n_item", "n_partner",
-                "cosine", "rk")
+                "cosine_ppm", "rk")
         .orderBy("item", "rk")
     )
 
@@ -152,14 +200,20 @@ ALS_LAMBDA_A = 500_000  # lambda=0.5 expressed in A's milli^2 integer units
       FROM ratings r JOIN factors f ON f.i = r.i
       GROUP BY 1
     )
+    ,cramer AS (
+      SELECT u, n_items, a11, a12, a22, b1, b2,
+             b1 * (a22 + {ALS_LAMBDA_A}) - b2 * a12 AS num1,
+             b2 * (a11 + {ALS_LAMBDA_A}) - b1 * a12 AS num2,
+             (a11 + {ALS_LAMBDA_A}) * (a22 + {ALS_LAMBDA_A})
+               - a12 * a12 AS det
+      FROM gram
+    )
     SELECT u, n_items, a11, a12, a22, b1, b2,
-           round((b1 * (a22 + {ALS_LAMBDA_A}) - b2 * a12)
-                 / (1.0 * (a11 + {ALS_LAMBDA_A}) * (a22 + {ALS_LAMBDA_A})
-                    - 1.0 * a12 * a12), 9) AS u1,
-           round((b2 * (a11 + {ALS_LAMBDA_A}) - b1 * a12)
-                 / (1.0 * (a11 + {ALS_LAMBDA_A}) * (a22 + {ALS_LAMBDA_A})
-                    - 1.0 * a12 * a12), 9) AS u2
-    FROM gram
+           {scaled_div_sql("num1", "det", 10**9, "duck", 10**15)}
+             AS u1_nano,
+           {scaled_div_sql("num2", "det", 10**9, "duck", 10**15)}
+             AS u2_nano
+    FROM cramer
     ORDER BY u
     """,
 )
@@ -170,9 +224,9 @@ def als_user_half_step(spark, sf_dir):
     quantities per (customer, part), each user's 2x2 normal-equation
     Gram (A = sum p p^T, b = sum r p) accumulates in exact BIGINTs,
     and the ridge-regularized Cramer solve (lambda in A's integer
-    units) is ONE shared float formula text per component, rounded to
-    9 dp — the regression.py OLS contract applied to recommender
-    training. Scale: ratings and the factor join shuffle on uniform
+    units) emits exact nano-unit integers through the bigratio
+    limb-exact scaled_div — zero float on the result path (r15 float
+    purge) — the OLS-style contract applied to recommender training. Scale: ratings and the factor join shuffle on uniform
     keys; per-user state is 7 integers; no step is user x item."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -218,22 +272,26 @@ def als_user_half_step(spark, sf_dir):
             F.sum(F.col("r") * F.col("p2")).cast("bigint").alias("b2"),
         )
     )
-    lam = F.lit(ALS_LAMBDA_A)
-    det = (
-        F.lit(1.0) * (F.col("a11") + lam) * (F.col("a22") + lam)
-        - F.lit(1.0) * F.col("a12") * F.col("a12")
-    )
-    u1 = F.round(
-        (F.col("b1") * (F.col("a22") + lam) - F.col("b2") * F.col("a12"))
-        / det,
-        9,
-    )
-    u2 = F.round(
-        (F.col("b2") * (F.col("a11") + lam) - F.col("b1") * F.col("a12"))
-        / det,
-        9,
-    )
-    return gram.select(
+    # all-integer nano-unit Cramer solve (r15 float purge): exact
+    # limb scaled_div, ridge det > 0 always. Ceiling: |det| < 1e15 ⇒
+    # per-user item count ≤ ~95 at the milli-unit factor scale
+    # (orders-per-customer is scale-invariant in TPC-H, ~30 items;
+    # PORTABILITY.md).
+    lam = ALS_LAMBDA_A
+    cramer = gram.select(
         "u", "n_items", "a11", "a12", "a22", "b1", "b2",
-        u1.alias("u1"), u2.alias("u2"),
+        F.expr(f"b1 * (a22 + {lam}) - b2 * a12").alias("num1"),
+        F.expr(f"b2 * (a11 + {lam}) - b1 * a12").alias("num2"),
+        F.expr(
+            f"(a11 + {lam}) * (a22 + {lam}) - a12 * a12"
+        ).alias("det"),
+    )
+    return cramer.select(
+        "u", "n_items", "a11", "a12", "a22", "b1", "b2",
+        F.expr(
+            scaled_div_sql("num1", "det", 10**9, "spark", 10**15)
+        ).alias("u1_nano"),
+        F.expr(
+            scaled_div_sql("num2", "det", 10**9, "spark", 10**15)
+        ).alias("u2_nano"),
     ).orderBy("u")

@@ -208,7 +208,7 @@ def bm25_scoring(spark, sf_dir):
       JOIN uni u2 ON bi.w2 = u2.w
       CROSS JOIN tot t
     )
-    SELECT w1, w2, n_xy, round(pmi_nano / 1e9, 12) AS pmi
+    SELECT w1, w2, n_xy, pmi_nano
     FROM sc
     ORDER BY pmi_nano DESC, w1, w2
     LIMIT 20
@@ -270,12 +270,6 @@ def pmi_collocations(spark, sf_dir):
         .select("w1", "w2", "n_xy", pmi_nano.alias("pmi_nano"))
         .orderBy(F.desc("pmi_nano"), "w1", "w2")
         .limit(20)
-        .select(
-            "w1",
-            "w2",
-            "n_xy",
-            F.round(F.col("pmi_nano") / 1e9, 12).alias("pmi"),
-        )
     )
 
 
@@ -303,7 +297,7 @@ _KS_SQL = ", ".join(str(k) for k in VOCAB_KS)
       FROM uni
     )
     SELECT rk AS k, cum_n, vocab_size,
-           round(cum_n::DOUBLE / total_n, 12) AS coverage
+           (cum_n * 1000000) // total_n AS coverage_ppm
     FROM ranked WHERE rk IN ({_KS_SQL}) OR rk = vocab_size
     """,
 )
@@ -344,7 +338,8 @@ def vocab_coverage(spark, sf_dir):
         "k",
         "cum_n",
         "vocab_size",
-        F.round(F.col("cum_n").cast("double") / F.col("total_n"), 12).alias(
-            "coverage"
-        ),
+        # exact ppm, never a rounded double on the result path (r15
+        # float purge); ceiling cum_n·1e6 < 2^63 ⇒ ≤ 9.2e12 tokens,
+        # documented in PORTABILITY.md
+        F.expr("div(cum_n * 1000000, total_n)").alias("coverage_ppm"),
     )

@@ -70,7 +70,7 @@ def test_pvm_effects_sum_to_delta(spark, sf_dir, q):
 
 def test_backtest_mae_nonnegative_and_counts(spark, sf_dir, q):
     pdf = q["backtest_naive_mae"](spark, sf_dir).toPandas()
-    assert (pdf["mae_naive"] >= 0).all()
+    assert (pdf["mae_naive_millicents"] >= 0).all()
     assert (pdf["n_snaive"] <= pdf["n_naive"]).all()
     assert (
         pdf["abs_err_naive"] >= pdf["n_naive"] * 0

@@ -72,5 +72,5 @@ def test_association_rule_identities(spark, sf_dir):
         assert r.x < r.y
         assert r.n_xy >= 2
         assert r.n_xy <= min(r.n_x, r.n_y)
-        assert abs(r.confidence - r.n_xy / r.n_x) < 1e-9
-        assert r.lift > 0
+        assert r.confidence_ppm == (r.n_xy * 1_000_000) // r.n_x
+        assert r.lift_ppm > 0

@@ -22,12 +22,14 @@ def test_item_cooccurrence_topk_invariants(spark, sf_dir, q):
     if len(pdf):
         assert (pdf["cooc"] >= 2).all()
         assert (pdf["rk"] >= 1).all() and (pdf["rk"] <= 3).all()
-        assert (pdf["cosine"] > 0).all() and (pdf["cosine"] <= 1.0).all()
-        # cosine = cooc / sqrt(n_i * n_j), recomputed
-        expect = (
-            pdf["cooc"] / np.sqrt(pdf["n_item"] * pdf["n_partner"])
-        ).round(9)
-        assert np.allclose(pdf["cosine"], expect)
+        assert (pdf["cosine_ppm"] > 0).all()
+        assert (pdf["cosine_ppm"] <= 1_000_000).all()
+        # cosine_ppm = trunc(cooc*1e6/sqrt(n_i*n_j)) within the
+        # documented <=2e-7-relative isqrt reduction error
+        expect = pdf["cooc"] * 1e6 / np.sqrt(
+            pdf["n_item"] * pdf["n_partner"]
+        )
+        assert (np.abs(pdf["cosine_ppm"] - expect) <= 2.5).all()
         # per-item ranks are 1..k without gaps
         for _, g in pdf.groupby("item"):
             assert sorted(g["rk"]) == list(range(1, len(g) + 1))
@@ -36,7 +38,7 @@ def test_item_cooccurrence_topk_invariants(spark, sf_dir, q):
 def test_crossval_fold_encoding_leakage_free(spark, sf_dir, q):
     pdf = q["crossval_fold_encoding"](spark, sf_dir).toPandas()
     assert set(pdf["fold"]).issubset(set(range(5)))
-    assert ((pdf["enc"] >= 0) & (pdf["enc"] <= 1)).all()
+    assert ((pdf["enc_ppm"] >= 0) & (pdf["enc_ppm"] <= 1_000_000)).all()
     # out-of-fold counts exclude own fold: per category,
     # oof_n + n_fc is constant (== category total) across folds
     for _, g in pdf.groupby("category"):
@@ -50,15 +52,18 @@ def test_gini_best_split_invariants(spark, sf_dir, q):
     n_total = pdf["n_left"] + pdf["n_right"]
     assert n_total.nunique() == 1
     assert pdf["n_left"].is_monotonic_increasing
-    assert ((pdf["gini"] >= 0) & (pdf["gini"] <= 0.5)).all()
-    # recompute weighted gini from the exact counts
+    assert (
+        (pdf["gini_nano"] >= 0) & (pdf["gini_nano"] <= 500_000_000)
+    ).all()
+    # recompute weighted gini from the exact counts; nano units within
+    # the documented reduction error (sub-ppm) plus trunc
     nl, pl = pdf["n_left"].astype(float), pdf["pos_left"].astype(float)
     nr, pr = pdf["n_right"].astype(float), pdf["pos_right"].astype(float)
     n = nl + nr
     gl = 1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
     gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
-    expect = (nl / n) * gl + (nr / n) * gr
-    assert np.allclose(pdf["gini"], expect, atol=1e-8)
+    expect = ((nl / n) * gl + (nr / n) * gr) * 1e9
+    assert (np.abs(pdf["gini_nano"] - expect) <= 1_000).all()
 
 
 def test_naive_bayes_confusion_totals(spark, sf_dir, q):
@@ -162,10 +167,12 @@ def test_isotonic_vs_sequential_pava(spark, sf_dir, q):
             blocks2.append((s1 + s2, n1 + n2))
             lens[-2] += lens[-1]
             lens.pop()
+    # floor commutes with the finite min/max lattice, so the engine's
+    # ppm fit must equal floor(1e6 · exact block mean) per bin
     expect = []
     for (s, n), ln in zip(blocks2, lens):
-        expect.extend([round(s / n, 12)] * ln)
-    got = [round(v, 12) for v in pdf["iso_rate"]]
+        expect.extend([(s * 1_000_000) // n] * ln)
+    got = [int(v) for v in pdf["iso_rate_ppm"]]
     assert got == expect
     # monotone nondecreasing and mass-conserving per pooled block
     assert all(b >= a for a, b in zip(got, got[1:]))

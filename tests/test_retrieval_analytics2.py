@@ -14,12 +14,12 @@ def test_vocab_coverage_monotone(spark, sf_dir):
         vocab_coverage(spark, sf_dir).collect(), key=lambda r: r.k
     )
     assert rows, "coverage curve must be non-empty"
-    covs = [r.coverage for r in rows]
+    covs = [r.coverage_ppm for r in rows]
     assert all(b >= a for a, b in zip(covs, covs[1:]))
     # the full-vocabulary row always present, with coverage exactly 1
     assert rows[-1].k == rows[-1].vocab_size
-    assert covs[-1] == 1.0
-    assert all(0.0 < c <= 1.0 for c in covs)
+    assert covs[-1] == 1_000_000
+    assert all(0 < c <= 1_000_000 for c in covs)
 
 
 def test_markov_rows_are_distributions(spark, sf_dir):
@@ -30,12 +30,18 @@ def test_markov_rows_are_distributions(spark, sf_dir):
     out = (
         markov_transitions(spark, sf_dir)
         .groupBy("prev_type")
-        .agg(F.sum("p_next").alias("mass"), F.sum("n").alias("n"))
+        .agg(
+            F.sum("p_next_ppm").alias("mass_ppm"),
+            F.sum("n").alias("n"),
+            F.count("*").alias("k"),
+        )
         .collect()
     )
     assert out
     for r in out:
-        assert math.isclose(r.mass, 1.0, abs_tol=1e-9), r
+        # each row's ppm share is floor-truncated, so the mass sums to
+        # 1e6 minus at most one ppm per sibling row
+        assert 1_000_000 - r.k < r.mass_ppm <= 1_000_000, r
         assert r.n > 0
 
 
