@@ -203,7 +203,7 @@ def ratio_pow10_sql(
     hd: str,
     e: str,
     engine: str,
-    e_min: int = -4,
+    e_min: int = -18,
     e_max: int = 18,
     den_bound: int = 10**14,
 ) -> str:
@@ -219,7 +219,10 @@ def ratio_pow10_sql(
         if k >= 0:
             body = scaled_div_sql(hn, hd, 10**k, engine, den_bound)
         else:
-            body = f"(({hn}) {_div(engine)} (({hd}) * {10 ** (-k)}))"
+            # exact nested-floor identity hn/(hd·10^-k) =
+            # (hn/10^-k)/hd — no overflow at any depth
+            d = _div(engine)
+            body = f"((({hn}) {d} {10 ** min(-k, 18)}) {d} ({hd}))"
         branches.append(f"WHEN ({e}) = {k} THEN {body}")
     # loud out-of-range guard: an unparseable-string cast — errors
     # under DuckDB and Spark-ANSI, NULL (visible in any comparison)
@@ -235,3 +238,32 @@ def ratio_pow10_py(hn: int, hd: int, e: int) -> int:
     if e >= 0:
         return (hn * 10**e) // hd
     return hn // (hd * 10**-e)
+
+
+def sub_aligned_sql(t1: str, e1: str, t2: str, e2: str, engine: str) -> str:
+    """t1·10^e1 − t2·10^e2 expressed at the LARGER exponent: the
+    smaller-exponent term is shifted down by trunc-div (identical in
+    both engines, shift capped at 18 where it is exactly zero for any
+    int64 term). Returns the mantissa; the caller pairs it with
+    greatest(e1, e2) as the exponent. Signed terms welcome — trunc
+    toward zero matches in both engines. Deterministic; relative
+    error ≤ 10^-(digits(t) - 1) of the larger term (cancellation can
+    amplify it relative to the DIFFERENCE — document per use)."""
+    d = _div(engine)
+    p12 = pow10_sql(f"least(({e1}) - ({e2}), 18)", engine)
+    p21 = pow10_sql(f"least(({e2}) - ({e1}), 18)", engine)
+    return (
+        f"(CASE WHEN ({e1}) >= ({e2})"
+        f" THEN ({t1}) - ({t2}) {d} {p12}"
+        f" ELSE ({t1}) {d} {p21} - ({t2}) END)"
+    )
+
+
+def sub_aligned_py(t1: int, e1: int, t2: int, e2: int) -> tuple[int, int]:
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    if e1 >= e2:
+        return t1 - tdiv(t2, 10 ** min(e1 - e2, 18)), e1
+    return tdiv(t1, 10 ** min(e2 - e1, 18)) - t2, e2

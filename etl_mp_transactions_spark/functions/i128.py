@@ -32,8 +32,13 @@ impossible for exact positive-weight sums by Cauchy-Schwarz, guarded
 anyway) yields delta = 0; a numerator more
 than 2^12 times the denominator (bitlen diff >= 13 — a diverging
 separable-data step whose exact delta already exceeds CLAMP) takes the
-clamp path without computing the shift, so no expression can overflow
-int64 for ANY int64 inputs. CLAMP = 4e12 nano (a z-shift of 4000 —
+clamp path without computing the shift, so no SOLVE-stage expression
+can overflow int64 for any int64 (g, h) inputs; the final recompose
+pb + delta additionally needs |pb| ≤ int64max − CLAMP (ADVICE r14:
+|pb| within CLAMP of ±2^63 would overflow the addition — real
+callers bound pb to N_STEPS·CLAMP ≈ 1.2e13, ~5e5× inside that
+margin, so this is a documented domain, not a live risk). CLAMP =
+4e12 nano (a z-shift of 4000 —
 far outside the [-20, 20] sigmoid saturation range, so a clamped step
 is already saturated; it exists only to keep the recomposed quotient
 inside int64 on adversarial/separable inputs).

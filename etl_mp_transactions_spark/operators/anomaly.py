@@ -267,4 +267,11 @@ def tfidf_pair_scores_sparse(docs: DataFrame, block_col: str = "source") -> Data
         (F.col("sh_a") + (F.col("s2_a") - F.col("sh_a")) * c2)
         * (F.col("sh_b") + (F.col("s2_b") - F.col("sh_b")) * c2)
     )
-    return pair.select("doc_a", "doc_b", cos.alias("tfidf_cosine"))
+    # the exact integer sums ride along so oracle-facing callers can
+    # derive an all-integer score (queries/similarity.py r15 float
+    # purge); the float column stays as the sklearn-formula twin for
+    # the UDF ground-truth tests
+    return pair.select(
+        "doc_a", "doc_b", cos.alias("tfidf_cosine"),
+        "dot", "sh_a", "sh_b", "s2_a", "s2_b",
+    )

@@ -46,6 +46,22 @@ ENT32_TERM = [0.0] + [
     for c in range(1, 33)
 ]
 
+
+def _nano_nearest(f: Fraction) -> int:
+    n = f.numerator * 2 * 10**9 + (
+        f.denominator if f.numerator >= 0 else -f.denominator
+    )
+    return n // (2 * f.denominator)
+
+
+# nearest-nano INTEGER twin of ENT32_TERM (r15 float purge): entropy
+# becomes an exact BIGINT sum of these literals — no float sum, no
+# round(x, 6) on the result path
+ENT32_NANO = [0] + [
+    _nano_nearest(Fraction(c, 32) * ln_frac(Fraction(c, 32)) / LN2_FRAC)
+    for c in range(1, 33)
+]
+
 ASSET_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

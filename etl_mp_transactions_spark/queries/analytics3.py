@@ -2,8 +2,9 @@
 modularity, and A/B-test statistics (SURVEY.md §2.9 extensions).
 
 House exactness policy throughout: BIGINT counts / integer cents all
-the way down; each output cell's float ops are a fixed final formula
-on identical operands in both engines, rounded to 12 digits.
+the way down; since r15 (float purge) the derived statistics are
+all-integer fixed-point through functions/bigratio — no float op on
+any result path.
 """
 
 from __future__ import annotations
@@ -11,6 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.bigratio import (
+    isqrt_sql,
+    ratio_pow10_sql,
+    red_cols,
+    scaled_div_sql,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -75,7 +82,7 @@ def attribution_last_touch(spark, sf_dir):
 
 @query(
     "graph_modularity",
-    """
+    f"""
     WITH pairs AS (
       SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
       FROM lineitem a JOIN lineitem b
@@ -97,21 +104,28 @@ def attribution_last_touch(spark, sf_dir):
       FROM (SELECT ca AS c FROM labeled
             UNION ALL SELECT cb AS c FROM labeled)
       GROUP BY c
+    ),
+    base AS (
+      SELECT d.c AS community,
+             COALESCE(i.e_in, 0) AS e_in, d.d AS d, m.m AS m
+      FROM degsum d LEFT JOIN intra i ON d.c = i.c CROSS JOIN m
     )
-    SELECT d.c AS community,
-           COALESCE(i.e_in, 0) AS intra_edges,
-           d.d AS degree_sum,
-           round(COALESCE(i.e_in, 0)::DOUBLE / m.m
-                 - (d.d::DOUBLE / (2 * m.m)) * (d.d::DOUBLE / (2 * m.m)),
-                 12) AS q_contrib
-    FROM degsum d LEFT JOIN intra i ON d.c = i.c CROSS JOIN m
+    SELECT community, e_in AS intra_edges, d AS degree_sum,
+           {scaled_div_sql("e_in", "m", 10**9, "duck")}
+             - ({scaled_div_sql("d", "(2 * m)", 10**9, "duck", 10**15)}
+                * {scaled_div_sql("d", "(2 * m)", 10**9, "duck", 10**15)})
+               // 1000000000 AS q_contrib_nano
+    FROM base
     """,
 )
 def graph_modularity(spark, sf_dir):
     """Newman modularity contribution per community (communities =
     supplier nations) over the supplier co-occurrence graph:
-    Q_c = e_c/m − (d_c/2m)². Exact edge/degree counts; per-community
-    float formula on identical operands. Edge build is the one real
+    Q_c = e_c/m − (d_c/2m)². Exact edge/degree counts; the
+    contribution is an exact all-integer nano value (r15 float purge:
+    two limb-exact scaled_divs, the d/2m term nano-quantized before
+    squaring — deterministic in both engines; ceiling m < 1e14 edges,
+    PORTABILITY.md). Edge build is the one real
     shuffle (orderkey self-join); community labels join on the
     supplier key (dimension-sized, broadcastable — but left as a
     shuffle join since supplier count grows with SF)."""
@@ -150,35 +164,103 @@ def graph_modularity(spark, sf_dir):
         .groupBy("c")
         .agg(F.count("*").alias("d"))
     )
-    dm = F.col("d").cast("double") / (2 * F.col("m"))
-    return (
+    base = (
         degsum.join(intra, "c", "left")
         .crossJoin(F.broadcast(m))
         .select(
             F.col("c").alias("community"),
-            F.coalesce(F.col("e_in"), F.lit(0)).alias("intra_edges"),
-            F.col("d").alias("degree_sum"),
-            F.round(
-                F.coalesce(F.col("e_in"), F.lit(0)).cast("double")
-                / F.col("m")
-                - dm * dm,
-                12,
-            ).alias("q_contrib"),
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            "d",
+            "m",
         )
     )
+    dm_nano = scaled_div_sql("d", "(2 * m)", 10**9, "spark", 10**15)
+    return base.select(
+        "community",
+        F.col("e_in").alias("intra_edges"),
+        F.col("d").alias("degree_sum"),
+        F.expr(
+            f"{scaled_div_sql('e_in', 'm', 10**9, 'spark')}"
+            f" - ({dm_nano} * {dm_nano}) div 1000000000"
+        ).alias("q_contrib_nano"),
+    )
+
+
+def _welch_tail(engine: str) -> str:
+    """Shared-text all-integer Welch tail (r15 float purge): per-arm
+    variance numerators VN = n·Σx² − (Σx)² exactly in HUGEINT /
+    DECIMAL(38,0); each standard-error term VN·1e6/(n²(n−1)) (exact
+    milli-cent² units) through string reduction + the pow10 ladder;
+    se via the integer sqrt; z in exact trunc milli units."""
+    if engine == "duck":
+        wn, wd = "CAST(n{i} AS HUGEINT)", "CAST(n{i} AS HUGEINT)"
+        sq = "CAST(sx{i} AS HUGEINT) * sx{i}"
+        sxxw = "sxx{i}"
+    else:
+        wn = "CAST(n{i} AS DECIMAL(12,0))"
+        wd = "CAST(n{i} AS DECIMAL(12,0))"
+        sq = "CAST(sx{i} AS DECIMAL(18,0)) * CAST(sx{i} AS DECIMAL(18,0))"
+        sxxw = "CAST(sxx{i} AS DECIMAL(25,0))"
+    d = "//" if engine == "duck" else "div"
+    parts = []
+    for i in (0, 1):
+        vn = (wn + " * " + sxxw + " - " + sq).format(i=i)
+        dn = (wd + " * n{i} * (n{i} - 1)").format(i=i)
+        parts.append(f"{vn} AS vn{i}, {dn} AS dn{i}")
+    vr0 = red_cols("vn0", "v0", engine)
+    vr1 = red_cols("vn1", "v1", engine)
+    dr0 = red_cols("dn0", "d0", engine)
+    dr1 = red_cols("dn1", "d1", engine)
+    term = lambda i: ratio_pow10_sql(  # noqa: E731
+        f"v{i}_hi",
+        f"greatest(d{i}_hi, 1)",
+        f"(6 + v{i}_sh - d{i}_sh)",
+        engine,
+        e_min=-18,
+        e_max=10,
+    )
+    return f"""
+    vn AS (
+      SELECT n0, n1, sx0, sx1, {parts[0]}, {parts[1]} FROM wide
+    ),
+    redd AS (
+      SELECT n0, n1, sx0, sx1,
+             {vr0[0][1]} AS v0_hi, {vr0[1][1]} AS v0_sh,
+             {vr1[0][1]} AS v1_hi, {vr1[1][1]} AS v1_sh,
+             {dr0[0][1]} AS d0_hi, {dr0[1][1]} AS d0_sh,
+             {dr1[0][1]} AS d1_hi, {dr1[1][1]} AS d1_sh
+      FROM vn
+    ),
+    se AS (
+      SELECT n0, n1, sx0, sx1,
+             {term(0)} + {term(1)} AS se2_mc2
+      FROM redd
+    ),
+    fin AS (
+      SELECT n0, n1,
+             {scaled_div_sql("sx0", "n0", 10**4, engine)}
+               - {scaled_div_sql("sx1", "n1", 10**4, engine)}
+               AS mean_diff_microcents,
+             {isqrt_sql("se2_mc2", engine)} AS se_mc
+      FROM se
+    )
+    SELECT n0, n1, mean_diff_microcents,
+           {scaled_div_sql("mean_diff_microcents",
+                           "greatest(se_mc, 1)", 100, engine, 10**15)}
+             AS welch_z_milli
+    FROM fin
+    """
 
 
 @query(
     "ab_test_zscores",
-    """
+    f"""
     WITH arms AS (
       SELECT user_id % 2 AS variant,
              count(*)::BIGINT AS n,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-               AS sx,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-               AS sxx
+             SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS sx,
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))::BIGINT AS sxx
       FROM events WHERE event_type = 'purchase'
       GROUP BY 1
     ),
@@ -190,14 +272,7 @@ def graph_modularity(spark, sf_dir):
         (SELECT n FROM arms WHERE variant = 1) AS n1,
         (SELECT sx FROM arms WHERE variant = 1) AS sx1,
         (SELECT sxx FROM arms WHERE variant = 1) AS sxx1
-    )
-    SELECT n0, n1,
-           round(sx0 / n0 - sx1 / n1, 12) AS mean_diff_cents,
-           round((sx0 / n0 - sx1 / n1)
-                 / sqrt((sxx0 - sx0 * sx0 / n0) / (n0 * (n0 - 1))
-                        + (sxx1 - sx1 * sx1 / n1) / (n1 * (n1 - 1))),
-                 12) AS welch_z
-    FROM wide
+    ),{_welch_tail("duck")}
     """,
 )
 def ab_test_zscores(spark, sf_dir):
@@ -205,16 +280,18 @@ def ab_test_zscores(spark, sf_dir):
     hash-assigned experiment arms (variant = user_id % 2 — the
     deterministic assignment an experiment platform derives from a
     salted user hash). Moments are exact BIGINT sums (the
-    stats_via_sums policy) collapsed map-side into 2 rows; mean/
-    variance/z are the final float formula on identical operands."""
+    stats_via_sums policy) collapsed map-side into 2 rows; the Welch
+    tail is ALL-integer (r15 float purge — see _welch_tail): exact
+    micro-cent mean difference, milli-cent² standard error through
+    the bigratio reduction + integer sqrt, trunc milli-unit z."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     arms = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
         F.count("*").alias("n"),
-        F.sum(cents).cast("double").alias("sx"),
-        F.sum(cents * cents).cast("double").alias("sxx"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
     )
     a0 = arms.filter(F.col("variant") == 0).select(
         F.col("n").alias("n0"),
@@ -226,22 +303,8 @@ def ab_test_zscores(spark, sf_dir):
         F.col("sx").alias("sx1"),
         F.col("sxx").alias("sxx1"),
     )
-    wide = a0.crossJoin(a1)
-    n0, n1 = F.col("n0"), F.col("n1")
-    m0 = F.col("sx0") / n0
-    m1 = F.col("sx1") / n1
-    se = F.sqrt(
-        (F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0)
-        / (n0 * (n0 - 1))
-        + (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1)
-        / (n1 * (n1 - 1))
-    )
-    return wide.select(
-        "n0",
-        "n1",
-        F.round(m0 - m1, 12).alias("mean_diff_cents"),
-        F.round((m0 - m1) / se, 12).alias("welch_z"),
-    )
+    a0.crossJoin(a1).createOrReplaceTempView("wide")
+    return spark.sql("WITH " + _welch_tail("spark").lstrip())
 
 
 @query(

@@ -31,6 +31,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.bigratio import scaled_div_sql
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -54,10 +55,12 @@ def _oracle_sql() -> str:
     dims = []
     for j in range(OUT_DIM):
         chain = " + ".join(
-            f"({s} * embedding[{i + 1}]::DOUBLE)"
+            f"({s} * CAST(round(embedding[{i + 1}]::DOUBLE * 1e6)"
+            f" AS BIGINT))"
             for i, s in enumerate(SIGNS[j])
         )
-        dims.append(f"round(({chain}) / 4.0, 12) AS y{j}")
+        # /4 in micro units == *250 in nano units — exact integer
+        dims.append(f"(({chain}) * 250) AS y{j}_nano")
     cols = ",\n           ".join(dims)
     return f"""
     SELECT vec_id, label,
@@ -73,29 +76,29 @@ def random_projection_jl(spark, sf_dir):
     the shape the downstream ANN/cluster steps consume)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cols = [F.col("vec_id"), F.col("label")]
-    # Spark side: ordered F.aggregate fold (compact plan — an
-    # unrolled 64-term tree per dim blows up codegen compile time
-    # ~5×); oracle side: unrolled chain (vectorizes in DuckDB).
-    # Both are the same left-associated accumulation order:
-    # ((0+t1)+t2)+… ≡ ((t1+t2)+t3)+… bit-for-bit (0+x = x in IEEE,
-    # modulo signed zero which compares equal).
-    def _proj(signs_j):
-        return lambda acc, i: acc + F.element_at(
-            signs_j, i
-        ) * F.element_at(F.col("embedding"), i).cast("double")
-
+    # r15 float purge: quantize each coordinate to exact micro ints
+    # FIRST (tie-safe single-op round), then the ±1 fold is an exact
+    # BIGINT sum in any order; /4 in micro == *250 in nano, exact.
     for j in range(OUT_DIM):
-        signs_j = F.array(*[F.lit(float(s)) for s in SIGNS[j]])
-        y = F.aggregate(
-            F.sequence(F.lit(1), F.lit(IN_DIM)), F.lit(0.0), _proj(signs_j)
-        )
-        cols.append(F.round(y / 4.0, 12).alias(f"y{j}"))
+        signs_j = F.array(*[F.lit(int(s)).cast("long") for s in SIGNS[j]])
+        terms = [
+            F.element_at(signs_j, i + 1)
+            * F.expr(
+                f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1e6)"
+                f" AS BIGINT)"
+            )
+            for i in range(IN_DIM)
+        ]
+        y = terms[0]
+        for t in terms[1:]:
+            y = y + t
+        cols.append((y * F.lit(250)).alias(f"y{j}_nano"))
     return emb.select(*cols)
 
 
 @query(
     "sif_embedding",
-    """
+    f"""
     WITH tok AS (
       SELECT doc_id, u.w
       FROM documents, unnest(string_split(text, ' ')) AS u(w)
@@ -104,8 +107,8 @@ def random_projection_jl(spark, sf_dir):
     cw AS (SELECT w, count(*) AS c_w FROM tok GROUP BY 1),
     tt AS (SELECT count(*) AS t FROM tok),
     wt AS (
-      SELECT w, CAST(round(1e9 * ((t / 1000.0) / (t / 1000.0 + c_w)))
-                     AS BIGINT) AS nw
+      SELECT w, {scaled_div_sql("t", "(t + 1000 * c_w)", 10**9, "duck")}
+               AS nw
       FROM cw CROSS JOIN tt
     ),
     dt AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2)
@@ -147,10 +150,14 @@ def sif_embedding(spark, sf_dir):
     )
     cw = tok.groupBy("w").agg(F.count("*").alias("c_w"))
     tt = tok.agg(F.count("*").alias("t"))
-    at = F.col("t") / F.lit(1000.0)
+    # a/(a+p_w) = t/(t + 1000·c_w): exact trunc nano via the bigratio
+    # limb kernel (r15 float purge; ceiling t + 1000·c_w < 1e14,
+    # PORTABILITY.md)
     wt = cw.crossJoin(F.broadcast(tt)).select(
         "w",
-        F.round(F.lit(1e9) * (at / (at + F.col("c_w")))).cast("bigint").alias("nw"),
+        F.expr(
+            scaled_div_sql("t", "(t + 1000 * c_w)", 10**9, "spark")
+        ).alias("nw"),
     )
     dt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     sign = F.when(

@@ -653,6 +653,21 @@ def gann_super(books):
     )[:ks]
     Bf = books.astype(np.float64)
     S = Bf[order]
+    # loud degenerate-supers guard (ADVICE r13 low, closed r15):
+    # duplicate quantized seed vectors would send every centroid to
+    # the FIRST duplicate (argmin first-min ties), leaving the other
+    # super holding only its forced self-member while the SQL twin's
+    # tie order could differ — assert distinctness instead of
+    # diverging silently. Never fires on real embedding corpora
+    # (identical 64-dim quantized centroids ⇒ identical input
+    # vectors); a corpus that does trip it needs a different seed
+    # tag, not a silent answer.
+    if len(np.unique(S, axis=0)) != len(S):
+        raise ValueError(
+            "gann_super: duplicate quantized super-seed vectors — "
+            "the two-level assignment tie contract requires distinct "
+            f"seeds (tag {_GANN_SUPER_TAG!r}); choose another tag"
+        )
     dcs = ((Bf[:, None, :] - S[None, :, :]) ** 2).sum(axis=2)
     super_of_c = dcs.argmin(axis=1)  # first min ⇒ s-asc ties
     members = [

@@ -158,7 +158,14 @@ def _cramer_stages(div: str, huge: str) -> list[list[str]]:
     DRIVER environment — a red cell there, with the i64 chain green,
     pins three rounds of poscontrol divergence on 128-bit type
     semantics (ANSI / precision-loss config) rather than data. The
-    live solve is functions/i128.py:cramer_i64_stages."""
+    live solve is functions/i128.py:cramer_i64_stages.
+
+    Headroom (closes the r13 DECIMAL-overflow advice): the probe's
+    operands are CONSTANT LITERALS (|num|·1000 ≤ ~1e22, 16 orders
+    inside DECIMAL(38)/HUGEINT), so the data-dependent ~N² overflow
+    the advice described cannot occur here; the live training path's
+    headroom is the loud 2^61 SUM_GUARD below, which fires before
+    any solve arithmetic sees oversized sums."""
 
     def _h(e: str) -> str:
         return f"CAST({e} AS {huge})"

@@ -45,6 +45,82 @@ BM25_B = 0.75
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
+# r15 float purge: the BM25 term score is an exact rational once the
+# denominators are cleared — with k1 = 6/5, b = 3/4 and scale S = 10,
+#   s = idf·tf·(k1+1)/(tf + k1(1-b) + k1·b·dl·N/sumdl)
+#     = (S·(k1+1)·tf·idf_nano·sumdl)
+#       / (S·tf·sumdl + S·k1(1-b)·sumdl + S·k1·b·dl·N)   [nano units]
+# i.e. num = 22·tf·idf_nano·sumdl over D = 10·tf·sumdl + 3·sumdl
+# + 9·dl·N — all exact integers. The per-doc score is then an exact
+# BIGINT sum of term scores (order-free: integer addition commutes),
+# which retires the r13 ordered-float-fold workaround entirely.
+from fractions import Fraction as _Fr
+
+_S = 10
+assert (_Fr(_S) * _Fr(6, 5) * _Fr(1, 4)).denominator == 1
+_C_NUM = int(_Fr(_S) * (_Fr(6, 5) + 1))        # 22
+_C_TF = _S                                     # 10
+_C_CONST = int(_Fr(_S) * _Fr(6, 5) * _Fr(1, 4))  # 3
+_C_DL = int(_Fr(_S) * _Fr(6, 5) * _Fr(3, 4))   # 9
+
+
+def _bm25_tail(engine: str) -> str:
+    from etl_mp_transactions_spark.functions.bigratio import (
+        ratio_pow10_sql,
+        red_cols,
+    )
+
+    if engine == "duck":
+        big_num = (
+            f"CAST({_C_NUM} * tf * idf_nano AS HUGEINT) * sum_dl"
+        )
+        big_d = (
+            f"CAST({_C_TF} * tf AS HUGEINT) * sum_dl"
+            f" + CAST({_C_CONST} AS HUGEINT) * sum_dl"
+            f" + CAST({_C_DL} AS HUGEINT) * dl * n_docs"
+        )
+    else:
+        big_num = (
+            f"CAST({_C_NUM} * tf * idf_nano AS DECIMAL(16,0))"
+            f" * CAST(sum_dl AS DECIMAL(16,0))"
+        )
+        big_d = (
+            f"CAST({_C_TF} * tf AS DECIMAL(8,0))"
+            f" * CAST(sum_dl AS DECIMAL(16,0))"
+            f" + CAST({_C_CONST} AS DECIMAL(2,0))"
+            f" * CAST(sum_dl AS DECIMAL(16,0))"
+            f" + CAST({_C_DL} * dl AS DECIMAL(12,0))"
+            f" * CAST(n_docs AS DECIMAL(14,0))"
+        )
+    nr = red_cols("num0", "nm", engine)
+    dr = red_cols("den0", "dn", engine)
+    return f"""
+    big AS (
+      SELECT doc_id, term, {big_num} AS num0, {big_d} AS den0
+      FROM scored0
+    ),
+    redd AS (
+      SELECT doc_id, term,
+             {nr[0][1]} AS nm_hi, {nr[1][1]} AS nm_sh,
+             {dr[0][1]} AS dn_hi, {dr[1][1]} AS dn_sh
+      FROM big
+    ),
+    sterm AS (
+      SELECT doc_id,
+             {ratio_pow10_sql("nm_hi", "greatest(dn_hi, 1)",
+                              "(nm_sh - dn_sh)", engine,
+                              e_min=-18, e_max=18)} AS s_nano
+      FROM redd
+    ),
+    folded AS (
+      SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS bm25_nano
+      FROM sterm GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_nano
+    FROM folded
+    ORDER BY bm25_nano DESC, doc_id LIMIT 20
+    """
+
 
 def _tokens_expr():
     """lower → split on whitespace → drop empties (the corpus-wide
@@ -79,33 +155,15 @@ def _tokens_expr():
       SELECT term, count(DISTINCT doc_id)::BIGINT AS df
       FROM tf GROUP BY term
     ),
-    scored AS (
-      SELECT tf.doc_id, tf.term,
-             (({ln_nano_sql("2 * c.n_docs + 2", "duck")}
-               - {ln_nano_sql("2 * df.df + 1", "duck")}) / 1e9)
-               * (tf.tf * ({BM25_K1} + 1.0))
-               / (tf.tf + {BM25_K1}
-                  * (1.0 - {BM25_B}
-                     + {BM25_B} * dl.dl
-                       / (c.sum_dl::DOUBLE / c.n_docs))) AS s
+    scored0 AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl, c.n_docs, c.sum_dl,
+             ({ln_nano_sql("2 * c.n_docs + 2", "duck")}
+               - {ln_nano_sql("2 * df.df + 1", "duck")}) AS idf_nano
       FROM tf
       JOIN df ON tf.term = df.term
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN corpus c
-    ),
-    folded AS (
-      -- ORDER-FREE float sum (r13): fold the <=4 term scores in
-      -- term-asc order in BOTH engines — a plain sum() adds in
-      -- physical row order, which differs between engines/plans in
-      -- the last ulp and flips round(.,12) at unlucky values (the
-      -- r13 sf0.1 gate caught exactly one such doc)
-      SELECT doc_id,
-             list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS raw
-      FROM scored GROUP BY doc_id
-    )
-    SELECT doc_id, round(raw, 12) AS bm25
-    FROM folded
-    ORDER BY raw DESC, doc_id LIMIT 20
+    ),{_bm25_tail("duck")}
     """,
 )
 def bm25_scoring(spark, sf_dir):
@@ -132,41 +190,24 @@ def bm25_scoring(spark, sf_dir):
     df = tf.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     # idf = ln(1+(N-df+.5)/(df+.5)) == ln((2N+2)/(2df+1)): exactmath
-    # integer-ln difference, identical nano integer in both engines
-    s = (
-        F.expr(
-            f"({ln_nano_sql('2 * n_docs + 2', 'spark')}"
-            f" - {ln_nano_sql('2 * df + 1', 'spark')}) / 1e9"
-        )
-        * (F.col("tf") * (BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
-        )
-    )
-    scored = (
+    # integer-ln difference; the term score is the exact cleared-
+    # denominator rational (module block comment) through bigratio —
+    # no float op anywhere (r15 float purge)
+    scored0 = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
-        .select("doc_id", "term", s.alias("s"))
-    )
-    # ORDER-FREE float sum (r13, twin of the oracle's list_reduce):
-    # fold the <=4 term scores in term-asc order — sum() adds in
-    # physical row order, engine/plan-dependent in the last ulp
-    return (
-        scored.groupBy("doc_id")
-        .agg(
+        .select(
+            "doc_id", "term", "tf", "dl", "n_docs", "sum_dl",
             F.expr(
-                "aggregate(array_sort(collect_list(struct(term, s))),"
-                " cast(0.0 as double), (acc, x) -> acc + x.s)"
-            ).alias("raw")
+                f"({ln_nano_sql('2 * n_docs + 2', 'spark')}"
+                f" - {ln_nano_sql('2 * df + 1', 'spark')})"
+            ).alias("idf_nano"),
         )
-        .orderBy(F.desc("raw"), "doc_id")
-        .limit(20)
-        .select("doc_id", F.round("raw", 12).alias("bm25"))
     )
+    scored0.createOrReplaceTempView("scored0")
+    return spark.sql("WITH " + _bm25_tail("spark").lstrip())
 
 
 @query(

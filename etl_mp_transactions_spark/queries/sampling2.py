@@ -129,14 +129,13 @@ def percentile_latency_bands(spark, sf_dir):
     ),
     drawn AS (
       SELECT o_orderkey, weight_cents,
-             (({ln_nano_sql("h1", "duck")} - {_LN_UDEN_NANO}) / 1e9)
-               / (weight_cents / 100.0) AS neg_key
+             (({ln_nano_sql("h1", "duck")} - {_LN_UDEN_NANO}) * 100000)
+               // weight_cents AS sort_key_pico
       FROM hashed
     )
-    SELECT o_orderkey, weight_cents,
-           round(neg_key, 12) AS sort_key
+    SELECT o_orderkey, weight_cents, sort_key_pico
     FROM drawn
-    ORDER BY neg_key DESC, o_orderkey ASC
+    ORDER BY sort_key_pico DESC, o_orderkey ASC
     LIMIT {SAMPLE_K}
     """,
 )
@@ -145,9 +144,9 @@ def weighted_sample_ares(spark, sf_dir):
     weight = order value: key = ln(u)/w (monotone transform of the
     published u^(1/w)), u = (hash+1)/2^32+1 in (0,1), maximized
     (ln(u) < 0, so larger = closer to 0 = better draw). Hash
-    determinism makes the sample reproducible everywhere; rounding
-    the reported key to 12 decimals only affects display, the order
-    uses the raw key with a full tiebreak."""
+    determinism makes the sample reproducible everywhere; the key is
+    an exact pico-unit integer (r15 float purge) and the order uses
+    it with a full tiebreak."""
     orders = load_table(spark, sf_dir, "orders")
     h1 = (
         F.conv(
@@ -163,11 +162,13 @@ def weighted_sample_ares(spark, sf_dir):
     )
     w_cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     # ln(u) = ln(h+1) - ln(2^32+1) on the exactmath integer-ln grid
-    # (no engine ln()); the division by weight is IEEE-exact on
-    # identical operands, so the selection order is portable
-    neg_key = F.expr(
-        f"(({ln_nano_sql('h1', 'spark')} - {_LN_UDEN_NANO}) / 1e9)"
-        " / (weight_cents / 100.0)"
+    # (no engine ln()); the key is an exact pico-unit integer
+    # ((lnn-C)·1e5 // w_cents — r15 float purge), so the selection
+    # order is portable by construction (trunc matches: both engines
+    # truncate toward zero on negative integer division)
+    key_pico = F.expr(
+        f"(({ln_nano_sql('h1', 'spark')} - {_LN_UDEN_NANO}) * 100000)"
+        " div weight_cents"
     )
     drawn = orders.select(
         "o_orderkey",
@@ -176,14 +177,10 @@ def weighted_sample_ares(spark, sf_dir):
     ).select(
         "o_orderkey",
         "weight_cents",
-        neg_key.alias("neg_key"),
+        key_pico.alias("sort_key_pico"),
     )
     return (
-        drawn.orderBy(F.desc("neg_key"), F.asc("o_orderkey"))
+        drawn.orderBy(F.desc("sort_key_pico"), F.asc("o_orderkey"))
         .limit(SAMPLE_K)
-        .select(
-            "o_orderkey",
-            "weight_cents",
-            F.round("neg_key", 12).alias("sort_key"),
-        )
+        .select("o_orderkey", "weight_cents", "sort_key_pico")
     )

@@ -43,14 +43,60 @@ def j2_anomaly_pairs(spark, sf_dir):
 
 
 # the 2-doc TF-IDF cosine in closed form (see operators/anomaly.py
-# tfidf_pair_scores_sparse): every sum is an exact int64; the one
-# float expression is written identically on both engines.
-# NB: the ::DOUBLE on the constant is load-bearing — DuckDB otherwise
-# parses the literal as DECIMAL(17,16) and evaluates the whole norm in
-# decimal arithmetic (1-ulp drift vs Spark's IEEE doubles).
-_TFIDF_COS = """CAST(p.dot AS DOUBLE)
-        / sqrt((p.sh_a + (sa.s2 - p.sh_a) * 1.9753321701094941::DOUBLE)
-             * (p.sh_b + (sb.s2 - p.sh_b) * 1.9753321701094941::DOUBLE))"""
+# tfidf_pair_scores_sparse), ALL-INTEGER since r15 (float purge): the
+# idf constant ships as a nano integer literal, norms become exact
+# nano int64s, the pair norm product goes through the bigratio
+# even-shift reduction + integer sqrt, and the score is an exact
+# trunc ppm via the limb scaled_div. Method error ≤ ~4e-7 of the
+# sklearn cosine (PORTABILITY.md); identical in both engines.
+_C2_NANO = int(round(anomaly.IDF1_SQ * 1e9))
+
+
+def _tfidf_ppm_tail(engine: str) -> str:
+    from etl_mp_transactions_spark.functions.bigratio import (
+        isqrt_sql,
+        pow10_sql,
+        red_cols_even,
+        scaled_div_sql,
+    )
+
+    big = (
+        "CAST(na AS HUGEINT) * nb"
+        if engine == "duck"
+        else "CAST(na AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0))"
+    )
+    v = red_cols_even("v", "v", engine)
+    d = "//" if engine == "duck" else "div"
+    return f"""
+    norms AS (
+      SELECT doc_a, doc_b, dot,
+             sh_a * 1000000000 + (s2_a - sh_a) * {_C2_NANO} AS na,
+             sh_b * 1000000000 + (s2_b - sh_b) * {_C2_NANO} AS nb
+      FROM pairs0
+    ),
+    prod AS (
+      SELECT doc_a, doc_b, dot, {big} AS v FROM norms
+    ),
+    redd AS (
+      SELECT doc_a, doc_b, dot,
+             {v[0][1]} AS v_hi, {v[1][1]} AS v_sh
+      FROM prod
+    ),
+    rooted AS (
+      SELECT doc_a, doc_b, dot,
+             {isqrt_sql("v_hi", engine)}
+               * {pow10_sql(f"v_sh {d} 2", engine)} AS rt
+      FROM redd
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             {scaled_div_sql("dot", "rt", 10**15, engine, 10**15)}
+               AS tfidf_cosine_ppm
+      FROM rooted
+    )
+    SELECT doc_a, doc_b, tfidf_cosine_ppm
+    FROM scored WHERE tfidf_cosine_ppm >= 900000
+    """
 
 
 @query(
@@ -72,30 +118,27 @@ _TFIDF_COS = """CAST(p.dot AS DOUBLE)
       JOIN tok b ON a.source = b.source AND a.token = b.token
                 AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT p.doc_a, p.doc_b, round({_TFIDF_COS}, 12) AS tfidf_cosine
-    FROM p
-    JOIN s sa ON sa.doc_id = p.doc_a
-    JOIN s sb ON sb.doc_id = p.doc_b
-    WHERE {_TFIDF_COS} >= 0.9
+    ),
+    pairs0 AS (
+      SELECT p.doc_a, p.doc_b, p.dot, p.sh_a, p.sh_b,
+             sa.s2 AS s2_a, sb.s2 AS s2_b
+      FROM p
+      JOIN s sa ON sa.doc_id = p.doc_a
+      JOIN s sb ON sb.doc_id = p.doc_b
+    ),{_tfidf_ppm_tail("duck")}
     """,
 )
 def j2_tfidf_exact_pairs(spark, sf_dir):
     """J2 exactness mode: the reference's per-pair 2-document TF-IDF
     cosine (sklearn semantics) in closed form over a sparse token
-    join — all-JVM, oracle-exact, no per-pair text shipping. The
-    pandas-UDF formula path (anomaly.tfidf_pair_scores) remains as
-    the unit-test ground truth (tests/test_anomaly.py)."""
-    from pyspark.sql import functions as F
-
+    join — all-JVM, no per-pair text shipping, and since r15 an
+    ALL-INTEGER ppm score (block comment above). The pandas-UDF
+    formula path (anomaly.tfidf_pair_scores) remains as the
+    unit-test ground truth (tests/test_anomaly.py)."""
     docs = load_table(spark, sf_dir, "documents")
     scored = anomaly.tfidf_pair_scores_sparse(docs)
-    # filter on the raw score; round only the *reported* value — the
-    # closed-form float expr drifts 1 ulp at some SFs (same class and
-    # fix as stats_via_sums)
-    return scored.filter(F.col("tfidf_cosine") >= 0.9).withColumn(
-        "tfidf_cosine", F.round("tfidf_cosine", 12)
-    )
+    scored.createOrReplaceTempView("pairs0")
+    return spark.sql("WITH " + _tfidf_ppm_tail("spark").lstrip())
 
 
 @query(

@@ -1,85 +1,152 @@
 """Statistical aggregates and remaining expression breadth.
 
 Built-in corr/stddev use incremental algorithms whose floating-point
-results differ between engines, so the engine computes the moments
-from exact DECIMAL sums and derives the statistics with explicit
-double arithmetic — bit-identical in both engines AND numerically
-stable by construction (the sums are exact; only the final few ops are
-floating point). At scale this is also the cheaper plan: one pass of
-partial+final decimal sums, no second-moment state merging.
+results differ between engines. Since r15 (float purge, VERDICT r14
+task #2), stats_via_sums goes further than the old exact-sums +
+final-float form — the multi-op double tail itself proved 1-ulp
+engine-sensitive — and is ALL-integer end to end:
+
+- moments in exact integer cents (per-row squares as DECIMAL(29,0) /
+  HUGEINT so the sums never overflow; one pass, map-side partials);
+- variance/covariance numerators n·Σxx − (Σx)² exactly in
+  HUGEINT / DECIMAL(38,0);
+- sqrt via functions/bigratio: even-shift string reduction + the
+  candidate-corrected integer isqrt (float only seeds; integers
+  decide — method error ≤ 1.6e-7 relative, identical in both
+  engines);
+- final ratios through the pow10-ladder exact trunc division.
+
+Output units: mean/stddev in micro-qty-units, correlation in ppm.
+Ceilings (PORTABILITY.md): per-group n < 1e12, var numerators <
+1e30 (qty) — both far beyond TPC-H 100 TB; overflow is loud (DuckDB
+HUGEINT/Spark ANSI decimal errors), never silent.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.functions.bigratio import (
+    isqrt_sql,
+    ratio_pow10_sql,
+    red_cols,
+    red_cols_even,
+    scaled_div_sql,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
 
+def _stats_ctes(engine: str) -> str:
+    """Shared-text CTE chain for stats_via_sums (module docstring):
+    exact integer moments → big-int var/cov numerators → string
+    reduction → integer sqrt — identical algebra in both engines,
+    differing only in the big-int spelling (HUGEINT vs DECIMAL)."""
+    if engine == "duck":
+        big = "HUGEINT"
+
+        def wide(x):
+            return f"CAST({x} AS HUGEINT)"
+
+    else:
+        big = "DECIMAL(38,0)"
+
+        def wide(x):
+            return f"CAST({x} AS DECIMAL(18,0))"
+
+    sq = (
+        "CAST({a} AS DECIMAL(14,0)) * CAST({b} AS DECIMAL(14,0))"
+        if engine == "spark"
+        else "CAST({a} AS HUGEINT) * {b}"
+    )
+    vx = red_cols_even("varx", "vx", engine)
+    vy = red_cols_even("vary", "vy", engine)
+    cv = red_cols("abs(cov)", "cv", engine)
+    # Spark: n(D12)·sxx(D25) → D(38) exact; sx(D18)² → D(37) exact
+    nw = (
+        "CAST(n AS DECIMAL(12,0))" if engine == "spark" else "CAST(n AS HUGEINT)"
+    )
+    sxxw = (
+        "CAST(sxx AS DECIMAL(25,0))" if engine == "spark" else "sxx"
+    )
+    syyw = (
+        "CAST(syy AS DECIMAL(25,0))" if engine == "spark" else "syy"
+    )
+    sxyw = (
+        "CAST(sxy AS DECIMAL(25,0))" if engine == "spark" else "sxy"
+    )
+    return f"""
+    q0 AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qx,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qx) AS BIGINT) AS sx,
+             CAST(SUM(qy) AS BIGINT) AS sy,
+             SUM({sq.format(a="qx", b="qx")}) AS sxx,
+             SUM({sq.format(a="qy", b="qy")}) AS syy,
+             SUM({sq.format(a="qx", b="qy")}) AS sxy
+      FROM q0 GROUP BY l_returnflag
+    ),
+    vn AS (
+      SELECT l_returnflag, n, sx,
+             CAST({nw} * {sxxw} - {wide("sx")} * {wide("sx")} AS {big})
+               AS varx,
+             CAST({nw} * {syyw} - {wide("sy")} * {wide("sy")} AS {big})
+               AS vary,
+             CAST({nw} * {sxyw} - {wide("sx")} * {wide("sy")} AS {big})
+               AS cov
+      FROM s
+    ),
+    redd AS (
+      SELECT l_returnflag, n, sx, cov,
+             {vx[0][1]} AS vx_hi, {vx[1][1]} AS vx_sh,
+             {vy[0][1]} AS vy_hi, {vy[1][1]} AS vy_sh,
+             {cv[0][1]} AS cv_hi,
+             {cv[1][1]} AS cv_sh
+      FROM vn
+    ),
+    rooted AS (
+      SELECT l_returnflag, n, sx, cov, cv_hi, cv_sh,
+             {isqrt_sql("vx_hi", engine)} AS ix,
+             vx_sh {"//" if engine == "duck" else "div"} 2 AS ex,
+             {isqrt_sql("vy_hi", engine)} AS iy,
+             vy_sh {"//" if engine == "duck" else "div"} 2 AS ey
+      FROM redd
+    )"""
+
+
+def _stats_select(engine: str) -> str:
+    return f"""
+    SELECT l_returnflag, n,
+           {scaled_div_sql("sx", "n", 10**4, engine)} AS mean_qty_micro,
+           {ratio_pow10_sql("ix", "n", "(4 + ex)", engine,
+                            e_min=0, e_max=16)}
+             AS stddev_pop_qty_micro,
+           (CASE WHEN cov < 0 THEN -1 ELSE 1 END)
+             * {ratio_pow10_sql("cv_hi", "greatest(ix * iy, 1)",
+                                "(6 + cv_sh - ex - ey)", engine,
+                                e_min=-18, e_max=10)}
+             AS corr_qty_price_ppm
+    FROM rooted
+    """
+
+
 @query(
     "stats_via_sums",
-    """
-    WITH s AS (
-      SELECT l_returnflag,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l_returnflag, n,
-           sx / n AS mean_qty,
-           round(sqrt(greatest((sxx - sx * sx / n) / n, 0)), 12)
-             AS stddev_pop_qty,
-           round((sxy - sx * sy / n)
-             / (sqrt(greatest(sxx - sx * sx / n, 0))
-                * sqrt(greatest(syy - sy * sy / n, 0))), 12)
-             AS corr_qty_price
-    FROM s
-    """,
+    "WITH " + _stats_ctes("duck") + _stats_select("duck"),
 )
 def stats_via_sums(spark, sf_dir):
     """mean / population stddev / Pearson correlation from exact
-    decimal moments — engine-portable and single-pass."""
+    integer moments, all-integer to the last digit (module
+    docstring): micro-unit mean and stddev, ppm correlation."""
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(18,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
-    s = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return s.select(
-        "l_returnflag",
-        "n",
-        (sx / n).alias("mean_qty"),
-        # round(12): the moment sums are bit-exact on both engines, but
-        # the derived sqrt/ratio drifts 1 ulp at some SFs (engine
-        # float-evaluation internals) — 1e-12 is far above that noise
-        # and far below any semantic tolerance for corr/stddev
-        F.round(
-            F.sqrt(F.greatest((sxx - sx * sx / n) / n, F.lit(0.0))), 12
-        ).alias("stddev_pop_qty"),
-        F.round(
-            (sxy - sx * sy / n)
-            / (
-                F.sqrt(F.greatest(sxx - sx * sx / n, F.lit(0.0)))
-                * F.sqrt(F.greatest(syy - sy * sy / n, F.lit(0.0)))
-            ),
-            12,
-        ).alias("corr_qty_price"),
-    )
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _stats_ctes("spark") + _stats_select("spark"))
 
 
 @query(

@@ -48,9 +48,9 @@ from etl_mp_transactions_spark.workdirs import run_dir
       FROM h
     )
     SELECT doc_id AS asset_id, media_type, 32 AS n_bytes,
-           round(-list_sum(list_transform(hist,
-             c -> ([{", ".join(repr(v) for v in multimodal.ENT32_TERM)}])[c + 1])), 6)
-             AS byte_entropy,
+           -list_sum(list_transform(hist,
+             c -> ([{", ".join(str(v) for v in multimodal.ENT32_NANO)}])[c + 1]))
+             AS byte_entropy_nano,
            list_aggregate(list_transform(hist, c -> CAST(c AS VARCHAR)), 'string_agg', ',')
              AS histogram
     FROM k
@@ -66,18 +66,29 @@ def multimodal_features(spark, sf_dir):
     byte's high nibble is the hex char at odd 1-indexed positions of
     upper(md5(text)||md5('x'||text)) — then recounts the histogram
     with string arithmetic and recomputes entropy from it. Entropy
-    terms come from the shared ENT32_TERM literal grid
+    terms come from the shared ENT32_NANO INTEGER literal grid
     (operators/multimodal.py — python-precomputed exact-rational
-    (c/32)·log2(c/32), no engine log2), summed in bucket index
-    order in both engines: bitwise-identical by construction."""
+    (c/32)·log2(c/32) at nano resolution, no engine log2), summed as
+    exact BIGINTs: identical by construction, no float on the result
+    path (r15)."""
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.synthesize_assets(docs)
     feats = multimodal.extract_features(assets)
+    ent_lits = ", ".join(
+        f"{v}L" for v in multimodal.ENT32_NANO
+    )
     return feats.select(
         "asset_id",
         "media_type",
         "n_bytes",
-        F.round("byte_entropy", 6).alias("byte_entropy"),
+        # exact BIGINT entropy from the shared nano literal grid,
+        # recomputed JVM-side from the integer histogram (r15 float
+        # purge — the operator's float column stays for unit tests)
+        F.expr(
+            f"-aggregate(transform(histogram,"
+            f" c -> element_at(array({ent_lits}), CAST(c + 1 AS INT))),"
+            f" 0L, (a, x) -> a + x)"
+        ).alias("byte_entropy_nano"),
         F.array_join(F.transform("histogram", lambda x: x.cast("string")), ",").alias(
             "histogram"
         ),

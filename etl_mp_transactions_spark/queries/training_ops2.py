@@ -62,9 +62,9 @@ def _word_bigrams(text_col: Column) -> Column:
     )
     SELECT o.doc_id,
            sum(o.c)::BIGINT AS n_bigrams,
-           round(sum(o.c * ({ln_nano_sql("m.cg + 1", "duck")}
-                            - {ln_nano_sql("x.cw + v.vocab", "duck")}))
-                 / (sum(o.c) * 1e9), 9) AS avg_logprob
+           sum(o.c * ({ln_nano_sql("m.cg + 1", "duck")}
+                      - {ln_nano_sql("x.cw + v.vocab", "duck")}))
+             // sum(o.c) AS avg_logprob_nano
     FROM occ o
     JOIN model m USING (gram)
     JOIN ctx x ON m.w1 = x.w1
@@ -116,33 +116,100 @@ def ngram_lm_quality(spark, sf_dir):
         occ.join(model.select("gram", "cg", "w1"), "gram")
         .join(ctx, "w1")
         .crossJoin(F.broadcast(vocab))
+        .withColumn("__term", term)
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.round(F.sum(term) / (F.sum("c") * 1e9), 9).alias(
-                "avg_logprob"
+            # exact nano integer mean log-prob (r15 float purge):
+            # BIGINT term sum, one trunc-div (negative-safe — both
+            # engines truncate toward zero)
+            F.expr("div(sum(__term), sum(c))").alias(
+                "avg_logprob_nano"
             ),
         )
     )
 
 
+def _mix_rate_ctes(engine: str) -> str:
+    """Shared-text all-integer temperature-mix rate table (r15 float
+    purge): sqrt weights via the bigratio even-shift reduction +
+    exact integer sqrt (micro units), exact BIGINT weight total
+    (order-free), the per-source rate as a nano integer through the
+    pow10 ladder, capped at 1e9. The keep predicate then becomes the
+    EXACT integer comparison h·1e9 < rate_nano·2^32 — the sampled
+    row set is engine-identical by construction, not merely
+    1-ulp-improbable."""
+    from etl_mp_transactions_spark.functions.bigratio import (
+        isqrt_sql,
+        pow10_sql,
+        ratio_pow10_sql,
+        red_cols,
+        red_cols_even,
+    )
+
+    d = "//" if engine == "duck" else "div"
+    if engine == "duck":
+        v = "CAST(n_docs AS HUGEINT) * 1000000000000"
+        dd = "CAST(z_micro AS HUGEINT) * n_docs"
+    else:
+        v = (
+            "CAST(n_docs AS DECIMAL(14,0))"
+            " * CAST(1000000000000 AS DECIMAL(13,0))"
+        )
+        dd = (
+            "CAST(z_micro AS DECIMAL(18,0))"
+            " * CAST(n_docs AS DECIMAL(14,0))"
+        )
+    vr = red_cols_even("v", "v", engine)
+    drc = red_cols("dd", "dd", engine)
+    rate = ratio_pow10_sql(
+        "(200 * wgt_micro)",
+        "greatest(dd_hi, 1)",
+        "(9 - dd_sh)",
+        engine,
+        e_min=-18,
+        e_max=9,
+    )
+    return f"""
+    w0 AS (SELECT source, n_docs, {v} AS v FROM n),
+    w1 AS (
+      SELECT source, n_docs,
+             {vr[0][1]} AS v_hi, {vr[1][1]} AS v_sh
+      FROM w0
+    ),
+    w AS (
+      SELECT source, n_docs,
+             {isqrt_sql("v_hi", engine)}
+               * {pow10_sql(f"v_sh {d} 2", engine)} AS wgt_micro
+      FROM w1
+    ),
+    z AS (SELECT CAST(sum(wgt_micro) AS BIGINT) AS z_micro FROM w),
+    dn AS (
+      SELECT source, n_docs, wgt_micro, {dd} AS dd
+      FROM w CROSS JOIN z
+    ),
+    drd AS (
+      SELECT source, n_docs, wgt_micro,
+             {drc[0][1]} AS dd_hi, {drc[1][1]} AS dd_sh
+      FROM dn
+    ),
+    r AS (
+      SELECT source, n_docs,
+             least(1000000000, {rate}) AS rate_nano
+      FROM drd
+    )"""
+
+
 @query(
     "source_temperature_mix",
-    """
+    f"""
     WITH n AS (
       SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
-    ),
-    w AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wgt FROM n),
-    z AS (SELECT sum(wgt) AS z FROM w),
-    r AS (
-      SELECT w.source, w.n_docs,
-             least(1.0, 200.0 * (w.wgt / z.z) / w.n_docs) AS rate
-      FROM w CROSS JOIN z
-    )
-    SELECT d.doc_id, d.source, round(r.rate, 12) AS sampling_rate
+    ),{_mix_rate_ctes("duck")}
+    SELECT d.doc_id, d.source, r.rate_nano AS sampling_rate_nano
     FROM documents d JOIN r ON d.source = r.source
     WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix-seed-1'), 1, 8))::BIGINT
-          / 4294967296.0 < r.rate
+          * 1000000000 < r.rate_nano * 4294967296
     """,
 )
 def source_temperature_mix(spark, sf_dir):
@@ -154,39 +221,36 @@ def source_temperature_mix(spark, sf_dir):
     rand().
 
     Scale: the rate table is one tiny per-source agg broadcast back;
-    the keep decision is map-only. The hash granularity (2^-32) is
-    coarse enough that the float rate's 1-ulp cross-engine drift
-    cannot flip a row."""
+    the keep decision is map-only. r15 float purge: the rate is an
+    exact nano integer (_mix_rate_ctes) and the keep predicate is the
+    exact integer comparison h·1e9 < rate_nano·2^32 — the sampled row
+    set is engine-identical by CONSTRUCTION, not merely
+    1-ulp-improbable."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    w = n.withColumn("wgt", F.sqrt(F.col("n_docs").cast("double")))
-    z = w.agg(F.sum("wgt").alias("z"))
-    r = (
-        w.crossJoin(F.broadcast(z))
-        .withColumn(
-            "rate",
-            F.least(
-                F.lit(1.0), F.lit(200.0) * (F.col("wgt") / F.col("z")) / F.col("n_docs")
-            ),
-        )
-        .select("source", "rate")
+    n.createOrReplaceTempView("n")
+    r = spark.sql(
+        "WITH " + _mix_rate_ctes("spark").lstrip() + " SELECT * FROM r"
     )
-    frac = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix-seed-1"))),
-                1,
-                8,
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":mix-seed-1"))
             ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     return (
-        docs.join(F.broadcast(r), "source")
-        .filter(frac < F.col("rate"))
-        .select("doc_id", "source", F.round("rate", 12).alias("sampling_rate"))
+        docs.join(F.broadcast(r.select("source", "rate_nano")), "source")
+        .filter(h * F.lit(1000000000) < F.col("rate_nano") * F.lit(4294967296))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rate_nano").alias("sampling_rate_nano"),
+        )
     )
 
 

@@ -186,6 +186,39 @@ for _old, _new in [
 ]:
     _SPOTLIGHT[_SPOTLIGHT.index(_old)] = _new
 
+# r15 swaps (VERDICT r14 tasks #1/#2/#3): (a) the two DECISIVE
+# poscontrol probes — the per-doc scored eval slice and the
+# all-VARCHAR final-row re-emission — pin next to the 4-round-red
+# original (they displace the three per-step entries, whose
+# information the driver-green trajectory already carries); (b) the
+# float-purge flagships get driver attestation on previously-latent
+# round(division) queries: conformal (the r14 red, now integer ppm),
+# stats_via_sums / association_rules / woe_information_value (the
+# three structurally-different conversions: isqrt+corr kernel stack,
+# limb scaled_div ranking key, signed all-integer ln products);
+# (c) per VERDICT #3 the displaced ivfpq_train_gain returns.
+# Displaced (all driver-green in r14, families still represented):
+# step1/2/3 (trajectory + docx + calibration stay),
+# cramer_probe_decimal128 + sigmoid_grid_probe (cramer_probe stays —
+# both probes proved their point driver-green in r14),
+# graph_ann_build_flat_equiv (equivalence pinned r14; 4 graph/stream
+# graph entries stay), viterbi_em_train (duplicate_maximal_spans
+# stays; also the single most expensive spotlight entry — VERDICT #5
+# gate-cost watch).
+for _old, _new in [
+    ("quality_classifier_poscontrol_step1",
+     "quality_classifier_poscontrol_predx"),
+    ("quality_classifier_poscontrol_step2",
+     "quality_classifier_poscontrol_varchar"),
+    ("quality_classifier_poscontrol_step3",
+     "conformal_prediction_interval"),
+    ("cramer_probe_decimal128", "stats_via_sums"),
+    ("sigmoid_grid_probe", "association_rules"),
+    ("graph_ann_build_flat_equiv", "woe_information_value"),
+    ("viterbi_em_train", "ivfpq_train_gain"),
+]:
+    _SPOTLIGHT[_SPOTLIGHT.index(_old)] = _new
+
 
 # Rotation slots (ADVICE r10): the tail of the 50-entry driver window
 # is NOT hand-curated — it is a deterministic per-round draw from the
@@ -193,7 +226,7 @@ for _old, _new in [
 # periodically get driver coverage instead of being permanently
 # invisible to the driver gate. Bump the salt each round to rotate.
 _ROTATION_SLOTS = 4
-_ROTATION_SALT = "r14"
+_ROTATION_SALT = "r15"
 
 
 def _spotlight_first(d: dict) -> dict:

@@ -1308,6 +1308,26 @@ def stream_graph_delete_run(
             return spark.createDataFrame([], id_schema)
         return spark.read.schema(id_schema).parquet(*dirs)
 
+    def _frags_except(batch_id: int) -> DataFrame:
+        # mirror of _tombs_except for the fragment store (ADVICE r14
+        # medium): on foreachBatch RE-EXECUTION after a crash between
+        # the fragment write and the checkpoint commit, a prior
+        # attempt's batch={batch_id} fragment already exists; if the
+        # affected-detection view read it, the already-repaired
+        # fragment would mask the pre-batch edges, detection would
+        # find nothing, and the repair would be overwritten EMPTY —
+        # silently losing edges. Excluding the current batch id makes
+        # maintain() idempotent: re-execution sees the true pre-batch
+        # state.
+        dirs = [
+            os.path.join(frags_dir, d)
+            for d in sorted(os.listdir(frags_dir))
+            if d.startswith("batch=") and d != f"batch={batch_id}"
+        ]
+        if not dirs:
+            return spark.createDataFrame([], frag_schema)
+        return spark.read.schema(frag_schema).parquet(*dirs)
+
     def _view(frags: DataFrame, tombs: DataFrame) -> DataFrame:
         # latest fragment per src, minus tombstoned srcs AND dsts.
         # The dst filter matters for the empty-repair edge case: an
@@ -1349,8 +1369,10 @@ def stream_graph_delete_run(
         # tombstones take effect — the all-tombs view would have
         # already dst-filtered away exactly the edges that prove a
         # node needs repair. Srcs tombstoned in this batch are
-        # excluded (they leave the graph, no repair).
-        view = _view(_read_all(frags_dir, frag_schema), prior_tombs)
+        # excluded (they leave the graph, no repair). Fragments from
+        # a prior FAILED attempt of this same batch id are excluded
+        # too (_frags_except — re-execution idempotence).
+        view = _view(_frags_except(batch_id), prior_tombs)
         affected = (
             view.join(
                 fresh.withColumnRenamed("vec_id", "dst"), "dst"

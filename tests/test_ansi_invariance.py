@@ -22,11 +22,26 @@ FAMILY = [
     "quality_classifier_poscontrol_trajectory",
     "quality_classifier_poscontrol_step1",
     "quality_classifier_poscontrol_step3",
+    # r15 decisive probes — same invariance bar as the family
+    "quality_classifier_poscontrol_predx",
+    "quality_classifier_poscontrol_varchar",
     "quality_classifier_train",
     "quality_classifier_calibration",
     "cramer_probe",
     "cramer_probe_decimal128",
     "sigmoid_grid_probe",
+    # r15 float-purge representatives: one per bigratio kernel shape
+    # (scaled_div ranking, isqrt+red stack, DECIMAL-product Cramer,
+    # pow10 ladder, aligned-subtract OLS) — DECIMAL intermediates are
+    # the one ANSI-sensitive surface these conversions touch, so the
+    # whole stack must be bit-identical under both modes
+    "stats_via_sums",
+    "association_rules",
+    "item_cooccurrence_topk",
+    "als_user_half_step",
+    "gini_best_split",
+    "ols_multifeature",
+    "conformal_prediction_interval",
 ]
 
 

@@ -177,6 +177,9 @@ RP_CASES = [
     (99_999_999_999_999, 99_999_999_999_999, 18),
     (123, 99_999_999_999_999, -4),
     (5, 1, -1),
+    (99_999_999_999_999, 3, -17),
+    (99_999_999_999_999, 1, -18),
+    (99_999_999_999_999, 99_999_999_999_999, -12),
     (98_765_432_109_876, 12_345_678_901, 9),
 ]
 
@@ -224,6 +227,43 @@ def test_ratio_pow10_out_of_range_loud():
         duckdb.sql(
             f"SELECT {sql} FROM (SELECT 1 hn, 1 hd, 99 e)"
         ).fetchone()
+
+
+SUB_CASES = [
+    (100, 3, 999, 1),
+    (999, 1, 100, 3),
+    (-100, 3, 999, 1),
+    (100, 3, -999, 1),
+    (5, 0, 7, 0),
+    (10**18, 25, 10**18, 3),
+    (123, 2, 456, 40),
+]
+
+
+def test_sub_aligned_both(spark):
+    from etl_mp_transactions_spark.functions.bigratio import (
+        sub_aligned_py,
+        sub_aligned_sql,
+    )
+
+    dsql = sub_aligned_sql("t1", "e1", "t2", "e2", "duck")
+    for t1, e1, t2, e2 in SUB_CASES:
+        got = duckdb.sql(
+            f"SELECT {dsql} AS v FROM (SELECT CAST({t1} AS BIGINT) t1,"
+            f" CAST({e1} AS BIGINT) e1, CAST({t2} AS BIGINT) t2,"
+            f" CAST({e2} AS BIGINT) e2)"
+        ).fetchone()[0]
+        assert got == sub_aligned_py(t1, e1, t2, e2)[0], (t1, e1, t2, e2)
+    ssql = sub_aligned_sql("t1", "e1", "t2", "e2", "spark")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({t1} AS BIGINT) t1, CAST({e1} AS BIGINT) e1,"
+        f" CAST({t2} AS BIGINT) t2, CAST({e2} AS BIGINT) e2, {i} AS i"
+        for i, (t1, e1, t2, e2) in enumerate(SUB_CASES)
+    )
+    rows = spark.sql(f"SELECT i, {ssql} AS v FROM ({union})").collect()
+    for r in rows:
+        t1, e1, t2, e2 = SUB_CASES[r["i"]]
+        assert r["v"] == sub_aligned_py(t1, e1, t2, e2)[0]
 
 
 def test_limb_guard():

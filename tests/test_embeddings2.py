@@ -30,8 +30,9 @@ def test_distance_preservation(spark, sf_dir):
         .limit(200)
         .collect()
     }
+    # y{j}_nano are exact nano-unit integers (r15 float purge)
     proj = {
-        r.vec_id: [getattr(r, f"y{j}") for j in range(OUT_DIM)]
+        r.vec_id: [getattr(r, f"y{j}_nano") / 1e9 for j in range(OUT_DIM)]
         for r in rows
         if r.vec_id in emb
     }

@@ -302,6 +302,92 @@ def test_stream_graph_delete_equals_batch(spark, sf_dir):
     assert stream == batch and len(stream) > 0
 
 
+def test_stream_graph_delete_reexecution_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r14 medium: foreachBatch re-execution after a crash
+    between the fragment write and the checkpoint commit re-runs
+    maintain() with the prior attempt's batch={b} fragment already on
+    disk. Simulated on the SANCTIONED recovery path — delete the last
+    commit markers from the checkpoint and restart, so Structured
+    Streaming re-executes those batches against their own existing
+    fragments (exactly the crash window; a FULL re-run with a fresh
+    checkpoint over old multi-batch state is NOT a scenario the
+    engine produces — commits are monotone). Without the
+    _frags_except fix, the already-repaired fragment masks the
+    pre-batch edges, detection finds nothing, and the repair is
+    overwritten empty — the final view silently loses edges. With
+    it, the re-executed batch rewrites an identical fragment and the
+    final view still equals the batch oracle."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_mp_transactions_spark.queries.graphann import (
+        _DEL_PRED,
+        gann_books,
+        graph_ann_delete_repair,
+    )
+    from etl_mp_transactions_spark.streaming import filesource
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    work = str(tmp_path)
+    stage = os.path.join(work, "in")
+    os.makedirs(stage, exist_ok=True)
+    tombs = emb.filter(~F.expr(_DEL_PRED)).select("vec_id").withColumn(
+        "g", F.expr("(vec_id div 10) % 4")
+    )
+    t0 = 1700000000
+    for g in range(4):
+        tmp = os.path.join(work, f"tmp{g}")
+        tombs.filter(F.col("g") == g).drop("g").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(stage, f"f{g}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + 10 * g, t0 + 10 * g))
+    books = gann_books(emb)
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    first = filesource.stream_graph_delete_run(
+        spark, stage, ckpt, state, emb, books
+    )
+    first_rows = {
+        (r.src, r.dst, r.d2, r.rnk) for r in first.collect()
+    }
+    # crash simulation: drop the last two commit markers → restart
+    # re-executes those batches with their fragments already on disk
+    commits = os.path.join(ckpt, "commits")
+    dropped = sorted(
+        (f for f in os.listdir(commits) if not f.startswith(".")),
+        key=int,
+    )[-2:]
+    assert dropped, "expected commit markers"
+    for f in dropped:
+        os.remove(os.path.join(commits, f))
+        crc = os.path.join(commits, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    second = filesource.stream_graph_delete_run(
+        spark, stage, ckpt, state, emb, books
+    )
+    second_rows = {
+        (r.src, r.dst, r.d2, r.rnk) for r in second.collect()
+    }
+    batch = {
+        (r.src, r.dst, r.d2, r.rnk)
+        for r in graph_ann_delete_repair(spark, sf_dir).collect()
+    }
+    assert first_rows == batch and len(batch) > 0
+    assert second_rows == batch
+
+
 def test_routed_walk_enters_near_and_converges_no_later(spark, sf_dir):
     """graph_ann_routed_walk (r14): the coarse-routed entry starts
     the walk inside the query's primary-list neighborhood, so on this

@@ -24,8 +24,12 @@ def test_sif_embedding_vs_python(spark, sf_dir, q):
     }
     cw = Counter(w for ws in toks.values() for w in ws)
     total = sum(cw.values())
-    at = total / 1000.0
-    nw = {w: int(round(1e9 * (at / (at + c)))) for w, c in cw.items()}
+    # r15 float purge: exact trunc nano weight t·1e9/(t + 1000·c) —
+    # the bigratio scaled_div twin in python big-int arithmetic
+    nw = {
+        w: (total * 10**9) // (total + 1000 * c)
+        for w, c in cw.items()
+    }
 
     def sign(w, k):
         h = hashlib.md5(f"{w}|{k}".encode()).hexdigest()[0]

@@ -29,9 +29,13 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
         beta, *_ = np.linalg.lstsq(X, g["y"].to_numpy(dtype=float), rcond=None)
         r = rows[grp]
         assert r.n == len(g)
-        for got, want in zip(
-            (r.b_intercept, r.b_quantity, r.b_taxbp), beta
+        # nano-unit ints since r15 (float purge); the reduced-product
+        # Cramer's documented method error is ~1e-8 relative
+        for got_nano, want in zip(
+            (r.b_intercept_nano, r.b_quantity_nano, r.b_taxbp_nano),
+            beta,
         ):
+            got = got_nano / 1e9
             assert abs(got - want) < 1e-4 * max(1.0, abs(want))
 
 

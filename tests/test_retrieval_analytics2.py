@@ -50,7 +50,7 @@ def test_bm25_scores_positive_and_sorted(spark, sf_dir):
 
     rows = bm25_scoring(spark, sf_dir).collect()
     assert 0 < len(rows) <= 20
-    scores = [r.bm25 for r in rows]
+    scores = [r.bm25_nano for r in rows]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
 

@@ -32,14 +32,15 @@ def test_ngram_lm_hand_computed(spark, tmp_path, monkeypatch):
     src = os.path.join(str(tmp_path), "documents.parquet")
     docs.write.parquet(src)
     out = {
-        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        r.doc_id: (r.n_bigrams, r.avg_logprob_nano)
         for r in ngram_lm_quality(spark, str(tmp_path)).collect()
     }
     ln35 = math.log(3 / 5)
-    assert out[1] == (1, round(ln35, 9))
-    assert out[3] == (2, round(ln35, 9))
+    # nano-unit ints since r15; the ln_nano grid is exact to ~1e-6
+    assert out[1][0] == 1 and abs(out[1][1] - ln35 * 1e9) < 2000
+    assert out[3][0] == 2 and abs(out[3][1] - ln35 * 1e9) < 2000
     assert out[2][0] == 2
-    assert abs(out[2][1] - (ln35 + math.log(2 / 4)) / 2) < 1e-9
+    assert abs(out[2][1] - (ln35 + math.log(2 / 4)) / 2 * 1e9) < 2000
 
 
 def test_temperature_mix_rates(spark, sf_dir):
@@ -55,10 +56,11 @@ def test_temperature_mix_rates(spark, sf_dir):
     n = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
     z = sum(math.sqrt(v) for v in n.values())
     kept = source_temperature_mix(spark, sf_dir).collect()
-    rates = {r.source: r.sampling_rate for r in kept}
+    rates = {r.source: r.sampling_rate_nano / 1e9 for r in kept}
     for s, rate in rates.items():
         expect = min(1.0, 200.0 * math.sqrt(n[s]) / z / n[s])
-        assert abs(rate - expect) < 1e-9, (s, rate, expect)
+        # nano ints since r15; bigratio isqrt/ladder method error
+        assert abs(rate - expect) < 1e-6, (s, rate, expect)
     # smaller source → weakly larger rate
     by_size = sorted(n, key=n.get)
     for a, b in zip(by_size, by_size[1:]):
