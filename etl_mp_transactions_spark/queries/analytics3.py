@@ -18,6 +18,7 @@ from etl_mp_transactions_spark.functions.bigratio import (
     red_cols,
     scaled_div_sql,
 )
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -82,7 +83,7 @@ def attribution_last_touch(spark, sf_dir):
 
 @query(
     "graph_modularity",
-    f"""
+    materialize_ctes(f"""
     WITH pairs AS (
       SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
       FROM lineitem a JOIN lineitem b
@@ -116,7 +117,7 @@ def attribution_last_touch(spark, sf_dir):
                 * {scaled_div_sql("d", "(2 * m)", 10**9, "duck", 10**15)})
                // 1000000000 AS q_contrib_nano
     FROM base
-    """,
+    """),
 )
 def graph_modularity(spark, sf_dir):
     """Newman modularity contribution per community (communities =
@@ -254,7 +255,7 @@ def _welch_tail(engine: str) -> str:
 
 @query(
     "ab_test_zscores",
-    f"""
+    materialize_ctes(f"""
     WITH arms AS (
       SELECT user_id % 2 AS variant,
              count(*)::BIGINT AS n,
@@ -273,7 +274,7 @@ def _welch_tail(engine: str) -> str:
         (SELECT sx FROM arms WHERE variant = 1) AS sx1,
         (SELECT sxx FROM arms WHERE variant = 1) AS sxx1
     ),{_welch_tail("duck")}
-    """,
+    """),
 )
 def ab_test_zscores(spark, sf_dir):
     """Welch two-sample z on purchase value (integer cents) between

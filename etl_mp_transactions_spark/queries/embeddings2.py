@@ -32,6 +32,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.functions.bigratio import scaled_div_sql
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -98,7 +99,7 @@ def random_projection_jl(spark, sf_dir):
 
 @query(
     "sif_embedding",
-    f"""
+    materialize_ctes(f"""
     WITH tok AS (
       SELECT doc_id, u.w
       FROM documents, unnest(string_split(text, ' ')) AS u(w)
@@ -122,7 +123,7 @@ def random_projection_jl(spark, sf_dir):
     unnest(generate_series(0, 7)) AS u(k)
     GROUP BY 1, 2
     ORDER BY 1, 2
-    """,
+    """),
 )
 def sif_embedding(spark, sf_dir):
     """SIF-style document embeddings computed entirely in-engine

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -57,7 +58,7 @@ _V_RED_SPARK = red_cols_even("v", "v", "spark")
 
 @query(
     "item_cooccurrence_topk",
-    f"""
+    materialize_ctes(f"""
     WITH baskets AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
     ),
@@ -102,7 +103,7 @@ _V_RED_SPARK = red_cols_even("v", "v", "spark")
     SELECT item, partner, cooc, n_item, n_partner, cosine_ppm, rk
     FROM ranked WHERE rk <= {TOP_K}
     ORDER BY item, rk
-    """,
+    """),
 )
 def item_cooccurrence_topk(spark, sf_dir):
     """Top-{TOP_K} co-purchased partners per part by co-occurrence
@@ -174,7 +175,7 @@ ALS_LAMBDA_A = 500_000  # lambda=0.5 expressed in A's milli^2 integer units
 
 @query(
     "als_user_half_step",
-    f"""
+    materialize_ctes(f"""
     WITH ratings AS (
       SELECT o.o_custkey AS u, l.l_partkey AS i,
              CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS r
@@ -215,7 +216,7 @@ ALS_LAMBDA_A = 500_000  # lambda=0.5 expressed in A's milli^2 integer units
              AS u2_nano
     FROM cramer
     ORDER BY u
-    """,
+    """),
 )
 def als_user_half_step(spark, sf_dir):
     """One exact ALS user-side half-step (Koren/Bell/Volinsky 2009,

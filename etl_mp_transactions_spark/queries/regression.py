@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -212,7 +213,7 @@ def _ols_sql(engine: str) -> str:
 
 @query(
     "ols_multifeature",
-    f"""
+    materialize_ctes(f"""
     WITH obs AS (
       SELECT l_returnflag AS grp,
              CAST(l_quantity AS BIGINT) AS x1,
@@ -230,7 +231,7 @@ def _ols_sql(engine: str) -> str:
       FROM obs GROUP BY grp
     ),
     {_ols_sql("duck").lstrip()}
-    """,
+    """),
 )
 def ols_multifeature(spark, sf_dir):
     """Per-returnflag OLS of price cents on (quantity, tax basis

@@ -35,6 +35,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.functions.exactmath import ln_nano_sql
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -132,7 +133,7 @@ def _tokens_expr():
 
 @query(
     "bm25_scoring",
-    rf"""
+    materialize_ctes(rf"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -164,7 +165,7 @@ def _tokens_expr():
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN corpus c
     ),{_bm25_tail("duck")}
-    """,
+    """),
 )
 def bm25_scoring(spark, sf_dir):
     """Okapi BM25 top-20 docs for a fixed query-term set.

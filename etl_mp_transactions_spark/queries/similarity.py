@@ -6,6 +6,7 @@ reference-exact modes) and embedding ANN search (SURVEY.md §2.3 J2,
 from __future__ import annotations
 
 from etl_mp_transactions_spark.operators import ann, anomaly
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -101,7 +102,7 @@ def _tfidf_ppm_tail(engine: str) -> str:
 
 @query(
     "j2_tfidf_exact_pairs",
-    f"""
+    materialize_ctes(f"""
     WITH tok AS (
       SELECT doc_id, source, t.token AS token, count(*)::BIGINT AS tf
       FROM documents,
@@ -126,7 +127,7 @@ def _tfidf_ppm_tail(engine: str) -> str:
       JOIN s sa ON sa.doc_id = p.doc_a
       JOIN s sb ON sb.doc_id = p.doc_b
     ),{_tfidf_ppm_tail("duck")}
-    """,
+    """),
 )
 def j2_tfidf_exact_pairs(spark, sf_dir):
     """J2 exactness mode: the reference's per-pair 2-document TF-IDF

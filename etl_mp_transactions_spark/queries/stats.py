@@ -33,6 +33,7 @@ from etl_mp_transactions_spark.functions.bigratio import (
     red_cols_even,
     scaled_div_sql,
 )
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -138,7 +139,7 @@ def _stats_select(engine: str) -> str:
 
 @query(
     "stats_via_sums",
-    "WITH " + _stats_ctes("duck") + _stats_select("duck"),
+    materialize_ctes("WITH " + _stats_ctes("duck") + _stats_select("duck")),
 )
 def stats_via_sums(spark, sf_dir):
     """mean / population stddev / Pearson correlation from exact

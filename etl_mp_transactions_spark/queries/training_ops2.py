@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.functions.exactmath import ln_nano_sql
+from etl_mp_transactions_spark.queries.ivfpq_q import materialize_ctes
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 
@@ -37,7 +38,7 @@ def _word_bigrams(text_col: Column) -> Column:
 
 @query(
     "ngram_lm_quality",
-    rf"""
+    materialize_ctes(rf"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(text, '\s+') AS words
       FROM documents
@@ -70,7 +71,7 @@ def _word_bigrams(text_col: Column) -> Column:
     JOIN ctx x ON m.w1 = x.w1
     CROSS JOIN v
     GROUP BY o.doc_id
-    """,
+    """),
 )
 def ngram_lm_quality(spark, sf_dir):
     """Perplexity-proxy quality score: fit a bigram LM on the corpus
@@ -202,7 +203,7 @@ def _mix_rate_ctes(engine: str) -> str:
 
 @query(
     "source_temperature_mix",
-    f"""
+    materialize_ctes(f"""
     WITH n AS (
       SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
     ),{_mix_rate_ctes("duck")}
@@ -210,7 +211,7 @@ def _mix_rate_ctes(engine: str) -> str:
     FROM documents d JOIN r ON d.source = r.source
     WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix-seed-1'), 1, 8))::BIGINT
           * 1000000000 < r.rate_nano * 4294967296
-    """,
+    """),
 )
 def source_temperature_mix(spark, sf_dir):
     """Temperature-weighted source mixture (T=0.5, target 200 docs):
