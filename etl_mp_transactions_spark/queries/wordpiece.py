@@ -53,7 +53,6 @@ Reference parity: none — §2.9 training-data mandate (token counting
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,7 +75,6 @@ assert MAX_WORD_LEN * 64 < 10**_SC_W, (
     "DP cost can overflow the lpad width: raise _SC_W before raising "
     "MAX_WORD_LEN or changing the cost function"
 )
-_STATE_SCHEMA = "word string, pos int, cost bigint, path string"
 
 
 def _prev_union_sql(i: int) -> str:
@@ -264,75 +262,68 @@ def _segments_from_vocab(
     spark, wcnt: DataFrame, vocab: DataFrame
 ) -> DataFrame:
     """(word, cost, path): the Viterbi DP against an ARBITRARY piece
-    vocabulary (piece, pcost) — ≤ MAX_WORD_LEN unrolled rounds of
-    (hash join + grouped string-min) on distinct words only. Round
-    states are cut via RDD roundtrip + persist (module docstring).
-    The EM loop calls this once per training iteration."""
+    vocabulary (piece, pcost), as ONE expression-level DP.
 
-    def cut(df: DataFrame) -> DataFrame:
-        out = spark.createDataFrame(df.rdd, _STATE_SCHEMA).persist()
-        out.count()
-        return out
+    r15 optimization (guide §1.2 "the distributed algorithm" + §4
+    "eliminate the Python boundary"): the previous shape unrolled
+    MAX_WORD_LEN rounds of (hash join + grouped string-min), each cut
+    with an RDD roundtrip + persist + count — ~22 blocking jobs PER
+    segmentation, each crossing JVM→Python→JVM (the cut was needed
+    because round i's plan references up to MAX_PIECE_LEN prior
+    rounds, so uncut lineage grows ~4^rounds). The word-level DP is
+    embarrassingly per-word, so the whole recurrence runs as a single
+    `aggregate()` higher-order expression over end positions instead:
+    per word, collect its (st, len, pcost, piece) candidates once
+    (one hash join + one groupBy), then fold positions 1..MAX_WORD_LEN
+    carrying the per-position best-state array. Zero extra jobs, zero
+    Python crossings, no lineage growth — and the arithmetic is
+    BIT-IDENTICAL: the same lpad(cost)‖'#'‖path string keys, the same
+    binary-collation min (array_min == grouped min over the same
+    candidate set), the same empty-path handling (prev pos 0 ⇔ st=1).
+    Words longer than MAX_WORD_LEN fall out via try_element_at → NULL,
+    exactly as they fell out of the old pos==length(word) join.
 
+    The EM loop calls this once per training iteration; measured
+    (sf0.1, solo): viterbi_em_train 27.7s → see OPTIMIZATION_r15.md.
+    """
     pieces = _pieces_df(wcnt)
-    cand = (
-        pieces.select("word", "st", "len", "piece")
-        .join(vocab, "piece")
-        .localCheckpoint(eager=True)
+    cand = pieces.select("word", "st", "len", "piece").join(vocab, "piece")
+    cands = cand.groupBy("word").agg(
+        F.collect_list(F.struct("st", "len", "pcost", "piece")).alias("cs")
     )
-    b = [
-        cut(
-            wcnt.select(
-                "word",
-                F.lit(0).alias("pos"),
-                F.lit(0).cast("bigint").alias("cost"),
-                F.lit("").alias("path"),
-            )
+    mk0 = "0" * _SC_W + "#"  # pos-0 sentinel: cost 0, empty path
+    dp = f"""
+      aggregate(
+        sequence(1, {MAX_WORD_LEN}),
+        array('{mk0}'),
+        (acc, i) -> concat(acc, array(
+          array_min(transform(
+            filter(cs, c -> c.st + c.len - 1 = i
+                        AND element_at(acc, c.st) IS NOT NULL),
+            c -> concat(
+              lpad(cast(cast(substring(element_at(acc, c.st), 1, {_SC_W})
+                             AS BIGINT) + c.pcost AS STRING),
+                   {_SC_W}, '0'),
+              '#',
+              CASE WHEN c.st = 1 THEN c.piece
+                   ELSE concat(substring(element_at(acc, c.st),
+                                         {_SC_W + 2}),
+                               '|', c.piece) END)))))
+      )"""
+    return (
+        cands.select(
+            "word",
+            F.expr(f"try_element_at({dp}, length(word) + 1)").alias("mk"),
         )
-    ]
-    for i in range(1, MAX_WORD_LEN + 1):
-        prev = reduce(
-            DataFrame.unionAll,
-            b[max(0, i - MAX_PIECE_LEN): i],
-        ).alias("p")
-        ci = cand.filter(
-            F.col("st") + F.col("len") - 1 == F.lit(i)
-        ).alias("c")
-        key = F.concat(
-            F.lpad(
-                (F.col("p.cost") + F.col("c.pcost")).cast("string"),
-                _SC_W,
-                "0",
+        .filter(F.col("mk").isNotNull())
+        .select(
+            "word",
+            F.expr(f"cast(substring(mk, 1, {_SC_W}) as bigint)").alias(
+                "cost"
             ),
-            F.lit("#"),
-            F.when(F.col("p.path") == "", F.col("c.piece")).otherwise(
-                F.concat(F.col("p.path"), F.lit("|"), F.col("c.piece"))
-            ),
+            F.expr(f"substring(mk, {_SC_W + 2})").alias("path"),
         )
-        bi = (
-            ci.join(
-                prev,
-                (F.col("p.word") == F.col("c.word"))
-                & (F.col("p.pos") == F.col("c.st") - 1),
-            )
-            .groupBy(F.col("c.word").alias("word"))
-            .agg(F.min(key).alias("mk"))
-            .select(
-                "word",
-                F.lit(i).alias("pos"),
-                F.expr(f"cast(substring(mk, 1, {_SC_W}) as bigint)").alias(
-                    "cost"
-                ),
-                F.expr(f"substring(mk, {_SC_W + 2})").alias("path"),
-            )
-        )
-        b.append(cut(bi))
-    ball = reduce(DataFrame.unionAll, b[1:])
-    return ball.alias("b").join(
-        wcnt.alias("w"),
-        (F.col("w.word") == F.col("b.word"))
-        & (F.col("b.pos") == F.length(F.col("w.word"))),
-    ).select("b.word", "b.cost", "b.path")
+    )
 
 
 def _wcnt_df(docs: DataFrame) -> DataFrame:
