@@ -664,71 +664,71 @@ def hybrid_mmr_rerank(spark, sf_dir):
             )
             .alias("simn"),
         )
-        .localCheckpoint()
     )
     pool = pool.drop("qv")
-    w = Window.partitionBy("query_id").orderBy(F.desc("reln"), "doc_id")
-    sel = (
-        pool.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "doc_id",
-            (F.lit(7) * F.col("reln")).cast("long").alias("mmr_score"),
-            F.lit(1).cast("long").alias("pick_step"),
-        )
+    # r15 optimization (guide §1.2 / §3.3): the greedy loop was
+    # unrolled as _MMR_K-1 chained (anti-join → psim join → sel join →
+    # groupBy → window) stages, each referencing every prior step's
+    # plan — a ~711 KB physical plan with 722 Exchange nodes whose
+    # PLANNING time dwarfed the 80-row data. The pool and its pairwise
+    # sims are |Q|·K_FUSED-bounded by construction, so the whole greedy
+    # runs as ONE aggregate() expression per query over the collected
+    # candidate/sim arrays: identical arithmetic (7·reln − 3·max-sim,
+    # argmax via struct array_min on (−score, doc_id)), identical
+    # inner-join semantics (a candidate with no sim row to any selected
+    # doc is excluded from scoring → s IS NULL filter), identical
+    # fewer-picks-than-K behavior (empty candidate set appends nothing).
+    cs_df = pool.groupBy("query_id").agg(
+        F.collect_list(F.struct("doc_id", "reln")).alias("cs")
     )
-    for i in range(2, _MMR_K + 1):
-        cand = pool.join(
-            sel.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
-        )
-        # psim shares pool's lineage, so rename its key columns before
-        # the join — a raw psim["query_id"] == cand["query_id"] resolves
-        # to the SAME attribute id (trivially-true predicate)
-        psim_r = psim.select(
-            F.col("query_id").alias("pq"),
-            F.col("doc_a").alias("pa"),
-            "doc_b",
-            "simn",
-        )
-        scored = (
-            cand.join(
-                psim_r,
-                (F.col("pq") == F.col("query_id"))
-                & (F.col("pa") == F.col("doc_id")),
-            )
-            .drop("pq", "pa")
-            .join(
-                sel.select(
-                    F.col("query_id").alias("sq"), F.col("doc_id").alias("sd")
-                ),
-                (F.col("query_id") == F.col("sq"))
-                & (F.col("doc_b") == F.col("sd")),
-            )
-            .groupBy("query_id", "doc_id", "reln")
-            .agg(F.max("simn").alias("msim"))
-            .withColumn(
-                "mmr_score",
-                (F.lit(7) * F.col("reln") - F.lit(3) * F.col("msim")).cast(
-                    "long"
-                ),
-            )
-        )
-        sw = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr_score"), "doc_id"
-        )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(sw))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id",
-                "doc_id",
-                "mmr_score",
-                F.lit(i).cast("long").alias("pick_step"),
-            )
-        )
-        sel = sel.unionByName(pick)
-    return sel.select("query_id", "pick_step", "doc_id", "mmr_score")
+    sims_df = psim.groupBy("query_id").agg(
+        F.collect_list(F.struct("doc_a", "doc_b", "simn")).alias("sims")
+    )
+    g = cs_df.join(sims_df, "query_id", "left").select(
+        "query_id",
+        "cs",
+        F.coalesce(
+            "sims",
+            F.expr(
+                "cast(array() as"
+                " array<struct<doc_a:bigint,doc_b:bigint,simn:bigint>>)"
+            ),
+        ).alias("sims"),
+    )
+    greedy = f"""
+      aggregate(
+        sequence(1, {_MMR_K}),
+        cast(array() as array<struct<d: bigint, s: bigint, st: int>>),
+        (acc, i) -> concat(acc,
+          transform(
+            filter(array(
+              array_min(
+                transform(
+                  filter(
+                    transform(
+                      filter(cs, c -> NOT exists(acc, p -> p.d = c.doc_id)),
+                      c -> struct(c.doc_id AS d,
+                        CASE WHEN i = 1 THEN 7L * c.reln
+                             ELSE 7L * c.reln - 3L * array_max(
+                               transform(
+                                 filter(sims, sp -> sp.doc_a = c.doc_id
+                                          AND exists(acc,
+                                                     p2 -> p2.d = sp.doc_b)),
+                                 sp -> sp.simn))
+                        END AS s)),
+                    x -> x.s IS NOT NULL),
+                  x -> struct(-x.s AS ns, x.d AS d, x.s AS s)))),
+              y -> y IS NOT NULL),
+            y -> struct(y.d AS d, y.s AS s, i AS st))))
+    """
+    return g.select(
+        "query_id", F.explode(F.expr(greedy)).alias("p")
+    ).select(
+        "query_id",
+        F.col("p.st").cast("long").alias("pick_step"),
+        F.col("p.d").alias("doc_id"),
+        F.col("p.s").alias("mmr_score"),
+    )
 
 
 @query(

@@ -194,69 +194,78 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < _NQ)
         .select(F.col("vec_id").alias("query_id"))
     )
-    placed = spark.createDataFrame(
-        [],
-        "query_id long, doc_id long, team string, src_rank long,"
-        " pos long",
+    # r15 optimization (guide §1.2): the draft loop was unrolled as
+    # _ROUNDS × (2 × (broadcast join + anti-join + window) +
+    # localCheckpoint) — ~15 blocking jobs replanning over ≤ 160 rows.
+    # The draft is per-query over a 2·K-bounded pool, so it runs as ONE
+    # aggregate() expression over the collected arm rows: identical
+    # coin (md5(query_id:round) first hex char < '8'), identical pick
+    # (argmin (src_rank, doc_id) among the team's unplaced docs via
+    # struct array_min), identical shorter-list behavior (empty pick
+    # appends nothing). Nested transform-over-singleton-array lets
+    # bind the coin and the mid-round state exactly once (the let1
+    # idiom from operators/textdedup.py).
+    cs_df = armrows.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct(
+                "doc_id", "team", F.col("src_rank").cast("long").alias("src_rank")
+            )
+        ).alias("cs")
     )
-    w = Window.partitionBy("query_id").orderBy("src_rank", "doc_id")
-    for r in range(1, _ROUNDS + 1):
-        first = qids.select(
-            "query_id",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("query_id").cast("string"), F.lit(f":{r}")
-                        )
-                    ),
-                    1,
-                    1,
-                )
-                < "8",
-                F.lit("lex"),
-            )
-            .otherwise(F.lit("sem"))
-            .alias("first_team"),
-        )
-
-        def pick(team_pred, excl: DataFrame, pos: int) -> DataFrame:
-            cand = (
-                armrows.join(F.broadcast(first), "query_id")
-                .filter(team_pred)
-                .join(
-                    excl.select("query_id", "doc_id"),
-                    ["query_id", "doc_id"],
-                    "left_anti",
-                )
-            )
-            return (
-                cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(
-                    "query_id",
-                    "doc_id",
-                    "team",
-                    "src_rank",
-                    F.lit(pos).cast("long").alias("pos"),
-                )
-            )
-
-        p1 = pick(
-            F.col("team") == F.col("first_team"), placed, 2 * r - 1
-        )
-        p2 = pick(
-            F.col("team") != F.col("first_team"),
-            placed.select("query_id", "doc_id").unionByName(
-                p1.select("query_id", "doc_id")
+    g = qids.join(cs_df, "query_id", "left").select(
+        "query_id",
+        F.coalesce(
+            "cs",
+            F.expr(
+                "cast(array() as"
+                " array<struct<doc_id:bigint,team:string,src_rank:bigint>>)"
             ),
-            2 * r,
-        )
-        # per-round plan cut (placed is referenced 3x per round —
-        # p1's exclusion, p2's exclusion, the union — so an uncut
-        # loop grows the plan 3^R-fold; the frame is <= 10*|Q| rows)
-        placed = placed.unionByName(p1).unionByName(p2).localCheckpoint()
-    return placed
+        ).alias("cs"),
+    )
+
+    def _pick(state: str, team_cmp: str, pos: str) -> str:
+        """Append team's best unplaced (src_rank, doc_id) row, if any."""
+        return f"""concat({state},
+          transform(
+            filter(array(
+              array_min(transform(
+                filter(cs, c -> c.team {team_cmp} ft
+                            AND NOT exists({state},
+                                           p -> p.doc_id = c.doc_id)),
+                c -> struct(c.src_rank AS r, c.doc_id AS d,
+                            c.team AS t)))),
+              x -> x IS NOT NULL),
+            x -> struct(x.d AS doc_id, x.t AS team, x.r AS src_rank,
+                        CAST({pos} AS BIGINT) AS pos)))"""
+
+    draft = f"""
+      aggregate(
+        sequence(1, {_ROUNDS}),
+        cast(array() as
+             array<struct<doc_id:bigint,team:string,
+                          src_rank:bigint,pos:bigint>>),
+        (acc, i) -> element_at(
+          transform(
+            array(CASE WHEN substring(md5(concat(
+                           cast(query_id AS string), ':',
+                           cast(i AS string))), 1, 1) < '8'
+                       THEN 'lex' ELSE 'sem' END),
+            ft -> element_at(
+              transform(
+                array({_pick("acc", "=", "2*i-1")}),
+                a1 -> {_pick("a1", "!=", "2*i")}),
+              1)),
+          1))
+    """
+    return g.select(
+        "query_id", F.explode(F.expr(draft)).alias("p")
+    ).select(
+        "query_id",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.team").alias("team"),
+        F.col("p.src_rank").alias("src_rank"),
+        F.col("p.pos").alias("pos"),
+    )
 
 
 @query("interleave_teamdraft", _TEAMDRAFT_SQL)
