@@ -168,18 +168,28 @@ def image_phash64_neardup(spark, sf_dir):
         )
     )
     dec = multimodal.encode_decode_images(staged)
+    # r15 optimization (guide §2.3 "shuffle fewer bytes" applied to the
+    # explode): the previous shape exploded a per-pixel INDEX and kept
+    # the whole ~2-6 KB pixel_hex string on every exploded row (w·h
+    # rows per asset each carrying the full image), substring-ing it
+    # per row — ~Σw·h × |image| bytes materialized through the
+    # generate+project. Splitting the hex into 6-char pixel chunks
+    # FIRST means each exploded row carries only its own pixel. Chunk
+    # i == substring(pixel_hex, i*6+1, 6) by construction (n_bytes =
+    # w·h·3 ⇒ |pixel_hex| = 6·w·h), so lum/blk are bit-identical.
     px = dec.select(
         "asset_id",
         F.col("width").alias("w"),
         F.col("height").alias("h"),
-        F.explode(F.expr("sequence(0, width * height - 1)")).alias("i"),
-        "pixel_hex",
+        F.posexplode(
+            F.expr("regexp_extract_all(pixel_hex, '.{6}', 0)")
+        ).alias("i", "px6"),
     ).select(
         "asset_id",
         F.expr(
-            "cast(conv(substring(pixel_hex, i * 6 + 1, 2), 16, 10) as bigint)"
-            " + cast(conv(substring(pixel_hex, i * 6 + 3, 2), 16, 10) as bigint)"
-            " + cast(conv(substring(pixel_hex, i * 6 + 5, 2), 16, 10) as bigint)"
+            "cast(conv(substring(px6, 1, 2), 16, 10) as bigint)"
+            " + cast(conv(substring(px6, 3, 2), 16, 10) as bigint)"
+            " + cast(conv(substring(px6, 5, 2), 16, 10) as bigint)"
         ).alias("lum"),
         F.expr(
             "((i div w) * 8 div h) * 8 + ((i % w) * 8 div w)"
