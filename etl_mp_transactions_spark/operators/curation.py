@@ -49,6 +49,14 @@ def curate_corpus(
         .filter(F.col("doc_id") == F.col("_canon"))
         .drop("_canon")
     )
+    # ex feeds both the near-dup arm (signature build) and the final
+    # anti-join + token accounting; without a cut the scan->quality->
+    # window chain re-executes per reference (18 parquet scans in the
+    # r15 before-plan). One eager localCheckpoint per call bounds it
+    # to a single pass. At 100 TB this holds the exact-dedup
+    # survivors (with text) on executor storage — the same single
+    # materialization a real curation run writes between stages.
+    ex = ex.localCheckpoint(eager=True)
 
     removed = (
         textdedup.minhash_lsh_pairs(ex, threshold=neardup_threshold)

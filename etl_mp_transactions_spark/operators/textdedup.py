@@ -252,6 +252,15 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(docs, id_col)
     hcols = [F.col(f"h{i}").cast("string") for i in range(NUM_HASHES)]
     sigk = sig.withColumn("sk", F.md5(F.concat_ws(",", *hcols)))
+    # The signature table is referenced ~8x below (members twice per
+    # pair side, uniq for bands and sigs) and Catalyst does not reuse
+    # the groupBy subtree across those branches: without a cut the
+    # tokenize->md5->min-agg chain (and the upstream scan) re-executes
+    # per reference. localCheckpoint materializes the K+2-column
+    # signature rows once per CALL (eager, inside the timed region —
+    # nothing survives across invocations); at 100 TB this is the
+    # guide-§8 "lightweight proxy" table (~150 B/doc, no text).
+    sigk = sigk.localCheckpoint(eager=True)
     members = sigk.select("sk", F.col(id_col))
     uniq = sigk.dropDuplicates(["sk"])
 
