@@ -237,7 +237,15 @@ def _encode_resid(
     # all M subspace argmins in one n×KS-row grouped aggregate
     # (operators/pq.py subspace_codes — 8× less aggregate input than
     # the exploded n×KS×M layout; the 10× sweep fix)
-    codes = subspace_codes(sub, ["vec_id", "cid"])
+    #
+    # persist-tracked (r15): the code table is the INDEX — every ADC
+    # consumer references it once per probe rung / serving arm, and
+    # without the persist each reference replays the n×KS argmin
+    # aggregate (4× in the nprobe sweeps, 2× when codes and packed
+    # are both consumed). Lazy persist (not an eager checkpoint) so
+    # the foreachBatch streaming callers stay legal, and the same
+    # _MAX_CACHED ring as the residual frame bounds executor storage.
+    codes = _persist_tracked(subspace_codes(sub, ["vec_id", "cid"]))
     packed = codes.groupBy("vec_id", "cid").agg(
         F.sum(
             F.expr("shiftleft(cast(code as bigint), 4 * m)")

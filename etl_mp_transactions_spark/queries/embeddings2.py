@@ -6,13 +6,12 @@ The projection matrix is derived once at import from md5(j:i) parity
 (no RNG, no state: the same Python constant is inlined into BOTH the
 Spark expression and the DuckDB oracle SQL, so the gate checks every
 projected coordinate bit-for-bit). Each output coordinate is a
-left-associated ordered sum over the 64 input dims, realized
-differently per engine for speed but with the identical accumulation
-order (see the in-function comment): Spark folds via F.aggregate
-(compact plan), the oracle unrolls the chain (vectorizes — DuckDB's
-lambda fold was 10× slower, Spark's unrolled 1024-node tree 5×
-slower: each engine gets the representation it executes well).
-The 1/√16 scale is a power of two (exact).
+sum over the 64 input dims — exact BIGINT after the single per-
+coordinate quantization, so accumulation order is free. Each engine
+gets the representation it executes well: Spark hoists the quantized
+array once per row and unrolls the ±1 add chain in codegen; the
+oracle unrolls the whole chain textually (DuckDB's lambda fold was
+10× slower). The 1/√16 scale is a power of two (exact).
 
 Scale shape: map-only — zero shuffles, zero Python; 16 fused
 expression trees per row inside whole-stage codegen. The matrix is a
@@ -76,25 +75,36 @@ def random_projection_jl(spark, sf_dir):
     one row per vector with the 16 projected coordinates (wide form —
     the shape the downstream ANN/cluster steps consume)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cols = [F.col("vec_id"), F.col("label")]
     # r15 float purge: quantize each coordinate to exact micro ints
     # FIRST (tie-safe single-op round), then the ±1 fold is an exact
     # BIGINT sum in any order; /4 in micro == *250 in nano, exact.
+    #
+    # r15 perf (guide §1.2 per-task work): quantize the 64 coordinates
+    # ONCE per row into an intermediate array column — the 16 output
+    # dims then just index it with inlined ±1 signs. The naive layout
+    # re-evaluated round(embedding[i]*1e6) inside every output dim
+    # (1024 round+cast ops per row where 64 suffice); the hoisted
+    # array is referenced 16×, which stops CollapseProject from
+    # inlining it back, so codegen evaluates the transform() exactly
+    # once per row. Integer sums are order-free, so the unrolled add
+    # chain stays bit-identical to the oracle's.
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+        ).alias("_q"),
+    )
+    cols = [F.col("vec_id"), F.col("label")]
     for j in range(OUT_DIM):
-        signs_j = F.array(*[F.lit(int(s)).cast("long") for s in SIGNS[j]])
-        terms = [
-            F.element_at(signs_j, i + 1)
-            * F.expr(
-                f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1e6)"
-                f" AS BIGINT)"
-            )
-            for i in range(IN_DIM)
-        ]
-        y = terms[0]
-        for t in terms[1:]:
-            y = y + t
+        y = None
+        for i, s in enumerate(SIGNS[j]):
+            t = F.element_at(F.col("_q"), i + 1)
+            t = t if s == 1 else -t
+            y = t if y is None else y + t
         cols.append((y * F.lit(250)).alias(f"y{j}_nano"))
-    return emb.select(*cols)
+    return q.select(*cols)
 
 
 @query(
