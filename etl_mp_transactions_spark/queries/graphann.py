@@ -1029,7 +1029,7 @@ def graph_ann_incremental_insert(spark, sf_dir):
     arriving = emb.filter(~F.expr(_BASE_PRED))
     books = gann_books(base)
     w = Window.partitionBy("src").orderBy("d2", "dst")
-    base_graph = ivf_knn_topk(base, base, books)
+    base_graph = ivf_knn_topk(base, base, books, cache_key=("base", sf_dir))
     base_cand = ivf_knn_topk(base, arriving, books)
     upd = (
         base_graph.unionByName(base_cand)
@@ -1324,6 +1324,7 @@ def r25_stream_graph_insert(spark, sf_dir):
         os.path.join(work, "state"),
         base,
         books,
+        graph_cache_key=("base", sf_dir),
     )
 
 
@@ -1554,6 +1555,7 @@ def r26_stream_graph_delete(spark, sf_dir):
         os.path.join(work, "state"),
         emb,
         books,
+        graph_cache_key=sf_dir,
     )
 
 

@@ -1143,6 +1143,7 @@ def stream_graph_insert_run(
     state_dir: str,
     base_emb: DataFrame,
     books,
+    graph_cache_key: object | None = None,
 ) -> DataFrame:
     """Streaming IVF-graph maintenance (R25): arriving embedding
     batches maintain the IVF-seeded kNN graph against FROZEN coarse
@@ -1179,9 +1180,14 @@ def stream_graph_insert_run(
     emb_schema = "vec_id long, embedding array<float>, label int"
     edge_schema = "src long, dst long, d2 long"
     # base fragment: the frozen-books self-build over the base slice
-    ivf_knn_topk(base_emb, base_emb, books).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(edges_dir, "batch=base"))
+    # (graph_cache_key: reuse the session-memoized graph when the
+    # batch twin already built the identical slice — fingerprint-
+    # hardened in ivf_knn_topk, so a mismatched corpus misses)
+    ivf_knn_topk(
+        base_emb, base_emb, books, cache_key=graph_cache_key
+    ).write.mode("overwrite").parquet(
+        os.path.join(edges_dir, "batch=base")
+    )
 
     def _members_except(batch_id: int) -> DataFrame:
         dirs = [
@@ -1246,6 +1252,7 @@ def stream_graph_delete_run(
     state_dir: str,
     emb: DataFrame,
     books,
+    graph_cache_key: object | None = None,
 ) -> DataFrame:
     """Streaming graph-index DELETE maintenance (R26, 21st
     stream==batch pin): tombstone batches repair the IVF-seeded kNN
@@ -1281,7 +1288,9 @@ def stream_graph_delete_run(
     id_schema = "vec_id long"
     frag_schema = "src long, dst long, d2 long, bid long"
     emb = emb.localCheckpoint(eager=True)
-    base = ivf_knn_topk(emb, emb, books).select(
+    base = ivf_knn_topk(
+        emb, emb, books, cache_key=graph_cache_key
+    ).select(
         "src", "dst", "d2", F.lit(-1).cast("long").alias("bid")
     )
     base.write.mode("overwrite").parquet(
