@@ -20,6 +20,84 @@ from pyspark.sql import DataFrame, SparkSession
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
+# Driver-attested result representation (r16, VERDICT r15 task #1).
+# DuckDB types any uncast integer ``sum()`` / ``list_sum()`` (and
+# arithmetic derived from them) as HUGEINT (INT128). The driver's
+# result hash canonicalizes HUGEINT columns differently from BIGINT
+# (pandas/Arrow renders HUGEINT as float64/decimal128, not int64), so
+# a query whose ORACLE emits HUGEINT hashes red on the driver even
+# when every value is identical — the exact local-green/driver-red
+# signature of the r15 trio. The decisive evidence:
+#   - every driver-red hash mismatch in r11–r15 (poscontrol,
+#     conformal, multimodal_features after its r15 BIGINT conversion)
+#     has >=1 HUGEINT oracle column;
+#   - every probe that re-emitted the same values CAST to BIGINT or
+#     VARCHAR went driver-green (predx, varchar twin, trajectory,
+#     calibration, stats_via_sums, woe_information_value);
+#   - BOOLEAN and DOUBLE mixes are attested green
+#     (graph_ann_ivf_verdict, ivfpq_train_gain, flagship_silver), so
+#     HUGEINT is the only discriminating type.
+# The permanent fix: at registration, re-emit the affected ORACLE
+# columns as BIGINT via DuckDB's ``SELECT * REPLACE`` — value- and
+# order-preserving (CAST overflows loudly instead of wrapping), no
+# Spark-side change (Spark already computes these columns as BIGINT).
+# Every HUGEINT-emitting oracle in the registry is listed (not just
+# the three driver-red ones): the rotation can sample any entry, so a
+# latent HUGEINT column is a latent red.
+_ORACLE_BIGINT_COLS: dict[str, tuple[str, ...]] = {
+    "multimodal_features": ("byte_entropy_nano",),
+    "conformal_prediction_interval": ("q_cents", "coverage_ppm"),
+    "quality_classifier_poscontrol": ("accuracy_bp", "base_bp"),
+    "quality_classifier_eval": ("accuracy_bp", "base_bp"),
+    "r13_stream_custom_state": ("total_cents",),
+    "r15_kappa_backfill_union": ("total_cents",),
+    "array_function_breadth": ("total_chars",),
+    "ngram_lm_quality": ("avg_logprob_nano",),
+    "dataset_shard_assign": ("total_chars",),
+    "variant_json_stats": ("sum_k",),
+    "ewma_smoothing": ("daily_cents",),
+    "markov_transitions": ("p_next_ppm",),
+    "chi_square_independence": ("n_total", "chi2_nano"),
+    "ks_two_sample": ("n0", "n1", "d_num", "d_micro"),
+    "mann_whitney_u": ("n0", "n1", "r0_x2", "u0_x2", "u1_x2"),
+    "duplicate_ngram_spans": ("dup_tokens", "dup_ppm"),
+    "rfm_segmentation": ("monetary_cents",),
+    "adamic_adar_linkpred": ("score_nano",),
+    "cusum_changepoint": ("cusum_abs_num",),
+    "stratified_allocation": ("base_alloc", "remainder_num", "alloc"),
+    "hits_hubs_authorities": ("score",),
+    "inverted_index_build": ("cf",),
+    "embedding_quantization": ("total_err_pico",),
+    "hll_from_definition": ("s_num",),
+    "quantile_sketch_merge": ("n",),
+    "pit_snapshot_join": ("revenue_cents",),
+    "weighted_median": ("total_w",),
+    "pareto_concentration": (
+        "total_cents", "n_top80", "concentration_micro",
+    ),
+    "backtest_naive_mae": (
+        "mae_naive_millicents", "mae_snaive_millicents",
+    ),
+    "runs_test_randomness": ("n_above", "n_below", "n_runs"),
+    "crossval_fold_encoding": ("enc_ppm",),
+    "isotonic_calibration": ("iso_rate_ppm",),
+    "fifo_cost_matching": ("matched_qty",),
+    "logistic_newton_steps": (
+        "b0_nano", "b1_nano", "last_g0", "last_g1",
+        "last_h00", "last_h01", "last_h11",
+    ),
+    "doremi_domain_reweight": ("weight_ppm",),
+}
+
+
+def _oracle_bigint(sql: str, cols: tuple[str, ...]) -> str:
+    """Wrap ``sql`` so the named columns are re-emitted as BIGINT
+    (see _ORACLE_BIGINT_COLS). ``* REPLACE`` keeps column order and
+    every other column untouched; a misnamed column fails loudly at
+    oracle execution."""
+    rep = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({rep}) FROM ({sql}) __attested"
+
 
 def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame callable, with optional
@@ -28,7 +106,10 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
-            _ORACLES[name] = oracle
+            cols = _ORACLE_BIGINT_COLS.get(name)
+            _ORACLES[name] = (
+                _oracle_bigint(oracle, cols) if cols else oracle
+            )
         return fn
 
     return deco
@@ -226,7 +307,7 @@ for _old, _new in [
 # periodically get driver coverage instead of being permanently
 # invisible to the driver gate. Bump the salt each round to rotate.
 _ROTATION_SLOTS = 4
-_ROTATION_SALT = "r15"
+_ROTATION_SALT = "r16"
 
 
 def _spotlight_first(d: dict) -> dict:
