@@ -51,18 +51,15 @@ def _rows(df):
 
 @pytest.mark.parametrize("name", FAMILY)
 def test_family_is_ansi_invariant(spark, sf_dir, name):
-    from etl_mp_transactions_spark.queries.quality_clf import _DOCX_MEMO
-
+    # every invocation builds from parquet (the r15 cross-query memos
+    # are gone — r16), so both passes BUILD under their own ANSI mode
     q = queries()[name]
     old = spark.conf.get("spark.sql.ansi.enabled", "false")
     try:
         spark.conf.set("spark.sql.ansi.enabled", "false")
-        _DOCX_MEMO.clear()  # force both passes to BUILD under their mode
         off = _rows(q(spark, sf_dir))
         spark.conf.set("spark.sql.ansi.enabled", "true")
-        _DOCX_MEMO.clear()
         on = _rows(q(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
-        _DOCX_MEMO.clear()
     assert on == off and len(on) > 0
