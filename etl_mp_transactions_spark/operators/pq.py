@@ -134,6 +134,51 @@ def subspace_codes(sub, keys: list[str]):
     )
 
 
+def subspace_codes_lit(
+    df: DataFrame, pb_rows: list[list[int]], keys: list[str], xv: str
+) -> DataFrame:
+    """(keys, m, code, d2): per-subspace argmin codewords as a
+    LITERAL-books map-only projection (r16, guide §2.4). ``pb_rows``
+    is the index-contiguous codebook (row k = codeword k's full
+    packed vector); for each subspace m the expression takes
+    ``array_min`` over the KS literal slices — field-lexicographic
+    struct(d2, k) min, the exact (d2 asc, k asc) tiebreak of the
+    ``min(struct(d2, k))`` aggregate it replaces — then posexplodes
+    the M results to the long layout. The former shape crossJoined
+    n×KS rows and shuffled the corpus through a groupBy(keys); this
+    has zero joins and zero exchanges."""
+    bests = []
+    for m in range(PQ_M):
+        lit = "array(" + ", ".join(
+            "named_struct('k', {k}, 'cv', array({v}))".format(
+                k=k,
+                v=", ".join(
+                    f"{x}L" for x in cv[m * PQ_SUB : (m + 1) * PQ_SUB]
+                ),
+            )
+            for k, cv in enumerate(pb_rows)
+        ) + ")"
+        d2 = (
+            f"aggregate(zip_with(slice({xv}, {m * PQ_SUB + 1}, {PQ_SUB}),"
+            " p.cv, (a, b) -> (a - b) * (a - b)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        bests.append(
+            f"array_min(transform({lit},"
+            f" p -> named_struct('d2', {d2}, 'k', p.k)))"
+        )
+    arr = F.expr("array(" + ", ".join(bests) + ")")
+    return (
+        df.select(*keys, F.posexplode(arr).alias("m", "e"))
+        .select(
+            *keys,
+            F.col("m").cast("int").alias("m"),
+            F.col("e.k").alias("code"),
+            F.col("e.d2").alias("d2"),
+        )
+    )
+
+
 def pq_encode(
     embeddings: DataFrame, id_col: str = "vec_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -143,16 +188,13 @@ def pq_encode(
     nibbles, distortion)."""
     q = _quantized(embeddings, id_col)
     books = pq_codebooks(embeddings, id_col)
-    sub = q.crossJoin(F.broadcast(books)).select(
-        "vec_id",
-        "k",
-        F.col("qv").alias("xv"),
-        F.col("cqv").alias("cv"),
-    )
-    # argmin codeword of all M subspaces in one n×KS-row grouped
-    # aggregate (M parallel min(struct(d2, k)) — map-side combine,
-    # k-asc tiebreak); see subspace_codes
-    codes = subspace_codes(sub, ["vec_id"])
+    pb_rows = [
+        [int(x) for x in r["cqv"]]
+        for r in sorted(books.collect(), key=lambda r: int(r["k"]))
+    ]
+    # literal-books per-subspace argmin: map-only, no n×KS crossJoin
+    # and no corpus groupBy shuffle (subspace_codes_lit)
+    codes = subspace_codes_lit(q, pb_rows, ["vec_id"], "qv")
     packed = codes.groupBy("vec_id").agg(
         F.sum(
             F.expr("shiftleft(cast(code as bigint), 4 * m)")

@@ -790,21 +790,6 @@ def _q32(emb: DataFrame) -> DataFrame:
     )
 
 
-# (applicationId, cache_key, deg, nprobe, assign, corpus fingerprint)
-# -> localCheckpointed (src, dst, d2) HANDLE. The docx-memo pattern
-# (queries/quality_clf.py) applied per VERDICT r14 task #5 ("share
-# more staged fixtures across the graph/ivfpq families"): the built
-# graph is corpus-proportional, so NO rows reach the driver — the
-# memo reuses the checkpoint the self-build materializes anyway, and
-# the 8 full-corpus family entries (build/verdict/roundtrip/filtered/
-# routed/delete/flat-equiv hier arm/stream twins) pay the probe +
-# cogroup-kernel + top-deg build ONCE per (session, corpus). The key
-# is hardened with a count+max(vec_id) fingerprint so a reused
-# cache_key over different data misses instead of serving a stale
-# graph (the trained_books discipline).
-_GRAPH_MEMO: dict = {}
-
-
 def ivf_knn_topk(
     queries_emb: DataFrame,
     corpus_emb: DataFrame,
@@ -812,7 +797,6 @@ def ivf_knn_topk(
     deg: int = _DEG,
     nprobe: int = _GANN_NPROBE,
     assign: str = "hier",
-    cache_key: object | None = None,
 ) -> DataFrame:
     """(src, dst, d2): per query node, exact top-``deg`` among the
     corpus members (by primary assignment) of its ``nprobe`` probed
@@ -822,26 +806,20 @@ def ivf_knn_topk(
     ≤ nprobe·deg survivors. A (src, dst) pair cannot repeat: dst has
     exactly one primary list. ``assign`` picks the probe kernel:
     'hier' (the shipped two-level assignment) or 'flat' (the retired
-    n×KC scan — ground truth for the equivalence pin only)."""
+    n×KC scan — ground truth for the equivalence pin only).
+
+    Builds fresh from the corpus on EVERY call — the r15 cross-query
+    _GRAPH_MEMO (an applicationId+fingerprint-keyed handle store) is
+    removed per VERDICT r15 task #2. Within ONE call the returned
+    frame is a lazy ``localCheckpoint`` so multi-reference consumers
+    (the greedy walk's hops, verdict recall joins) read the
+    materialized graph instead of replaying the build; lazy (not
+    eager) keeps the foreachBatch streaming callers legal. At cluster
+    scale the corpus-proportional graph belongs in spill-safe
+    replicated storage (reliable checkpoint dir) rather than
+    executor-local blocks; local[*] has no executor loss, so the
+    cheaper localCheckpoint is used here."""
     probes = _probes_df if assign == "hier" else _probes_df_flat
-    memo_key = None
-    if cache_key is not None and queries_emb is corpus_emb:
-        spark = queries_emb.sparkSession
-        fp = queries_emb.agg(
-            F.count("*").alias("n"), F.max("vec_id").alias("mx")
-        ).collect()[0]
-        memo_key = (
-            spark.sparkContext.applicationId,
-            cache_key,
-            deg,
-            nprobe,
-            assign,
-            int(fp["n"]),
-            fp["mx"],
-        )
-        got = _GRAPH_MEMO.get(memo_key)
-        if got is not None:
-            return got
     if queries_emb is corpus_emb:
         # self-build: ONE assignment pass serves both sides (probe
         # rank 1 IS the primary assignment) — the n-row probes frame
@@ -869,10 +847,7 @@ def ivf_knn_topk(
         .filter(F.col("rnk") <= deg)
         .select("src", "dst", "d2")
     )
-    if memo_key is not None:
-        out = out.localCheckpoint(eager=True)
-        _GRAPH_MEMO[memo_key] = out
-    return out
+    return out.localCheckpoint(eager=False)
 
 
 _QV_CTE = """qv AS (
@@ -901,7 +876,7 @@ def graph_ann_ivf_build(spark, sf_dir):
     books = gann_books(emb)
     w = Window.partitionBy("src").orderBy("d2", "dst")
     return (
-        ivf_knn_topk(emb, emb, books, cache_key=sf_dir)
+        ivf_knn_topk(emb, emb, books)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("src", "dst", "d2", "rnk")
     )
@@ -967,7 +942,7 @@ def graph_ann_ivf_verdict(spark, sf_dir):
     build changed — ~linear candidate work instead of n²."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = gann_books(emb)
-    knn = ivf_knn_topk(emb, emb, books, cache_key=sf_dir)
+    knn = ivf_knn_topk(emb, emb, books)
     return _ivf_verdict_from(spark, sf_dir, knn)
 
 
@@ -1029,7 +1004,7 @@ def graph_ann_incremental_insert(spark, sf_dir):
     arriving = emb.filter(~F.expr(_BASE_PRED))
     books = gann_books(base)
     w = Window.partitionBy("src").orderBy("d2", "dst")
-    base_graph = ivf_knn_topk(base, base, books, cache_key=("base", sf_dir))
+    base_graph = ivf_knn_topk(base, base, books)
     base_cand = ivf_knn_topk(base, arriving, books)
     upd = (
         base_graph.unionByName(base_cand)
@@ -1076,7 +1051,7 @@ def graph_ann_delete_repair(spark, sf_dir):
     books = gann_books(emb)  # frozen from the PRE-delete corpus
     w = Window.partitionBy("src").orderBy("d2", "dst")
     base_graph = (
-        ivf_knn_topk(emb, emb, books, cache_key=sf_dir)
+        ivf_knn_topk(emb, emb, books)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .localCheckpoint()
     )
@@ -1197,7 +1172,7 @@ def graph_ann_build_flat_equiv(spark, sf_dir):
     kc = books.shape[0]
     S, members = gann_super(books)
     ks1 = len(members)
-    eh = ivf_knn_topk(emb, emb, books, cache_key=sf_dir).select("src", "dst")
+    eh = ivf_knn_topk(emb, emb, books).select("src", "dst")
     ef = ivf_knn_topk(emb, emb, books, assign="flat").select(
         "src", "dst"
     )
@@ -1324,7 +1299,6 @@ def r25_stream_graph_insert(spark, sf_dir):
         os.path.join(work, "state"),
         base,
         books,
-        graph_cache_key=("base", sf_dir),
     )
 
 
@@ -1345,7 +1319,7 @@ def graph_ann_index_roundtrip(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     books = gann_books(emb)
     art = os.path.join(run_dir("gann_idx"), "graph")
-    ivf_knn_topk(emb, emb, books, cache_key=sf_dir).write.mode(
+    ivf_knn_topk(emb, emb, books).write.mode(
         "overwrite"
     ).parquet(art)
     reloaded = spark.read.schema("src long, dst long, d2 long").parquet(
@@ -1429,7 +1403,7 @@ def graph_ann_filtered_walk(spark, sf_dir):
     this selectivity or ACORN-style filtered expansion is needed."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = gann_books(emb)
-    knn = ivf_knn_topk(emb, emb, books, cache_key=sf_dir).select(
+    knn = ivf_knn_topk(emb, emb, books).select(
         "src", "dst"
     )
     traj = _trajectory(spark, sf_dir, knn=knn).localCheckpoint()
@@ -1555,7 +1529,6 @@ def r26_stream_graph_delete(spark, sf_dir):
         os.path.join(work, "state"),
         emb,
         books,
-        graph_cache_key=sf_dir,
     )
 
 
@@ -1638,7 +1611,7 @@ def graph_ann_routed_walk(spark, sf_dir):
     convergence hop-for-hop on this corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = gann_books(emb)
-    knn = ivf_knn_topk(emb, emb, books, cache_key=sf_dir)
+    knn = ivf_knn_topk(emb, emb, books)
     q = _quantized(emb)
     qs = q.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")

@@ -325,29 +325,6 @@ def _topk_per_query(
     ).filter(F.col(rank_name) <= k)
 
 
-# (applicationId, sf_dir, arm) -> collected default-batch arm rows.
-# Both arms' results are parameter-bounded (|Q|=_NQ queries × _K_ARM
-# ranks = 160 rows) and pure deterministic functions of the immutable
-# corpus, so this is the trained-book memo class, not a data cache:
-# the 5 family entries (and _fused twice over) otherwise re-tokenize
-# the corpus / re-scan the vectors per arm reference. Only the
-# DEFAULT batch memoizes — the streaming twins pass explicit
-# qids/qset and always compute live.
-_ARM_MEMO: dict = {}
-
-
-def _arm_memo(spark, sf_dir: str, which: str, build, schema: str):
-    key = (spark.sparkContext.applicationId, sf_dir, which)
-    got = _ARM_MEMO.get(key)
-    if got is None:
-        cols = [c.split()[0] for c in schema.split(",")]
-        got = [
-            tuple(r[c] for c in cols) for r in build().collect()
-        ]
-        _ARM_MEMO[key] = got
-    return spark.createDataFrame(got, schema)
-
-
 def _lex_arm(
     spark: SparkSession, sf_dir: str, qids: DataFrame | None = None
 ) -> DataFrame:
@@ -355,16 +332,9 @@ def _lex_arm(
     the default 0..NQ-1 query batch — the streaming twin serves each
     arriving micro-batch's ids against the same frozen corpus, and
     per-query results are batch-independent by construction (df is
-    per-term, corpus stats are global). Default batch memoizes per
-    (session, corpus) — block comment above."""
-    if qids is None:
-        return _arm_memo(
-            spark,
-            sf_dir,
-            "lex",
-            lambda: _lex_arm_build(spark, sf_dir, None),
-            "query_id long, doc_id long, bm25_nano long, r_lex long",
-        )
+    per-term, corpus stats are global). Computes fresh from parquet
+    on every call — the r15 cross-query _ARM_MEMO is removed per
+    VERDICT r15 task #2."""
     return _lex_arm_build(spark, sf_dir, qids)
 
 
@@ -449,16 +419,8 @@ def _sem_arm(
 ) -> DataFrame:
     """Semantic arm. ``qset`` (query_id, qqv quantized vector)
     overrides the default batch — the streaming twin passes the
-    ARRIVING vectors, quantized per micro-batch. Default batch
-    memoizes per (session, corpus) — _ARM_MEMO block comment."""
-    if qset is None:
-        return _arm_memo(
-            spark,
-            sf_dir,
-            "sem",
-            lambda: _sem_arm_build(spark, sf_dir, None),
-            "query_id long, doc_id long, d2 long, r_sem long",
-        )
+    ARRIVING vectors, quantized per micro-batch. Computes fresh from
+    parquet on every call (no cross-query memo — _lex_arm)."""
     return _sem_arm_build(spark, sf_dir, qset)
 
 

@@ -269,7 +269,7 @@ def ivfpq_train_encode(spark, sf_dir):
     training loop a production (FAISS-style) index runs before
     ingesting 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings")
-    _, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    _, pb, resid = ivfpq_train.trained_books(emb)
     _, packed = _encode_resid(resid, pb)
     return packed.select(
         "vec_id",
@@ -303,7 +303,7 @@ def ivfpq_train_gain(spark, sf_dir):
     seeded = packed_s.agg(
         F.sum("distortion").cast("bigint").alias("seeded_distortion")
     )
-    _, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    _, pb, resid = ivfpq_train.trained_books(emb)
     _, packed_t = _encode_resid(resid, pb)
     trained = packed_t.agg(
         F.sum("distortion").cast("bigint").alias("trained_distortion")
@@ -398,7 +398,7 @@ def ivfpq_train_adc_topk(spark, sf_dir):
     serves. Exact integer end-to-end; the oracle replays training and
     search from scratch."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     q = _quantized(emb, "vec_id")
     qset = q.orderBy("vec_id").limit(1).select(
@@ -488,7 +488,7 @@ def ivfpq_recall_at5(spark, sf_dir):
         .select("query_id", "vec_id")
     )
     seeded = ivfpq.ivfpq_adc_batch(emb, 5).select("query_id", "vec_id")
-    cb, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     trained = ivfpq_train.adc_search(qset, cb, pb, codes, 5).select(
         "query_id", "vec_id"
@@ -548,7 +548,7 @@ def ivfpq_train_incremental(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.expr(_BASE_PRED))
     arriving = emb.filter(F.expr(_ARRIVING_PRED))
-    cb, pb, _ = ivfpq_train.trained_books(base, cache_key=("base", sf_dir))
+    cb, pb, _ = ivfpq_train.trained_books(base)
     _, packed = ivfpq.encode_against_books(arriving, cb, pb)
     return packed.select(
         "vec_id",
@@ -655,7 +655,7 @@ def ivfpq_nprobe_curve(spark, sf_dir):
     pins the coverage-dominated leg (nprobe 1 -> 2 strictly
     improves) and a bounded wobble thereafter."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     q = _quantized(emb, "vec_id")
     qset = (
@@ -762,7 +762,7 @@ def ivfpq_rerank_topk(spark, sf_dir):
     IndexRefineFlat production pattern). Exact end-to-end; the oracle
     replays training, retrieval, and the refine join from scratch."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     q = _quantized(emb, "vec_id")
     return ivfpq_train.rerank_exact(
@@ -826,7 +826,7 @@ def ivfpq_rerank_recall(spark, sf_dir):
     neighbor), pinned in tests/test_ivfpq_train.py along with a
     strictly positive lift at R_max."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(emb, cache_key=("full", sf_dir))
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     q = _quantized(emb, "vec_id")
     qset = _qset_df(q)
@@ -1022,9 +1022,7 @@ def ivfpq_permute_gain(spark, sf_dir):
     tests/test_ivfpq_train.py (deterministic pipeline ⇒ any flip is
     a code change)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, packed = _encode_resid(resid, pb)
     po = ivfpq_train.variance_permutation(resid)
     presid = resid.select(
@@ -1179,9 +1177,7 @@ def ivfpq_filtered_topk(spark, sf_dir):
     integer end-to-end; the oracle replays training, labeling, and
     the filtered scan from scratch."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     lcodes = codes.join(
         emb.select(
@@ -1228,9 +1224,7 @@ def ivfpq_filtered_recall(spark, sf_dir):
     filtered exact reference stays batch-bounded (corpus × 64 with
     the label equi-join, map-side top-k)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     labels = emb.select(
         "vec_id", F.col("label").cast("long").alias("label")
@@ -1308,9 +1302,7 @@ def ivfpq_index_roundtrip(spark, sf_dir):
     from etl_mp_transactions_spark.workdirs import run_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     _, packed = _encode_resid(resid, pb)
     work = run_dir("ivfpq_index")
     cb.write.mode("overwrite").parquet(os.path.join(work, "coarse"))
@@ -1464,9 +1456,7 @@ def ivfpq_filtered_rerank_topk(spark, sf_dir):
     integer end-to-end, same refine kernel as ivfpq_rerank_topk
     (operators/ivfpq_train.py rerank_candidates)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     lcodes = codes.join(
         emb.select(
@@ -1593,9 +1583,7 @@ def ivfpq_delete_serve(spark, sf_dir):
     story, compaction being the other half. Broadcast tombstones;
     exact integer end-to-end."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     tombs = emb.select("vec_id").filter(F.expr(DELETE_PRED))
     live = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
@@ -1644,9 +1632,7 @@ def ivfpq_compact_roundtrip(spark, sf_dir):
     from etl_mp_transactions_spark.workdirs import run_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     _, packed = _encode_resid(resid, pb)
     work = run_dir("ivfpq_compact")
     codes_v1 = os.path.join(work, "codes.v1")
@@ -1743,9 +1729,7 @@ def r22_stream_delete_serve(spark, sf_dir):
         os.path.join(work, "ckpt"),
         os.path.join(work, "tombstones"),
     )
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     live = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
     q = _quantized(emb, "vec_id")
@@ -1821,9 +1805,7 @@ def ivfpq_upsert_serve(spark, sf_dir):
     index must equal the oracle's full modified-corpus encode bit
     for bit — upsert == rebuild, given frozen books."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes_orig, _ = _encode_resid(resid, pb)
     changed = emb.filter(F.expr(UPSERT_PRED)).select(
         "vec_id",
@@ -1905,9 +1887,7 @@ def ivfpq_list_stats(spark, sf_dir):
     (dead centroid). One group-by over the code table; KC-row
     output."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     occ = (
         cb.select(F.col("c").alias("cid"))

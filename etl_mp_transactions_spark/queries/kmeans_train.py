@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etl_mp_transactions_spark.operators import ivfpq_train
 from etl_mp_transactions_spark.operators.pq import PQ_M, PQ_SUB, _quantized
 from etl_mp_transactions_spark.queries.ivfpq_train_q import (
     _FDIV,
@@ -135,26 +134,33 @@ def kmeans_train_trajectory(spark, sf_dir):
     kb{{t-1}}, the value Lloyd's update then improves; the last row is
     the final trained assignment), plus the per-step ``monotone``
     flag — k-means' convergence guarantee as a driver-checked value.
-    Exact BIGINT inertia; DuckDB replays the whole unrolled loop."""
+    Exact BIGINT inertia; DuckDB replays the whole unrolled loop.
+
+    r16 pass structure: the training passes already assign every
+    vector against kb{{t-1}}, so each step's inertia is the sum of the
+    per-cluster d2 sums the update aggregate collects anyway — steps
+    1..{KM_ITERS} cost ZERO extra passes, and only the final-books
+    assignment (step {KM_ITERS + 1}) runs one more corpus aggregate.
+    The former shape re-ran one full argmin pass per trajectory row
+    on top of the training's own passes."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _quantized(emb, "vec_id")
-    seq = _books_seq(spark, sf_dir, emb)
-    rows = []
-    for t in range(1, KM_ITERS + 2):
-        books = seq[t - 1]
-        d2 = F.expr(_L2_SPARK.format(a="qv", b="ckv"))
-        asg = (
-            q.crossJoin(F.broadcast(books))
-            .select("vec_id", "c", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "c")).alias("b"))
-            .select(F.col("b.d2").alias("d2"))
+    _seq, inertias = _train_books(q)
+    final_books = _seq[-1]
+    rows = [
+        spark.createDataFrame(
+            [(t, v)], "step bigint, inertia bigint"
         )
-        rows.append(
-            asg.agg(F.sum("d2").cast("bigint").alias("inertia")).select(
-                F.lit(t).cast("bigint").alias("step"), "inertia"
-            )
+        for t, v in enumerate(inertias, start=1)
+    ]
+    d2 = _argmin_struct(final_books)["d2"]
+    rows.append(
+        q.select(d2.alias("d2"))
+        .agg(F.sum("d2").cast("bigint").alias("inertia"))
+        .select(
+            F.lit(KM_ITERS + 1).cast("bigint").alias("step"), "inertia"
         )
+    )
     from functools import reduce
 
     from pyspark.sql import DataFrame, Window
@@ -171,14 +177,10 @@ def kmeans_train_trajectory(spark, sf_dir):
     ).orderBy("step")
 
 
-_L2_SPARK = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
-    " cast(0 as bigint), (acc, v) -> acc + v)"
-)
-
-
-def _seed_books(emb):
-    q = _quantized(emb, "vec_id")
+def _seed_rows(q) -> list[tuple[int, list[int]]]:
+    """The KM_K md5-rank seed books as collected (c, ckv) rows
+    (TakeOrderedAndProject + bounded K-row collect) over the
+    quantized corpus ``q``."""
     rows = (
         q.select(
             "vec_id",
@@ -192,78 +194,92 @@ def _seed_books(emb):
         .collect()
     )
     rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
-    return emb.sparkSession.createDataFrame(
-        [(c, list(r["qv"])) for c, r in enumerate(rows)],
-        "c int, ckv array<bigint>",
+    return [(c, [int(x) for x in r["qv"]]) for c, r in enumerate(rows)]
+
+
+def _argmin_struct(books_rows: list[tuple[int, list[int]]]):
+    """struct(d2, c) of the nearest book as a LITERAL-books column
+    expression (r16, guide §2.4): ``array_min`` over the per-book
+    exact d2 structs is field-lexicographic — (d2 asc, c asc) — the
+    exact tiebreak of the former ``min(struct(d2, c))`` aggregate,
+    with NO n×K crossJoin and NO corpus groupBy(vec_id) shuffle: the
+    assignment becomes a map-only projection (the books are already
+    driver rows from the inter-step freeze, so injecting them as
+    literals is the pca/ivfpq literal-projection pattern)."""
+    lit = "array(" + ", ".join(
+        f"named_struct('c', {c}, 'ckv', array("
+        + ", ".join(f"{x}L" for x in ckv)
+        + "))"
+        for c, ckv in books_rows
+    ) + ")"
+    d2 = (
+        "aggregate(zip_with(qv, b.ckv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"array_min(transform({lit},"
+        f" b -> named_struct('d2', {d2}, 'c', b.c)))"
     )
 
 
-# (applicationId, sf_dir) -> [step-0 seed rows, step-1 rows, …,
-# step-KM_ITERS rows]: the trained-book memo pattern
-# (operators/ivfpq_train.py _BOOK_MEMO) for the k-means family. Every
-# step is already a bounded K-row collect (the freeze the unrolled
-# oracle mirrors), so memoizing the rows adds nothing the training
-# doesn't already hold on the driver; trajectory and assign otherwise
-# each replay the identical seed collect + KM_ITERS Lloyd collects
-# per call.
-_BOOKS_MEMO: dict = {}
+def _py_fdiv(s: int, n: int) -> int:
+    """Python twin of operators/ivfpq_train._fdiv (exact floor
+    division via the snapped numerator): for n > 0 both reduce to
+    floor(s / n), which Python's ``//`` computes exactly."""
+    return s // n
 
 
-def _books_seq(spark, sf_dir, emb) -> list:
-    """The per-step trained books [seeds, kb1, …, kb{KM_ITERS}] as
-    DataFrames, computed once per (session, corpus)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _BOOKS_MEMO.get(key)
-    if got is None:
-        q = _quantized(emb, "vec_id")
-        books = _seed_books(emb)
-        got = [[(r[0], list(r[1])) for r in books.collect()]]
-        for _ in range(KM_ITERS):
-            books = _one_step(q, books)
-            got.append([(r[0], list(r[1])) for r in books.collect()])
-        _BOOKS_MEMO[key] = got
-    return [
-        spark.createDataFrame(rows, "c int, ckv array<bigint>")
-        for rows in got
-    ]
-
-
-def _one_step(q, books):
-    """One exact Lloyd step on (c, ckv) books — the
-    operators/ivfpq_train.py lloyd_refine_coarse body under this
-    module's column names (frozen via the bounded K-row collect)."""
-    d2 = F.expr(_L2_SPARK.format(a="qv", b="ckv"))
-    asg = (
-        q.crossJoin(F.broadcast(books))
-        .select("vec_id", "qv", "c", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("d2", "c")).alias("b"),
-            F.first("qv").alias("qv"),
-        )
-        .select(F.col("b.c").alias("c"), "qv")
+def _one_step_rows(
+    q, rows: list[tuple[int, list[int]]]
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """One exact Lloyd step over literal books ``rows`` → (new rows,
+    pre-update inertia). ONE corpus aggregate produces the per-cluster
+    counts, d2 sums AND per-dim sums (map-side combined to K groups);
+    the floor-division means run on the collected K rows (the same
+    bounded freeze the former shape collected) and the step's inertia
+    is the total of the per-cluster d2 sums — an exact BIGINT
+    regrouping of the former global sum."""
+    best = _argmin_struct(rows)
+    asg = q.select(
+        best["c"].alias("c"), best["d2"].alias("d2"), "qv"
     )
     upd = asg.groupBy("c").agg(
         F.count("*").cast("bigint").alias("n"),
+        F.sum("d2").cast("bigint").alias("sd2"),
         *[
             F.sum(F.expr(f"qv[{i}]")).cast("bigint").alias(f"s{i}")
             for i in range(_DIM)
         ],
     )
-    newv = F.array(
-        *[ivfpq_train._fdiv(F.col(f"s{i}"), F.col("n")) for i in range(_DIM)]
-    )
-    out = books.join(upd, "c", "left").select(
-        "c",
-        F.when(F.col("n").isNull(), F.col("ckv"))
-        .otherwise(newv)
-        .alias("ckv"),
-    )
-    rows = out.collect()
-    rows.sort(key=lambda r: r[0])
-    return q.sparkSession.createDataFrame(
-        [(r[0], list(r[1])) for r in rows], "c int, ckv array<bigint>"
-    )
+    urows = {int(r["c"]): r for r in upd.collect()}
+    inertia = sum(int(r["sd2"]) for r in urows.values())
+    new_rows = []
+    for c, ckv in rows:
+        r = urows.get(c)
+        if r is None:  # empty cluster keeps its previous centroid
+            new_rows.append((c, ckv))
+        else:
+            n = int(r["n"])
+            new_rows.append(
+                (c, [_py_fdiv(int(r[f"s{i}"]), n) for i in range(_DIM)])
+            )
+    return new_rows, inertia
+
+
+def _train_books(q) -> tuple[list[list[tuple[int, list[int]]]], list[int]]:
+    """([seed rows, kb1 rows, …, kb{KM_ITERS} rows], [inertia_1..
+    inertia_{KM_ITERS}]) — the full training, computed fresh from the
+    corpus on EVERY call (the r15 cross-query _BOOKS_MEMO is removed
+    per VERDICT r15 task #2). KM_ITERS+1 corpus passes total: one
+    seed TakeOrdered + one fused assign/update aggregate per step."""
+    rows = _seed_rows(q)
+    seq = [rows]
+    inertias: list[int] = []
+    for _ in range(KM_ITERS):
+        rows, inertia = _one_step_rows(q, rows)
+        seq.append(rows)
+        inertias.append(inertia)
+    return seq, inertias
 
 
 @query(
@@ -284,17 +300,13 @@ def kmeans_train_assign(spark, sf_dir):
     endpoint."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = _quantized(emb, "vec_id")
-    books = _books_seq(spark, sf_dir, emb)[-1]
-    d2 = F.expr(_L2_SPARK.format(a="qv", b="ckv"))
-    return (
-        q.crossJoin(F.broadcast(books))
-        .select("vec_id", "c", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "c")).alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.c").cast("bigint").alias("cluster"),
-            F.col("b.d2").alias("dist2"),
-        )
-        .orderBy("vec_id")
-    )
+    books = _train_books(q)[0][-1]
+    # literal-books argmin: map-only projection, no crossJoin row
+    # blowup and no corpus groupBy(vec_id) shuffle (r16, guide §2.4);
+    # the only remaining exchange is the declared ORDER BY
+    best = _argmin_struct(books)
+    return q.select(
+        "vec_id",
+        best["c"].cast("bigint").alias("cluster"),
+        best["d2"].alias("dist2"),
+    ).orderBy("vec_id")

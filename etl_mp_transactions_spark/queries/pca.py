@@ -175,182 +175,165 @@ def _power_ctes() -> str:
 # ----------------------------------------------------------------- Spark
 
 
-def _scatter_mn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(i, j, mn): max-normalized integer covariance scatter,
-    localCheckpoint-ed (4096 rows — bounded materialization, module
-    docstring)."""
-    from etl_mp_transactions_spark.queries.embeddings2 import gram_matrix
+def _round_half_up(x: float) -> int:
+    """Exact twin of Spark's ``round(double)`` (java.math.BigDecimal
+    HALF_UP over the shortest round-trip decimal repr): Python
+    ``repr`` and Java ``Double.toString`` both emit a decimal that
+    uniquely identifies the double, and any such repr of d ≠ k.5 lies
+    strictly on d's side of every .5/.0 boundary (boundaries are
+    themselves representable doubles), so the HALF_UP decision is
+    repr-independent — the same argument PORTABILITY.md makes for the
+    half-away numpy rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    g = gram_matrix(spark, sf_dir)
+    return int(
+        Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
+def _scatter_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[int]], list[int], int]:
+    """(g[64][64], s[64], n): the exact integer Gram matrix, column
+    sums, and row count of the quantized corpus in ONE Arrow
+    mapInPandas pass (r16, guide §1.2/§5: the former shape ran the
+    gram pass, a posexplode column-sum pass, and a count as separate
+    jobs). Per-partition local numpy int64 matmul — communication
+    O(partitions·d²), never O(rows); the d²+d+1 result rows are the
+    documented parameter-bounded collect class. Encoding: (i, j, g)
+    cells, (i, -1, s_i) column sums, (-1, -1, n)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.select(
-        F.expr(
-            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
-        ).alias("qv")
-    )
-    s = (
-        qv.select(F.posexplode("qv").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum("qi").cast("long").alias("s"))
-    )
-    nrow = qv.agg(F.count("*").alias("n"))
-    md = (
-        g.join(F.broadcast(s.select(F.col("i").alias("gi"), F.col("s").alias("si"))), F.col("i") == F.col("gi"))
-        .drop("gi")
-        .join(F.broadcast(s.select(F.col("i").alias("gj"), F.col("s").alias("sj"))), F.col("j") == F.col("gj"))
-        .drop("gj")
-        .crossJoin(F.broadcast(nrow))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("g").cast("double")
-                - F.col("si").cast("double")
-                * F.col("sj").cast("double")
-                / F.col("n").cast("double")
-            ).alias("md"),
+    d = _DIM
+
+    def partial(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # half-away-from-zero to match SQL round() (np.round is
+            # IEEE half-to-even — a 0.5e-6 tie would diverge)
+            scaled = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ) * 1e6
+            m = (
+                np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)
+            ).astype(np.int64)
+            acc += m.T @ m
+            s += m.sum(axis=0)
+            n += len(pdf)
+        ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [ii.ravel(), np.arange(d), [-1]]
+                ).astype("int32"),
+                "j": np.concatenate(
+                    [jj.ravel(), np.full(d, -1), [-1]]
+                ).astype("int32"),
+                "g": np.concatenate([acc.ravel(), s, [n]]),
+            }
         )
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(partial, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+        .collect()
     )
-    mx = md.agg(F.max(F.abs(F.col("md"))).alias("mx"))
-    mn = md.crossJoin(F.broadcast(mx)).select(
-        "i",
-        "j",
-        F.when(F.col("mx") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.round(F.lit(1e6) * (F.col("md") / F.col("mx"))).cast("long")
-        )
-        .alias("mn"),
-    )
-    return mn.localCheckpoint()
+    g = [[0] * d for _ in range(d)]
+    s = [0] * d
+    n = 0
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["g"])
+        elif r["j"] == -1:
+            s[r["i"]] = int(r["g"])
+        else:
+            g[r["i"]][r["j"]] = int(r["g"])
+    return g, s, n
 
 
-# (applicationId, sf_dir) -> ([(dim, v_micro)], [rq_nano]) — the
-# trained-book memo pattern (VERDICT r14 task #5): the converged
-# direction is 64 bounded rows + a 1-row Rayleigh quotient, a pure
-# deterministic function of the immutable parquet corpus, and the
-# power iteration that produces it costs ~12 blocking jobs (scatter
-# pass + 8 step checkpoints + norm/sign collects) that
-# pca_power_direction and pca_extreme_projection would otherwise each
-# replay per call. First caller computes from parquet inside its own
-# timed region; repeat callers replay the literal rows.
-_DIRECTION_MEMO: dict = {}
+def _power_direction_py(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, int]], int, list[int], int]:
+    """(vfin rows, rq_nano, column sums, n): the full power iteration
+    as ONE corpus pass plus an exact driver-side fold over the
+    parameter-bounded scatter (r16, VERDICT r15 task #3: the former
+    shape ran ~30 blocking 64-row jobs — 8 step checkpoints, per-step
+    max/norm broadcasts, sign/collect jobs — all scheduler overhead,
+    no data). Recomputed from parquet on EVERY call (the r15
+    _DIRECTION_MEMO is removed per VERDICT r15 task #2).
+
+    Exactness: the fold replays the retired Spark plan op for op —
+    integer matvecs on Python ints (order-free exact), IEEE-double
+    ratios on float(int) casts (correctly rounded, same as
+    CAST(BIGINT AS DOUBLE)), math.sqrt (correctly rounded by IEEE),
+    and HALF_UP rounding via ``_round_half_up`` — and the DuckDB
+    oracle still replays the unrolled loop independently, so the
+    equivalence is value-pinned at both SFs, not assumed."""
+    g, s, n = _scatter_stats(spark, sf_dir)
+    d = _DIM
+    # centered scatter in doubles from exact integer inputs, then
+    # max-normalized to ±1e6 ints (same op order as the oracle CTEs)
+    md = [
+        [float(g[i][j]) - float(s[i]) * float(s[j]) / float(n) for j in range(d)]
+        for i in range(d)
+    ]
+    mx = max(abs(md[i][j]) for i in range(d) for j in range(d))
+    mn = [
+        [
+            0 if mx == 0 else _round_half_up(1e6 * (md[i][j] / mx))
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    v = [1_000_000] * d
+
+    def _step(v: list[int]) -> tuple[list[int], list[int]]:
+        w = [sum(mn[i][j] * v[j] for j in range(d)) for i in range(d)]
+        mw = max(abs(x) for x in w)
+        wm = [
+            x if mw == 0 else _round_half_up(1e6 * (float(x) / float(mw)))
+            for x in w
+        ]
+        n2 = sum(x * x for x in wm)
+        import math
+
+        nxt = [
+            x
+            if n2 == 0
+            else _round_half_up(1e6 * (float(x) / math.sqrt(float(n2))))
+            for x in wm
+        ]
+        return nxt, wm
+
+    for _ in range(_ITERS):
+        v, _wm = _step(v)
+    _nxt, wmf = _step(v)
+    num = sum(v[i] * wmf[i] for i in range(d))
+    den = sum(v[i] * v[i] for i in range(d))
+    rq_nano = _round_half_up(1e9 * (float(num) / float(den)))
+    sg = next((1 if x > 0 else -1 for x in v if x != 0), 1)
+    vfin = [(i, v[i] * sg) for i in range(d)]
+    return vfin, rq_nano, s, n
 
 
 def _power_direction(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (vfin(dim, v_micro), rq(rq_nano)) — the canonicalized
-    direction and its Rayleigh-quotient report. Process-memoized per
-    corpus (block comment above)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _DIRECTION_MEMO.get(key)
-    if got is not None:
-        vrows, rqrows = got
-        return (
-            spark.createDataFrame(vrows, "dim int, v_micro long"),
-            spark.createDataFrame(rqrows, "rq_nano long"),
-        )
-    mn = _scatter_mn(spark, sf_dir)
-    it = spark.range(_DIM).select(
-        F.col("id").cast("int").alias("i"),
-        F.lit(1_000_000).cast("long").alias("v"),
-    )
-
-    def _step(prev: DataFrame) -> tuple[DataFrame, DataFrame]:
-        w = (
-            mn.join(
-                F.broadcast(prev.select(F.col("i").alias("j"), "v")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("mn") * F.col("v")).cast("long").alias("w"))
-        )
-        mw = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
-        wm = w.crossJoin(F.broadcast(mw)).select(
-            "i",
-            F.when(F.col("mw") == 0, F.col("w"))
-            .otherwise(
-                F.round(
-                    F.lit(1e6)
-                    * (F.col("w").cast("double") / F.col("mw").cast("double"))
-                )
-                .cast("long")
-            )
-            .alias("wm"),
-        )
-        n2 = wm.agg(F.sum(F.col("wm") * F.col("wm")).cast("long").alias("n2"))
-        nxt = wm.crossJoin(F.broadcast(n2)).select(
-            "i",
-            F.when(F.col("n2") == 0, F.col("wm"))
-            .otherwise(
-                F.round(
-                    F.lit(1e6)
-                    * (
-                        F.col("wm").cast("double")
-                        / F.sqrt(F.col("n2").cast("double"))
-                    )
-                )
-                .cast("long")
-            )
-            .alias("v"),
-        )
-        return nxt, wm
-
-    for _ in range(_ITERS):
-        it, _wm = _step(it)
-        # per-round plan cut (the documented analyzer-blowup
-        # workaround, viterbi_em pattern): each step references its
-        # predecessor several times (w→mw+wm, wm→n2+next), so an
-        # uncut 8-step plan grows exponentially; the iterate is 64
-        # rows, so the cut is milliseconds
-        it = it.localCheckpoint()
-    _nxt, wmf = _step(it)
-    rq = (
-        it.join(wmf, "i")
-        .agg(
-            F.round(
-                F.lit(1e9)
-                * (
-                    F.sum(F.col("v") * F.col("wm")).cast("double")
-                    / F.sum(F.col("v") * F.col("v")).cast("double")
-                )
-            )
-            .cast("long")
-            .alias("rq_nano")
-        )
-    )
-    sgn = (
-        it.filter(F.col("v") != 0)
-        .orderBy("i")
-        .limit(1)
-        .select(
-            F.when(F.col("v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("sg")
-        )
-    )
-    # left cross join with a 0/1-row sign frame: coalesce to +1
-    vfin = (
-        it.crossJoin(F.broadcast(sgn))
-        .select(
-            F.col("i").alias("dim"),
-            (F.col("v") * F.coalesce(F.col("sg"), F.lit(1)))
-            .cast("long")
-            .alias("v_micro"),
-        )
-        if sgn.count() > 0
-        else it.select(
-            F.col("i").alias("dim"), F.col("v").cast("long").alias("v_micro")
-        )
-    )
-    # bounded collects (64 + 1 rows) populate the memo; the returned
-    # frames are rebuilt from the literals so every caller gets the
-    # same plan shape whether it hit or missed
-    vrows = [
-        (int(r["dim"]), int(r["v_micro"])) for r in vfin.collect()
-    ]
-    rqrows = [(int(r["rq_nano"]),) for r in rq.collect()]
-    _DIRECTION_MEMO[key] = (vrows, rqrows)
+    direction and its Rayleigh-quotient report, computed fresh from
+    parquet per call (_power_direction_py)."""
+    vrows, rq_nano, _s, _n = _power_direction_py(spark, sf_dir)
     return (
         spark.createDataFrame(vrows, "dim int, v_micro long"),
-        spark.createDataFrame(rqrows, "rq_nano long"),
+        spark.createDataFrame([(rq_nano,)], "rq_nano long"),
     )
 
 
@@ -426,15 +409,16 @@ def pca_extreme_projection(spark, sf_dir):
     (module docstring), so the corpus pass is one scan with an
     order-free integer fold and a TakeOrderedAndProject — no shuffle,
     no window."""
-    vfin, _rq = _power_direction(spark, sf_dir)
-    # parameter-bounded collects: 64 + 64 + 1 rows
+    # ONE corpus pass for direction + column sums + n (r16: the
+    # former shape re-ran a posexplode column-sum pass and a count
+    # after the direction's own scatter pass), then one scored scan
+    vrows, _rq_nano, s, n = _power_direction_py(spark, sf_dir)
     vk = [0] * _DIM
-    for r in vfin.collect():
+    for dim, v in vrows:
         # half-AWAY rounding on the exact integer (ADVICE r12):
         # python round() is half-even and would diverge from the
         # oracle's SQL round() whenever v_micro ≡ ±500 (mod 1000)
-        v = int(r.v_micro)
-        vk[r.dim] = (abs(v) + 500) // 1000 * (1 if v >= 0 else -1)
+        vk[dim] = (abs(v) + 500) // 1000 * (1 if v >= 0 else -1)
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         "vec_id",
@@ -442,16 +426,6 @@ def pca_extreme_projection(spark, sf_dir):
             "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
         ).alias("qv"),
     )
-    s = [0] * _DIM
-    srows = (
-        qv.select(F.posexplode("qv").alias("i", "qi"))
-        .groupBy("i")
-        .agg(F.sum("qi").cast("long").alias("s"))
-        .collect()
-    )
-    for r in srows:
-        s[r.i] = int(r.s)
-    n = qv.count()
     s_arr = "array(" + ", ".join(f"{x}L" for x in s) + ")"
     vk_arr = "array(" + ", ".join(f"{x}L" for x in vk) + ")"
     proj = qv.select(

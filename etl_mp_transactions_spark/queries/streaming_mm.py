@@ -1518,9 +1518,7 @@ def r21_stream_rerank_serving(spark, sf_dir):
     rp = os.path.join(stage, f"replay-{uuid.uuid4().hex[:8]}.parquet")
     shutil.copy(os.path.join(stage, "f0.parquet"), rp)
     os.utime(rp, (t0 + 40, t0 + 40))
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes, _ = _encode_resid(resid, pb)
     out = filesource.stream_rerank_serving_run(
         spark,

@@ -1143,7 +1143,6 @@ def stream_graph_insert_run(
     state_dir: str,
     base_emb: DataFrame,
     books,
-    graph_cache_key: object | None = None,
 ) -> DataFrame:
     """Streaming IVF-graph maintenance (R25): arriving embedding
     batches maintain the IVF-seeded kNN graph against FROZEN coarse
@@ -1180,12 +1179,10 @@ def stream_graph_insert_run(
     emb_schema = "vec_id long, embedding array<float>, label int"
     edge_schema = "src long, dst long, d2 long"
     # base fragment: the frozen-books self-build over the base slice
-    # (graph_cache_key: reuse the session-memoized graph when the
-    # batch twin already built the identical slice — fingerprint-
-    # hardened in ivf_knn_topk, so a mismatched corpus misses)
-    ivf_knn_topk(
-        base_emb, base_emb, books, cache_key=graph_cache_key
-    ).write.mode("overwrite").parquet(
+    # (fresh per call — no cross-query graph memo, VERDICT r15 #2)
+    ivf_knn_topk(base_emb, base_emb, books).write.mode(
+        "overwrite"
+    ).parquet(
         os.path.join(edges_dir, "batch=base")
     )
 
@@ -1252,7 +1249,6 @@ def stream_graph_delete_run(
     state_dir: str,
     emb: DataFrame,
     books,
-    graph_cache_key: object | None = None,
 ) -> DataFrame:
     """Streaming graph-index DELETE maintenance (R26, 21st
     stream==batch pin): tombstone batches repair the IVF-seeded kNN
@@ -1288,9 +1284,7 @@ def stream_graph_delete_run(
     id_schema = "vec_id long"
     frag_schema = "src long, dst long, d2 long, bid long"
     emb = emb.localCheckpoint(eager=True)
-    base = ivf_knn_topk(
-        emb, emb, books, cache_key=graph_cache_key
-    ).select(
+    base = ivf_knn_topk(emb, emb, books).select(
         "src", "dst", "d2", F.lit(-1).cast("long").alias("bid")
     )
     base.write.mode("overwrite").parquet(

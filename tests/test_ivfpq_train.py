@@ -191,7 +191,7 @@ def test_variance_permutation_is_a_permutation(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, _, resid = trained_books(emb, cache_key=("full", sf_dir))
+    _, _, resid = trained_books(emb)
     po = variance_permutation(resid)
     assert sorted(po) == list(range(1, _DIM + 1))
 
@@ -431,9 +431,7 @@ def test_upsert_only_reencodes_changed_rows(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cb, pb, resid = ivfpq_train.trained_books(
-        emb, cache_key=("full", sf_dir)
-    )
+    cb, pb, resid = ivfpq_train.trained_books(emb)
     codes_orig, _ = _encode_resid(resid, pb)
     changed = emb.filter(F.expr(UPSERT_PRED)).select(
         "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
