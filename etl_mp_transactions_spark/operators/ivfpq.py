@@ -89,13 +89,14 @@ RESID_TAG = ":ivfpq-resid-1"
 # points (e.g. ivfpq_recall_at5: seeded plan + trained books + both
 # executed) keep EVERY frame of the current query alive — the
 # previous evict-on-next-entry policy dropped the seeded frame before
-# first use (ADVICE r10). _MAX_CACHED counts FRAMES (2 per entry
-# point since the r15 codes cut), so 8 covers 4 composed entry-point
-# calls (ADVICE r15 low: 4 frames could evict the current query's
-# resid before first use). Dropping a reference a still-unexecuted
-# plan holds is safe — the plan holds its own JVM reference; only
-# this module's bookkeeping forgets it.
-_MAX_CACHED = 8
+# first use (ADVICE r10). _MAX_CACHED counts FRAMES (3 per entry
+# point since the r16 quantized-corpus cut: q, resid, codes), so 12
+# covers 4 composed entry-point calls (ADVICE r15 low: too small a
+# ring could evict the current query's frames before first use).
+# Dropping a reference a still-unexecuted plan holds is safe — the
+# plan holds its own JVM reference; only this module's bookkeeping
+# forgets it.
+_MAX_CACHED = 12
 _cached: list[DataFrame] = []
 
 
@@ -122,11 +123,17 @@ _FULL_D2 = (
 )
 
 
-def coarse_books(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def coarse_books(
+    embeddings: DataFrame, id_col: str = "vec_id", q: DataFrame | None = None
+) -> DataFrame:
     """KC coarse-centroid rows (c, ccqv): md5-rank seed pick over the
     quantized corpus (TakeOrderedAndProject + bounded KC-row collect,
-    the operators/ivf.py seed_centroids shape)."""
-    q = _quantized(embeddings, id_col)
+    the operators/ivf.py seed_centroids shape). ``q`` optionally
+    supplies an already-quantized (vec_id, qv) frame so a caller that
+    materializes the quantized corpus once per call doesn't pay a
+    second scan+quantize here."""
+    if q is None:
+        q = _quantized(embeddings, id_col)
     rows = (
         q.select(
             "vec_id",
@@ -188,7 +195,10 @@ def argmin_books_expr(book_vecs: list[list[int]], qv_col: str):
 
 
 def coarse_assign(
-    embeddings: DataFrame, books: DataFrame, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    books: DataFrame,
+    id_col: str = "vec_id",
+    q: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cid, rqv): exact-integer nearest coarse centroid
     (full-vector squared L2, c-asc tiebreak) and the residual vector
@@ -201,8 +211,11 @@ def coarse_assign(
     the residual subtracts the winning centroid by index lookup. The
     former shape crossJoined n×KC rows, shuffled the corpus through a
     groupBy(vec_id), then joined BACK to the corpus and to the books;
-    this is one map-only projection: zero shuffles, zero joins."""
-    q = _quantized(embeddings, id_col)
+    this is one map-only projection: zero shuffles, zero joins.
+    ``q`` optionally supplies the already-quantized corpus
+    (coarse_books contract)."""
+    if q is None:
+        q = _quantized(embeddings, id_col)
     bk = books_rows(books, "ccqv")
     best = argmin_books_expr(bk, "qv")
     ckvs = "array(" + ", ".join(
@@ -254,13 +267,17 @@ def ivfpq_encode(
     reuses; ``packed`` is one row per vector (vec_id, cid, pq_code,
     distortion) — the 32-bits-plus-a-list-id a 100 TB deployment
     actually stores."""
-    cb = coarse_books(embeddings, id_col)
+    # ONE scan+quantize pass per call: the quantized corpus feeds the
+    # coarse seed pick AND the assignment (r16 — formerly each ran its
+    # own parquet scan + quantize transform)
+    q = _persist_tracked(_quantized(embeddings, id_col))
+    cb = coarse_books(embeddings, id_col, q=q)
     # ONE assignment pass: the residual frame feeds both the codebook
     # seed pick (a TakeOrdered over it) and the encode itself —
     # without the persist, residual_books' seed scan and the encode
     # each replay the full n×KC assignment (measured as most of the
     # encode's 10×-step wall)
-    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col, q=q))
     pb = residual_books(resid)
     out = _encode_resid(resid, pb)
     return out
@@ -315,11 +332,11 @@ def ivfpq_adc_topk(
     probed lists against one broadcast nprobe×M×KS lookup table of
     exact per-list residual subspace distances — vectors outside the
     probed lists are never read, and raw vectors are never touched."""
-    cb = coarse_books(embeddings, id_col)
-    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
+    q = _persist_tracked(_quantized(embeddings, id_col))
+    cb = coarse_books(embeddings, id_col, q=q)
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col, q=q))
     pb = residual_books(resid)
     codes, _ = _encode_resid(resid, pb)
-    q = _quantized(embeddings, id_col)
     qvec = q.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )
@@ -393,11 +410,11 @@ def ivfpq_adc_batch(
     batches, so per-batch work stays ∝ corpus × nprobe/KC regardless
     of corpus size (vs the inherently quadratic "all vectors query
     all lists")."""
-    cb = coarse_books(embeddings, id_col)
-    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
+    q = _persist_tracked(_quantized(embeddings, id_col))
+    cb = coarse_books(embeddings, id_col, q=q)
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col, q=q))
     pb = residual_books(resid)
     codes, _ = _encode_resid(resid, pb)
-    q = _quantized(embeddings, id_col)
     qset = (
         q.select(
             "vec_id",

@@ -222,9 +222,14 @@ def trained_books(
     count+max fingerprint) is removed per VERDICT r15 task #2; the
     r16 literal-argmin Lloyd steps (no corpus shuffles) are what pay
     for the honest refit."""
-    q = _quantized(embeddings, id_col)
-    cb = lloyd_refine_coarse(q, coarse_books(embeddings, id_col))
-    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col))
+    # ONE scan+quantize pass per call: the quantized corpus feeds the
+    # seed pick, every coarse Lloyd step's aggregate, AND the final
+    # assignment (r16 — formerly the seed, each of the COARSE_ITERS
+    # step jobs, and coarse_assign each re-ran the parquet scan +
+    # quantize transform)
+    q = _persist_tracked(_quantized(embeddings, id_col))
+    cb = lloyd_refine_coarse(q, coarse_books(embeddings, id_col, q=q))
+    resid = _persist_tracked(coarse_assign(embeddings, cb, id_col, q=q))
     pb = lloyd_refine_sub(resid, residual_books(resid))
     return cb, pb, resid
 

@@ -445,7 +445,12 @@ def _trajectory(
     entry: DataFrame | None = None,
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _quantized(emb)
+    # every hop's scored() join fetches candidate vectors from the
+    # corpus: materialize the quantized corpus ONCE per call (lazy
+    # localCheckpoint) so the _HOPS+1 hop jobs read cached rows
+    # instead of re-running the parquet scan + quantize transform
+    # twice per hop (r16, guide §5)
+    q = _quantized(emb).localCheckpoint(eager=False)
     qs = q.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
     )

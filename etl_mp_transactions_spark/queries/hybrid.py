@@ -326,7 +326,10 @@ def _topk_per_query(
 
 
 def _lex_arm(
-    spark: SparkSession, sf_dir: str, qids: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    qids: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Lexical arm. ``qids`` (a 1-column ``doc_id`` frame) overrides
     the default 0..NQ-1 query batch — the streaming twin serves each
@@ -334,15 +337,29 @@ def _lex_arm(
     per-query results are batch-independent by construction (df is
     per-term, corpus stats are global). Computes fresh from parquet
     on every call — the r15 cross-query _ARM_MEMO is removed per
-    VERDICT r15 task #2."""
-    return _lex_arm_build(spark, sf_dir, qids)
+    VERDICT r15 task #2. ``toks`` optionally supplies the tokenized
+    corpus (doc_id, l) — the streaming twin materializes it once per
+    RUN (within one declared query) and serves every micro-batch from
+    it instead of re-tokenizing the corpus per batch."""
+    return _lex_arm_build(spark, sf_dir, qids, toks=toks)
 
 
 def _lex_arm_build(
-    spark: SparkSession, sf_dir: str, qids: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    qids: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens_expr().alias("l"))
+    if toks is None:
+        # the tokenized corpus feeds dl, qtoks AND tf — and the
+        # broadcast subtrees (corpus stats, qterms, dfq) each run as
+        # their own job, so without a cut the scan+tokenize re-executes
+        # 4-5x per arm build. One lazy localCheckpoint per call (r16,
+        # guide §5; the curation discipline — nothing crosses calls).
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", _tokens_expr().alias("l")
+        ).localCheckpoint(eager=False)
     dl = toks.select("doc_id", F.size("l").cast("long").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -415,19 +432,33 @@ def _quantized(emb: DataFrame) -> DataFrame:
 
 
 def _sem_arm(
-    spark: SparkSession, sf_dir: str, qset: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    qset: DataFrame | None = None,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic arm. ``qset`` (query_id, qqv quantized vector)
     overrides the default batch — the streaming twin passes the
     ARRIVING vectors, quantized per micro-batch. Computes fresh from
-    parquet on every call (no cross-query memo — _lex_arm)."""
-    return _sem_arm_build(spark, sf_dir, qset)
+    parquet on every call (no cross-query memo — _lex_arm). ``qv``
+    optionally supplies the quantized corpus (vec_id, qv), same
+    once-per-RUN contract as _lex_arm's ``toks``."""
+    return _sem_arm_build(spark, sf_dir, qset, qv=qv)
 
 
 def _sem_arm_build(
-    spark: SparkSession, sf_dir: str, qset: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    qset: DataFrame | None = None,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
-    qv = _quantized(load_table(spark, sf_dir, "embeddings"))
+    if qv is None:
+        # referenced by both the broadcast query-side subtree and the
+        # corpus scan side — one lazy localCheckpoint per call keeps
+        # the scan+quantize single-pass (same discipline as toks)
+        qv = _quantized(
+            load_table(spark, sf_dir, "embeddings")
+        ).localCheckpoint(eager=False)
     qs = (
         qset
         if qset is not None
@@ -466,11 +497,13 @@ def _fused(
     sf_dir: str,
     qids: DataFrame | None = None,
     qset: DataFrame | None = None,
+    toks: DataFrame | None = None,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
-    lex = _lex_arm(spark, sf_dir, qids).select(
+    lex = _lex_arm(spark, sf_dir, qids, toks=toks).select(
         "query_id", "doc_id", "r_lex"
     )
-    sem = _sem_arm(spark, sf_dir, qset).select(
+    sem = _sem_arm(spark, sf_dir, qset, qv=qv).select(
         "query_id", "doc_id", "r_sem"
     )
     fusedall = (

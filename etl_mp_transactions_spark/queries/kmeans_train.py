@@ -144,7 +144,10 @@ def kmeans_train_trajectory(spark, sf_dir):
     The former shape re-ran one full argmin pass per trajectory row
     on top of the training's own passes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _quantized(emb, "vec_id")
+    # one scan+quantize per call: the seed TakeOrdered and every
+    # Lloyd-step aggregate read the materialized quantized corpus
+    # (lazy localCheckpoint) instead of re-scanning parquet per job
+    q = _quantized(emb, "vec_id").localCheckpoint(eager=False)
     _seq, inertias = _train_books(q)
     final_books = _seq[-1]
     rows = [
@@ -299,7 +302,10 @@ def kmeans_train_assign(spark, sf_dir):
     kmeans_lloyd_step pins one iteration; this pins the trained
     endpoint."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _quantized(emb, "vec_id")
+    # one scan+quantize per call: the seed TakeOrdered and every
+    # Lloyd-step aggregate read the materialized quantized corpus
+    # (lazy localCheckpoint) instead of re-scanning parquet per job
+    q = _quantized(emb, "vec_id").localCheckpoint(eager=False)
     books = _train_books(q)[0][-1]
     # literal-books argmin: map-only projection, no crossJoin row
     # blowup and no corpus groupBy(vec_id) shuffle (r16, guide §2.4);

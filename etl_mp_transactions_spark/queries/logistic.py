@@ -344,51 +344,49 @@ def newton_steps(spark, rows, n_steps: int = N_STEPS) -> list:
     """All ``n_steps`` per-step frames (b0, b1, g0, g1, h00, h01,
     h11), in step order — the instrumentation surface (VERDICT r12
     task #1: the trajectory debug queries read every step, not just
-    the last). Grouped once, then per-step tiny broadcast joins
-    (module docstring); state between steps is localCheckpointed:
-    two integers, the documented parameter-bounded pattern."""
-    sig = sig_spark_df(spark)
-    rows_g = rows.groupBy("x", "y").agg(
-        F.count("*").cast("bigint").alias("n")
-    ).localCheckpoint(eager=True)
-    params = spark.range(1).select(
-        F.lit(0).cast("bigint").alias("b0"),
-        F.lit(0).cast("bigint").alias("b1"),
-    )
-    h = _h_sql(pn="pn", div="div")
-    guard = _sum_guard_sql(
-        f"CAST(assert_true(false, {_GUARD_MSG}) AS BIGINT)"
-    )
+    the last).
+
+    r16 pass structure (guide §1.2; the pca/kmeans driver-fold
+    pattern): ONE grouped collect of the (x, y, n) multiset — bounded
+    by the integer-band feature domain (≤ ~64 x-values · 2 y-values),
+    the documented parameter-bounded class — then the whole
+    trajectory replays EXACTLY in Python ints: the grid lookup is
+    ``sig_pn_py`` (same 401 literals), every contribution is the same
+    BIGINT arithmetic (Python int ≡ exact), and the solve is
+    ``cramer_update_i64_py`` — the twin tests/test_cramer_exact.py
+    pins equal to BOTH engines' staged chains. The former shape ran
+    one eager-checkpoint job per step (broadcast sig join + reduce);
+    this runs zero — steps return as literal frames."""
+    rows_g = [
+        (int(r["x"]), int(r["y"]), int(r["n"]))
+        for r in rows.groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    ]
+    b0 = b1 = 0
     steps: list = []
     for _ in range(n_steps):
-        zd = F.expr(_zd_sql("b0", "b1", x="x", div="div"))
-        j = (
-            rows_g.crossJoin(F.broadcast(params))
-            .withColumn("zd", zd)
-            .join(F.broadcast(sig), "zd")
+        g0 = g1 = h00 = h01 = h11 = 0
+        for x, y, n in rows_g:
+            pn = sig_pn_py(b0 + b1 * x)
+            g = n * (y * NANO - pn)
+            h = n * ((pn * (NANO - pn) + NANO // 2) // NANO)
+            g0 += g
+            g1 += g * x
+            h00 += h
+            h01 += h * x
+            h11 += h * x * x
+        if max(abs(g0), abs(g1), abs(h00), abs(h01), abs(h11)) >= SUM_GUARD:
+            # same loud headroom failure as the in-engine guard
+            raise ArithmeticError(_GUARD_MSG.strip("'"))
+        b0, b1 = cramer_update_i64_py(b0, b1, g0, g1, h00, h01, h11)
+        steps.append(
+            spark.createDataFrame(
+                [(b0, b1, g0, g1, h00, h01, h11)],
+                "b0 bigint, b1 bigint, g0 bigint, g1 bigint,"
+                " h00 bigint, h01 bigint, h11 bigint",
+            )
         )
-        sums = j.agg(
-            F.expr(f"sum(n * (y * {NANO} - pn))").alias("g0"),
-            F.expr(f"sum(n * (y * {NANO} - pn) * x)").alias("g1"),
-            F.expr(f"sum(n * {h})").alias("h00"),
-            F.expr(f"sum(n * {h} * x)").alias("h01"),
-            F.expr(f"sum(n * {h} * x * x)").alias("h11"),
-        )
-        stages = cramer_i64_stages("div")
-        cur = sums.crossJoin(F.broadcast(params)).selectExpr(
-            "b0 AS pb0",
-            "b1 AS pb1",
-            f"g0 + {guard} AS g0",
-            "g1",
-            "h00",
-            "h01",
-            "h11",
-        )
-        for st in stages[:-1]:
-            cur = cur.selectExpr("*", *st)
-        step = cur.selectExpr(*stages[-1]).localCheckpoint(eager=True)
-        params = step.select("b0", "b1")
-        steps.append(step)
     return steps
 
 

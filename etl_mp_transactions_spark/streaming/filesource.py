@@ -1009,12 +1009,32 @@ def stream_hybrid_serving_run(
     already-served skip (anti-join on query_id against every result
     partition except this batch's own)."""
     from etl_mp_transactions_spark.operators.pq import _quantized
-    from etl_mp_transactions_spark.queries.hybrid import _fused
+    from etl_mp_transactions_spark.queries.hybrid import (
+        _fused,
+        _tokens_expr,
+    )
+    from etl_mp_transactions_spark.sources.tables import load_table
 
     out_schema = (
         "query_id long, doc_id long, r_lex long, r_sem long,"
         " rrf_nano long, fused_rank long"
     )
+
+    # Corpus-side state is FROZEN across the stream: tokenize the
+    # document corpus and quantize the embedding corpus ONCE per run
+    # (lazy localCheckpoint — materialized by the first micro-batch,
+    # served to the rest) instead of re-running both corpus scans in
+    # every micro-batch. Within-one-declared-query reuse only; the
+    # arriving-query work (qterms, tf band, d2 scan, fusion) stays
+    # fully per-batch.
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens_expr().alias("l"))
+        .localCheckpoint(eager=False)
+    )
+    corpus_qv = _quantized(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).localCheckpoint(eager=False)
 
     def _served_except(batch_id: int) -> DataFrame:
         dirs = [
@@ -1037,7 +1057,9 @@ def stream_hybrid_serving_run(
             _served_except(batch_id), "query_id", "left_anti"
         )
         qids = fresh.select(F.col("query_id").alias("doc_id"))
-        _fused(spark, sf_dir, qids=qids, qset=fresh).select(
+        _fused(
+            spark, sf_dir, qids=qids, qset=fresh, toks=toks, qv=corpus_qv
+        ).select(
             "query_id", "doc_id", "r_lex", "r_sem", "rrf_nano",
             "fused_rank",
         ).write.mode("overwrite").parquet(
