@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 
 from etl_mp_transactions_spark.operators import multimodal
 from etl_mp_transactions_spark.streaming import filesource
+from etl_mp_transactions_spark.streaming.filesource import (
+    scaled_state_partitions as _scaled_parts,
+)
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
 from etl_mp_transactions_spark.workdirs import run_dir
@@ -598,15 +601,16 @@ def r12_stream_static_enrich(spark, sf_dir):
         )
     )
     table = f"r12_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_parts(spark, stage):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table)
 
 
@@ -643,20 +647,25 @@ def r13_stream_custom_state(spark, sf_dir):
         running_user_totals_cents,
     )
 
+    from etl_mp_transactions_spark.streaming.filesource import (
+        scaled_state_partitions,
+    )
+
     work = run_dir("stream_custom_state")
     stage = staged_events_cached(spark, sf_dir, n_files=4)
     stream = stream_files_available_now(spark, stage, schema=_events_schema())
     out = running_user_totals_cents(stream)
     table = f"r13_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scaled_state_partitions(spark, stage):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emissions = spark.table(table)
     rn = F.row_number().over(
         W.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -754,15 +763,16 @@ def r14_stream_late_drop(spark, sf_dir):
         )
     )
     table = f"r14_late_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_parts(spark, stage):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emissions = spark.table(table)
     rn = F.row_number().over(
         W.partitionBy("day", "event_type").orderBy(F.desc("n"))
@@ -838,16 +848,17 @@ def r15_kappa_backfill_union(spark, sf_dir):
     )
     work = run_dir("kappa_backfill")
     table = f"r15_tail_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg(tail_stream)
-        .writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_parts(spark, tail_dir):
+        q = (
+            agg(tail_stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     tail = spark.table(table)
     return (
         history.unionAll(tail)

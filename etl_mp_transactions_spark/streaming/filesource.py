@@ -65,6 +65,69 @@ def run_available_now_to_parquet(
     return df.sparkSession.read.parquet(out_dir)
 
 
+def stream_state_partitions(
+    src_dir: str, target_bytes: int | None = None
+) -> int:
+    """Scale-adaptive state-partition count for a stateful stream
+    over a staged file source: ceil(staged bytes / target), floor 8.
+
+    A stateful streaming query's state partitioning is FIXED at
+    ``spark.sql.shuffle.partitions`` when the query first starts and
+    AQE cannot coalesce it (AQE is disabled for stateful workloads),
+    so inheriting the session's batch default (2·cores at the bench)
+    pays the per-partition per-operator store open/commit fixed cost
+    regardless of data size — measured on the sf0.1 funnel join:
+    64 partitions = 14.5s (4.7s for the EMPTY finalization batch),
+    8 partitions = 6.1s, identical output. Deriving the count from
+    the staged input size (guide §2.2 "fewer, larger partitions",
+    made scale-adaptive) keeps the local bench honest and grows the
+    partition count linearly with the corpus; the per-partition
+    target is env-tunable (SPARK_GRAFT_STREAM_PART_BYTES, default
+    64 MiB — at cluster scale raise toward 128-512 MiB so state
+    stores stay few and fat)."""
+    import math
+
+    if target_bytes is None:
+        target_bytes = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_PART_BYTES", str(64 * 1024 * 1024)
+            )
+        )
+    total = 0
+    for root, _, fs in os.walk(src_dir):
+        for f in fs:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return max(8, math.ceil(total / target_bytes))
+
+
+class scaled_state_partitions:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to the
+    scale-adaptive count for the duration of one stream start+await,
+    then restore the session value. Streaming reads the conf at query
+    start; batch queries in the same session are unaffected because
+    every runner here blocks until its stream terminates."""
+
+    def __init__(self, spark: SparkSession, src_dir: str):
+        self._spark = spark
+        self._src_dir = src_dir
+        self._old: str | None = None
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stream_state_partitions(self._src_dir)),
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def stream_dedup_run(
     spark: SparkSession,
     src_dir: str,
@@ -91,7 +154,8 @@ def stream_dedup_run(
         )
     else:
         deduped = stream.dropDuplicates([key])
-    return run_available_now_to_parquet(deduped, checkpoint_dir, out_dir)
+    with scaled_state_partitions(spark, src_dir):
+        return run_available_now_to_parquet(deduped, checkpoint_dir, out_dir)
 
 
 def stream_windowed_counts_run(
@@ -132,15 +196,16 @@ def stream_windowed_counts_run(
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(out_table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scaled_state_partitions(spark, src_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(out_table)
 
 
@@ -178,15 +243,16 @@ def stream_sliding_counts_run(
             "total_value",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(out_table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scaled_state_partitions(spark, src_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(out_table)
 
 
@@ -222,15 +288,16 @@ def stream_session_counts_run(
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(out_table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scaled_state_partitions(spark, src_dir):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(out_table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(out_table)
 
 

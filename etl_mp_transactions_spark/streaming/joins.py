@@ -56,12 +56,18 @@ def run_funnel_stream(
     splits into click/purchase substreams joined on event time."""
     from etl_mp_transactions_spark.streaming.filesource import (
         run_available_now_to_parquet,
+        scaled_state_partitions,
         stream_files_available_now,
     )
 
     stream = stream_files_available_now(spark, src_dir, schema=schema)
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase")
-    return run_available_now_to_parquet(
-        funnel_join(clicks, purchases), checkpoint_dir, out_dir
-    )
+    # the interval join keeps 4 state stores per partition; size the
+    # state partitioning from the staged input, not the batch default
+    # (filesource.stream_state_partitions — measured 14.5s -> 6.1s at
+    # sf0.1 with identical output)
+    with scaled_state_partitions(spark, src_dir):
+        return run_available_now_to_parquet(
+            funnel_join(clicks, purchases), checkpoint_dir, out_dir
+        )
