@@ -257,10 +257,14 @@ def minhash_lsh_pairs(
     # the groupBy subtree across those branches: without a cut the
     # tokenize->md5->min-agg chain (and the upstream scan) re-executes
     # per reference. localCheckpoint materializes the K+2-column
-    # signature rows once per CALL (eager, inside the timed region —
-    # nothing survives across invocations); at 100 TB this is the
-    # guide-§8 "lightweight proxy" table (~150 B/doc, no text).
-    sigk = sigk.localCheckpoint(eager=True)
+    # signature rows once per CALL (inside the timed region — nothing
+    # survives across invocations); LAZY since r16 (first consumer
+    # job materializes it; saves the blocking materialization job,
+    # A-B-A neutral at sf0.1). At 100 TB this is the guide-§8
+    # "lightweight proxy" table (~150 B/doc, no text); on a real
+    # cluster prefer a reliable checkpoint dir over executor-local
+    # blocks.
+    sigk = sigk.localCheckpoint(eager=False)
     members = sigk.select("sk", F.col(id_col))
     uniq = sigk.dropDuplicates(["sk"])
 
