@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from etl_mp_transactions_spark.functions.literalframe import literal_frame
 
 
 def triangle_count(und: DataFrame) -> DataFrame:
@@ -89,7 +90,9 @@ def bfs_distances(
     visited set; state is one row per reached node. Edges should be
     checkpointed by the caller if the loop is long. Returns
     (node: string, dist: long)."""
-    reached = spark.createDataFrame([(source, 0)], "node string, dist int")
+    reached = literal_frame(
+        spark, [(source, 0)], "node string, dist int"
+    )
     frontier = reached
     for k in range(1, max_depth + 1):
         expanded = (

@@ -66,6 +66,7 @@ from etl_mp_transactions_spark.operators.pq import (
     _quantized,
     _sub_d2,
 )
+from etl_mp_transactions_spark.functions.literalframe import literal_frame
 
 IVFPQ_KC = 8  # coarse centroids (inverted lists)
 IVFPQ_NPROBE = 2  # lists scanned per query
@@ -148,7 +149,8 @@ def coarse_books(
     )
     rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(c, list(r["qv"])) for c, r in enumerate(rows)],
         "c int, ccqv array<bigint>",
     )
@@ -253,7 +255,8 @@ def residual_books(resid: DataFrame) -> DataFrame:
     )
     rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
     spark = resid.sparkSession
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(k, list(r["rqv"])) for k, r in enumerate(rows)],
         "k int, pcqv array<bigint>",
     )

@@ -64,6 +64,7 @@ from etl_mp_transactions_spark.operators.pq import (
     _quantized,
     _sub_d2_lit,
 )
+from etl_mp_transactions_spark.functions.literalframe import literal_frame
 
 COARSE_ITERS = 2  # Lloyd steps on the coarse quantizer
 SUB_ITERS = 2  # Lloyd steps per PQ subspace
@@ -87,8 +88,8 @@ def _freeze(books: DataFrame, schema: str) -> DataFrame:
     K literal rows instead of replaying training passes."""
     rows = books.collect()
     rows.sort(key=lambda r: r[0])
-    return books.sparkSession.createDataFrame(
-        [(r[0], list(r[1])) for r in rows], schema
+    return literal_frame(
+        books.sparkSession, [(r[0], list(r[1])) for r in rows], schema
     )
 
 
@@ -146,8 +147,8 @@ def lloyd_refine_coarse(
             )
             for c, ckv in enumerate(rows)
         ]
-    return q.sparkSession.createDataFrame(
-        list(enumerate(rows)), "c int, ccqv array<bigint>"
+    return literal_frame(
+        q.sparkSession, list(enumerate(rows)), "c int, ccqv array<bigint>"
     )
 
 
@@ -205,8 +206,8 @@ def lloyd_refine_sub(
                     )
             new_rows.append(out)
         rows = new_rows
-    return resid.sparkSession.createDataFrame(
-        list(enumerate(rows)), "k int, pcqv array<bigint>"
+    return literal_frame(
+        resid.sparkSession, list(enumerate(rows)), "k int, pcqv array<bigint>"
     )
 
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from etl_mp_transactions_spark.functions.literalframe import literal_frame
 
 PQ_M = 8  # subspaces
 PQ_KS = 16  # codewords per subspace (4-bit codes)
@@ -77,7 +78,8 @@ def pq_codebooks(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
     seed_rows.sort(key=lambda r: (r["sk"], r["vec_id"]))
     spark = embeddings.sparkSession
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(k, list(r["qv"])) for k, r in enumerate(seed_rows)],
         "k int, cqv array<bigint>",
     )

@@ -150,25 +150,29 @@ def kmeans_train_trajectory(spark, sf_dir):
     q = _quantized(emb, "vec_id").localCheckpoint(eager=False)
     _seq, inertias = _train_books(q)
     final_books = _seq[-1]
-    rows = [
-        spark.createDataFrame(
-            [(t, v)], "step bigint, inertia bigint"
-        )
-        for t, v in enumerate(inertias, start=1)
-    ]
+    from etl_mp_transactions_spark.functions.literalframe import (
+        literal_frame,
+    )
+
+    # one JVM-literal frame of the training-step inertias (not one
+    # pickled-row frame per step) unioned with the single computed
+    # final-assignment aggregate
+    train_rows = literal_frame(
+        spark,
+        list(enumerate(inertias, start=1)),
+        "step bigint, inertia bigint",
+    )
     d2 = _argmin_struct(final_books)["d2"]
-    rows.append(
+    final_row = (
         q.select(d2.alias("d2"))
         .agg(F.sum("d2").cast("bigint").alias("inertia"))
         .select(
             F.lit(KM_ITERS + 1).cast("bigint").alias("step"), "inertia"
         )
     )
-    from functools import reduce
+    from pyspark.sql import Window
 
-    from pyspark.sql import DataFrame, Window
-
-    traj = reduce(DataFrame.unionAll, rows)
+    traj = train_rows.unionAll(final_row)
     w = Window.orderBy("step")
     return traj.select(
         "step",

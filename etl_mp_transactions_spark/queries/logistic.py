@@ -74,6 +74,7 @@ from etl_mp_transactions_spark.functions.i128 import (
 )
 from etl_mp_transactions_spark.registry import query
 from etl_mp_transactions_spark.sources.tables import load_table
+from etl_mp_transactions_spark.functions.literalframe import literal_frame
 
 N_STEPS = 3
 # loud headroom guard (ADVICE r13): the i64 solve is exact for ALL
@@ -316,7 +317,7 @@ def _score_sql(prev: str, x: str) -> tuple[str, str]:
 def sig_spark_df(spark):
     """The 401-row literal grid as a DataFrame (broadcast at every
     use site — parameter-bounded by construction)."""
-    return spark.createDataFrame(SIG_TABLE, "zd BIGINT, pn BIGINT")
+    return literal_frame(spark, SIG_TABLE, "zd BIGINT, pn BIGINT")
 
 
 def rows_grouped(rows):
@@ -381,7 +382,8 @@ def newton_steps(spark, rows, n_steps: int = N_STEPS) -> list:
             raise ArithmeticError(_GUARD_MSG.strip("'"))
         b0, b1 = cramer_update_i64_py(b0, b1, g0, g1, h00, h01, h11)
         steps.append(
-            spark.createDataFrame(
+            literal_frame(
+                spark,
                 [(b0, b1, g0, g1, h00, h01, h11)],
                 "b0 bigint, b1 bigint, g0 bigint, g1 bigint,"
                 " h00 bigint, h01 bigint, h11 bigint",
@@ -501,8 +503,8 @@ def _probe_oracle(stages, cases) -> str:
 
 
 def _probe_spark(spark, stages, cases):
-    cur = spark.createDataFrame(
-        [(i, *r) for i, r in enumerate(cases)], _PROBE_SCHEMA
+    cur = literal_frame(
+        spark, [(i, *r) for i, r in enumerate(cases)], _PROBE_SCHEMA
     )
     for st in stages[:-1]:
         cur = cur.selectExpr("*", *st)
@@ -582,8 +584,8 @@ def sigmoid_grid_probe(spark, sf_dir):
     other arithmetic stage of the Newton chain, attested at the
     driver with zero data dependence. The python twin is
     ``sig_pn_py``; tests pin all three engines on these literals."""
-    z = spark.createDataFrame(
-        list(enumerate(Z_PROBES)), "rid BIGINT, z_nano BIGINT"
+    z = literal_frame(
+        spark, list(enumerate(Z_PROBES)), "rid BIGINT, z_nano BIGINT"
     )
     zd = F.expr(_zd_sql("z_nano", "0", x="0", div="div"))
     return (
