@@ -469,18 +469,28 @@ def hard_negatives_banded(
     """
     if n_bits is None:
         n_bits = adaptive_band_bits(embeddings.count())
-    base = embeddings.select(
+    # r16 shape: ONE shuffle of the n x n_bands band rows by
+    # (band, bucket), then a per-bucket numpy kernel — the graphann
+    # _knn_cell_kernel discipline. The former shape shuffled BOTH
+    # sides of a band self-join (qv payload riding each) plus a
+    # bucket-cap window, then evaluated ~n_bands·cap interpreted
+    # 64-element zip_with dots per anchor (measured as most of the
+    # query's wall). Exactness: |qv| ≤ 2.4e6 < 2^31 (int32 Arrow
+    # payload, the _q32 halving); per-element products ≤ 5.76e12 and
+    # 64-term sums ≤ 3.7e14 < 2^53, so the float64 matmul is exact
+    # integer arithmetic. The bucket cap and the (qdot desc,
+    # negative_id asc) tiebreak replicate bit-for-bit: columns are
+    # vec_id-sorted, so np.argmax's first-max IS the min-id tiebreak,
+    # and the cap keeps the first MINE_BUCKET_CAP ids.
+    import numpy as np
+    import pandas as pd
+
+    bands = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
-        "embedding",
         F.expr(
-            "transform(embedding, x -> cast(round(x * 1e6) as bigint))"
+            "transform(embedding, x -> cast(round(x * 1e6) as int))"
         ).alias("qv"),
-    )
-    bands = base.select(
-        "vec_id",
-        "label",
-        "qv",
         F.posexplode(
             F.array(
                 *[
@@ -490,46 +500,58 @@ def hard_negatives_banded(
             )
         ).alias("b", "bkey"),
     )
-    wcap = Window.partitionBy("b", "bkey").orderBy("vec_id")
-    neg_bands = (
-        bands.withColumn("_p", F.row_number().over(wcap))
-        .filter(F.col("_p") <= MINE_BUCKET_CAP)
-        .drop("_p")
+
+    def _mine_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        neg = pdf.iloc[:MINE_BUCKET_CAP]
+        Vn = np.stack(neg["qv"].to_numpy()).astype(np.float64)
+        nid = neg["vec_id"].to_numpy()
+        nlab = neg["label"].to_numpy()
+        out = []
+        # anchor-side chunks bound kernel memory to chunk x cap
+        for lo in range(0, len(pdf), 8192):
+            a = pdf.iloc[lo : lo + 8192]
+            Va = np.stack(a["qv"].to_numpy()).astype(np.float64)
+            D = Va @ Vn.T
+            mask = a["label"].to_numpy()[:, None] != nlab[None, :]
+            valid = mask.any(axis=1)
+            if not valid.any():
+                continue
+            D = np.where(mask, D, -np.inf)
+            j = np.argmax(D, axis=1)  # first max = min vec_id tiebreak
+            sel = a.iloc[valid.nonzero()[0]]
+            jj = j[valid]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "anchor_id": sel["vec_id"].to_numpy(),
+                        "anchor_label": sel["label"].to_numpy(),
+                        "qdot": D[valid, jj].astype(np.int64),
+                        "negative_id": nid[jj],
+                        "negative_label": nlab[jj],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "anchor_id": np.array([], dtype=np.int64),
+                    "anchor_label": np.array([], dtype=np.int32),
+                    "qdot": np.array([], dtype=np.int64),
+                    "negative_id": np.array([], dtype=np.int64),
+                    "negative_label": np.array([], dtype=np.int32),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = bands.groupBy("b", "bkey").applyInPandas(
+        _mine_bucket,
+        "anchor_id long, anchor_label int, qdot long,"
+        " negative_id long, negative_label int",
     )
-    qdot = F.expr(
-        "aggregate(zip_with(aqv, nqv, (a, b) -> a * b),"
-        " cast(0 as bigint), (acc, x) -> acc + x)"
-    )
-    scored = (
-        bands.select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("label").alias("anchor_label"),
-            F.col("qv").alias("aqv"),
-            "b",
-            "bkey",
-        )
-        .join(
-            neg_bands.select(
-                F.col("vec_id").alias("negative_id"),
-                F.col("label").alias("negative_label"),
-                F.col("qv").alias("nqv"),
-                "b",
-                "bkey",
-            ),
-            ["b", "bkey"],
-        )
-        .filter(F.col("anchor_label") != F.col("negative_label"))
-        .select(
-            "anchor_id",
-            "anchor_label",
-            qdot.alias("qdot"),
-            "negative_id",
-            "negative_label",
-        )
-    )
-    # argmax via struct-max: qdot desc, then min negative_id (the
-    # negated id makes struct order = the tiebreak); map-side combine
-    # keeps the candidate volume inside tasks
+    # per-bucket winners -> global argmax via struct-max: qdot desc,
+    # then min negative_id (the negated id makes struct order = the
+    # tiebreak); map-side combine keeps candidate volume inside tasks
     best = scored.groupBy("anchor_id", "anchor_label").agg(
         F.max(
             F.struct(

@@ -957,6 +957,12 @@ def stream_rerank_serving_run(
 
     out_schema = "query_id long, vec_id long, exact_d2 long, rank long"
 
+    # the exact-rerank side is FROZEN across the stream: materialize
+    # the quantized corpus once per run (lazy localCheckpoint — first
+    # micro-batch pays it, the rest read it) instead of re-running the
+    # parquet scan + quantize per batch (the r23 corpus-side pattern)
+    vectors = vectors.localCheckpoint(eager=False)
+
     def _served_except(batch_id: int) -> DataFrame:
         dirs = [
             os.path.join(out_dir, d)
