@@ -802,6 +802,8 @@ def ivf_knn_topk(
     deg: int = _DEG,
     nprobe: int = _GANN_NPROBE,
     assign: str = "hier",
+    q_probes: DataFrame | None = None,
+    m_probes: DataFrame | None = None,
 ) -> DataFrame:
     """(src, dst, d2): per query node, exact top-``deg`` among the
     corpus members (by primary assignment) of its ``nprobe`` probed
@@ -823,23 +825,55 @@ def ivf_knn_topk(
     scale the corpus-proportional graph belongs in spill-safe
     replicated storage (reliable checkpoint dir) rather than
     executor-local blocks; local[*] has no executor loss, so the
-    cheaper localCheckpoint is used here."""
+    cheaper localCheckpoint is used here.
+
+    ``q_probes`` / ``m_probes`` accept an already-computed
+    ``_probes_df(emb, books, nprobe)`` frame for the matching side
+    (WITHIN one declared query/run — the streaming graph-maintenance
+    runners assign the frozen base/corpus slice once per RUN instead
+    of twice per micro-batch). The per-row assignment kernel is
+    deterministic, so a filtered/unioned precomputed frame is
+    row-identical to recomputing on the filtered/unioned input; the
+    primary assignment is the ``pr == 1`` slice of the nprobe frame
+    exactly as in the self-build branch."""
     probes = _probes_df if assign == "hier" else _probes_df_flat
-    if queries_emb is corpus_emb:
+    if queries_emb is corpus_emb and m_probes is None:
         # self-build: ONE assignment pass serves both sides (probe
         # rank 1 IS the primary assignment) — the n-row probes frame
         # is cut so the cogroup's two inputs don't recompute it
-        p = probes(queries_emb, books, nprobe).localCheckpoint()
+        p = (
+            q_probes
+            if q_probes is not None
+            else probes(queries_emb, books, nprobe).localCheckpoint()
+        )
         qf = p.select("vec_id", "c", "qv")
         mf = p.filter(F.col("pr") == 1).select(
             F.col("vec_id").alias("nid"), "c", F.col("qv").alias("nqv")
         )
     else:
-        qf = probes(queries_emb, books, nprobe).select(
-            "vec_id", "c", "qv"
+        qp = (
+            q_probes
+            if q_probes is not None
+            else probes(queries_emb, books, nprobe)
         )
-        mf = probes(corpus_emb, books, 1).select(
-            F.col("vec_id").alias("nid"), "c", F.col("qv").alias("nqv")
+        # alias every column: precomputed probe frames may share
+        # lineage across the two cogroup sides (filtered/unioned
+        # views of one per-run assignment), and fresh exprIds keep
+        # the grouping column unambiguous
+        qf = qp.select(
+            F.col("vec_id").alias("vec_id"),
+            F.col("c").alias("c"),
+            F.col("qv").alias("qv"),
+        )
+        mp = (
+            m_probes.filter(F.col("pr") == 1)
+            if m_probes is not None
+            else probes(corpus_emb, books, 1)
+        )
+        mf = mp.select(
+            F.col("vec_id").alias("nid"),
+            F.col("c").alias("c"),
+            F.col("qv").alias("nqv"),
         )
     cand = (
         qf.groupBy("c")
