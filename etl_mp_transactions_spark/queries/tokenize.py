@@ -238,15 +238,25 @@ def bpe_learn_vocab(spark, sf_dir):
         ),
     )
 
-    def cut(df):
-        out = spark.createDataFrame(
-            df.rdd, "word string, n_occurrences bigint, syms array<string>"
-        ).persist()
-        out.count()
-        return out
+    # r16 optimization (guide §4/§5): each learning round cut the
+    # re-segmented vocabulary with a Python-RDD roundtrip
+    # (createDataFrame(df.rdd) + persist + count — a JVM→Python→JVM
+    # crossing per round) and kept the round's winner as a PLAN, so
+    # the final union re-ran every round's pair aggregation a second
+    # time at collection. The merge recurrence is inherently
+    # sequential (round k's counts depend on round k-1's merge), so
+    # the rounds stay; the plumbing is now: lineage cut with an
+    # in-JVM localCheckpoint, the single winner row collected once
+    # per round (bounded: ONE row — the quality-Newton bounded-
+    # collect discipline) and replayed as literals, and the output
+    # assembled as a literal frame — same rows, same schema, half
+    # the per-round jobs and zero Python crossings.
+    from etl_mp_transactions_spark.functions.literalframe import (
+        literal_frame,
+    )
 
-    m = cut(m)
-    winners = []
+    m = m.localCheckpoint(eager=True)
+    won = []
     for k in range(1, N_LEARN + 1):
         pairs = (
             m.select(
@@ -265,24 +275,25 @@ def bpe_learn_vocab(spark, sf_dir):
             .groupBy(F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"))
             .agg(F.sum("n_occurrences").cast("bigint").alias("support"))
         )
-        w = (
+        row = (
             pairs.orderBy(F.desc("support"), "lhs", "rhs")
             .limit(1)
-            .select(
-                F.lit(k).cast("bigint").alias("rank"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                "support",
-            )
+            .collect()
+        )[0]
+        won.append(
+            (k, row["lhs"], row["rhs"], row["lhs"] + row["rhs"],
+             row["support"])
         )
-        winners.append(w)
-        m = cut(
-            m.crossJoin(F.broadcast(w.select("lhs", "rhs")))
+        m = (
+            m.withColumn("lhs", F.lit(row["lhs"]))
+            .withColumn("rhs", F.lit(row["rhs"]))
             .withColumn("syms", F.expr(_LEARN_APPLY))
             .select("word", "n_occurrences", "syms")
+            .localCheckpoint(eager=True)
         )
-    out = winners[0]
-    for w in winners[1:]:
-        out = out.unionAll(w)
-    return out.orderBy("rank")
+    return literal_frame(
+        spark,
+        won,
+        "rank bigint, lhs string, rhs string, merged string,"
+        " support bigint",
+    ).orderBy("rank")

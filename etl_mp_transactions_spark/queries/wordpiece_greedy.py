@@ -167,50 +167,42 @@ def wordpiece_greedy_segment(spark, sf_dir):
         .unionAll(pieces.filter(F.col("st") > 1).join(vcont, "piece"))
         .select("word", "st", "len", "piece")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-
-    def cut(df: DataFrame) -> DataFrame:
-        out = spark.createDataFrame(df.rdd, _GSTATE_SCHEMA).persist()
-        out.count()
-        return out
-
-    wlen = wcnt.select("word", F.length("word").alias("wl"))
-    g = cut(
-        wcnt.select(
-            "word", F.lit(0).alias("pos"), F.lit("").alias("path")
-        )
+    # r16 optimization (guide §1.2/§4, the r15 viterbi fold applied
+    # to the greedy loop): the previous shape unrolled MAX_WORD_LEN
+    # rounds of (hash join + per-word longest-match window), each cut
+    # with a Python-RDD roundtrip + persist + count — ~10 blocking
+    # jobs crossing JVM→Python→JVM per call. Greedy is embarrassingly
+    # per-word, so the whole longest-match recurrence runs as ONE
+    # `aggregate()` fold over that word's candidate array instead:
+    # per step, the filtered candidates all share st = pos+1 and a
+    # (word, st, len) triple names a unique substring (distinct'd),
+    # so `array_max` over struct(len, st, piece) IS the old
+    # row_number-over-len-desc longest match, tie-free. The
+    # single-element transform binds the argmax once; an overlong
+    # word (none at MAX_WORD_LEN = observed corpus max) nulls out
+    # via array_max(empty) and drops at the pos = length(word)
+    # filter, exactly as it dropped out of the old pos==wl join.
+    cands = gcand.groupBy("word").agg(
+        F.collect_list(F.struct("len", "st", "piece")).alias("cs")
     )
-    from pyspark.sql.window import Window
-
-    for _ in range(MAX_WORD_LEN):
-        done = (
-            g.join(wlen, "word")
-            .filter(F.col("pos") == F.col("wl"))
-            .select("word", "pos", "path")
-        )
-        w = Window.partitionBy("c.word").orderBy(F.col("c.len").desc())
-        adv = (
-            gcand.alias("c")
-            .join(
-                g.alias("p"),
-                (F.col("p.word") == F.col("c.word"))
-                & (F.col("c.st") == F.col("p.pos") + 1),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("c.word").alias("word"),
-                (F.col("c.st") + F.col("c.len") - 1).alias("pos"),
-                F.when(F.col("p.path") == "", F.col("c.piece"))
-                .otherwise(
-                    F.concat(F.col("p.path"), F.lit("|##"), F.col("c.piece"))
-                )
-                .alias("path"),
-            )
-        )
-        g = cut(done.unionAll(adv))
-    gseg = g.join(wlen, "word").filter(F.col("pos") == F.col("wl"))
+    step = f"""
+      aggregate(
+        sequence(1, {MAX_WORD_LEN}),
+        named_struct('pos', 0, 'path', ''),
+        (acc, i) -> if(acc.pos = length(word),
+          acc,
+          transform(
+            array(array_max(filter(cs, c -> c.st = acc.pos + 1))),
+            b -> named_struct(
+              'pos', acc.pos + b.len,
+              'path', if(acc.path = '', b.piece,
+                         concat(acc.path, '|##', b.piece))))[0]))"""
+    gseg = (
+        cands.withColumn("res", F.expr(step))
+        .filter(F.col("res.pos") == F.length("word"))
+        .select("word", F.col("res.path").alias("path"))
+    )
     return gseg.select(
         "word",
         F.col("path").alias("segmentation"),
